@@ -1,0 +1,105 @@
+"""Window / time-series operators (SURVEY.md §2.5 W1-W3 + extensions).
+
+The reference computes per-symbol lag metrics inside a sequential
+Python loop (dags/sp500_dag.py.py:95, 161-162): ``Close.diff()`` and
+``Close.pct_change()`` with ``fillna(0)``, i.e. a hidden window spec
+``PARTITION BY Symbol ORDER BY Date`` whose partition-first row is
+coerced to 0 rather than NULL (SURVEY.md §1.5).
+
+Here that is one declarative window. Scale notes:
+- one shuffle on the partition key, reused by every lag/lead/rolling
+  expression over the same window spec (Catalyst collapses them into
+  a single Window exec after a single Exchange);
+- tie-breaker order columns make results deterministic under
+  parallelism (pandas relied on yfinance's row order);
+- no UDFs — everything is whole-stage-codegen'd JVM expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+from ..functions.rounding import round_half_up
+
+
+def symbol_window(partition_col: str, order_cols: Sequence[str]) -> WindowSpec:
+    """The reference's hidden window spec, made explicit (W3)."""
+    return Window.partitionBy(partition_col).orderBy(*order_cols)
+
+
+def lag_change(value: Column, w: WindowSpec) -> Column:
+    """W1: ``diff().fillna(0)`` — partition-first row is 0.0, not NULL
+    (dags/sp500_dag.py.py:161)."""
+    return F.coalesce(value - F.lag(value, 1).over(w), F.lit(0.0))
+
+
+def lag_pct_change(value: Column, w: WindowSpec) -> Column:
+    """W2: ``pct_change().fillna(0) * 100`` (dags/sp500_dag.py.py:162).
+
+    The reference multiplies *after* fillna so the first row is exactly
+    0.0; coalesce of the full product preserves that. try_divide keeps
+    NULL-on-zero-divisor semantics under ANSI mode too.
+    """
+    return F.coalesce(
+        (F.try_divide(value, F.lag(value, 1).over(w)) - F.lit(1.0)) * F.lit(100.0),
+        F.lit(0.0),
+    )
+
+
+def with_lag_metrics(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    change_col: str = "close_change",
+    pct_change_col: str = "close_pct_change",
+    decimals: int = 4,
+) -> DataFrame:
+    """Attach the reference's two derived time-series columns, rounded
+    per its policy (round(4) on derived, dags/sp500_dag.py.py:178)."""
+    w = symbol_window(partition_col, order_cols)
+    v = F.col(value_col)
+    return df.withColumns(
+        {
+            change_col: round_half_up(lag_change(v, w), decimals),
+            pct_change_col: round_half_up(lag_pct_change(v, w), decimals),
+        }
+    )
+
+
+def rolling_avg(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 7,
+    out_col: str = "rolling_avg",
+    decimals: int = 4,
+) -> DataFrame:
+    """Frame-spec extension (SURVEY.md §2.5 note): trailing N-row moving
+    average per partition — the natural '7-day SMA' on this data model."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return df.withColumn(out_col, round_half_up(F.avg(value_col).over(w), decimals))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_col: str,
+    rank_expr: Column,
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Ranking extension: top-k rows per partition via row_number.
+
+    At scale this is the one window pattern that *should* be a window
+    (not a groupBy + sort-limit): a single hash exchange on the
+    partition key, then a bounded per-partition sort; AQE handles skew.
+    """
+    w = Window.partitionBy(partition_col).orderBy(rank_expr)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)

@@ -1,0 +1,77 @@
+"""SparkSession factory + runtime hardening.
+
+The reference runs eagerly in a single Airflow worker process
+(dags/sp500_dag.py.py:95 sequential symbol loop). Here the unit of
+parallelism is the Spark task; this module centralizes the configs
+that make the same plans work on local[32] for tests and on a
+1000-executor cluster at 100 TB:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- shuffle partitions sized to cores locally (cluster: ~2-3x total
+  cores, or let AQE coalesce from a high initial number),
+- UTC session timezone so timestamp semantics are environment-free,
+- ANSI off so lossy casts / div-by-zero yield NULL like the
+  reference's ``pd.to_numeric(errors='coerce')``
+  (dags/sp500_dag.py.py:175); hot paths still use try_* functions so
+  they are correct under either setting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that must be set before the JVM starts.
+_BUILD_TIME_CONF = {
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.sql.shuffle.partitions": None,  # filled from cpus below
+}
+
+# Conf that is runtime-settable; applied to any session we're handed
+# (the verify driver owns its own SparkSession).
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    # Arrow for the (few) Pandas-UDF paths: vectorized transfer.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: keep pushdown on (explicitly, for .explain review).
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "sp500-stock-etl-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a local session sized for this machine."""
+    cpus = cpus or default_cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", _BUILD_TIME_CONF["spark.driver.memory"])
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def harden(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally-created session.
+
+    Called at the top of every registry query so results do not depend
+    on the caller's session defaults (timezone, ANSI, AQE).
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable in some deployments; try_* paths still hold
+            pass
+    return spark
