@@ -91,7 +91,7 @@ def rolling_avg(
 def top_k_per_group(
     df: DataFrame,
     partition_col: str,
-    rank_expr: Column,
+    rank_exprs: Column | Sequence[Column],
     k: int,
     rank_col: str = "rnk",
 ) -> DataFrame:
@@ -100,6 +100,9 @@ def top_k_per_group(
     At scale this is the one window pattern that *should* be a window
     (not a groupBy + sort-limit): a single hash exchange on the
     partition key, then a bounded per-partition sort; AQE handles skew.
+    Pass a full tie-break order for deterministic results.
     """
-    w = Window.partitionBy(partition_col).orderBy(rank_expr)
+    if isinstance(rank_exprs, Column):
+        rank_exprs = [rank_exprs]
+    w = Window.partitionBy(partition_col).orderBy(*rank_exprs)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)

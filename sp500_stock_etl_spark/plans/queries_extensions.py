@@ -1,5 +1,480 @@
 """Deliberate extensions beyond the reference surface (SURVEY.md §7.3):
-joins, grouped aggregation/rollup/cube, ranking windows, set ops,
-JSON/date functions. Populated incrementally."""
+grouped aggregation/rollup/cube, join strategies, ranking/frame
+windows, date parts, JSON extraction, event-time bucketing.
+
+Reproducibility policy for float aggregates (SURVEY.md §7.5.3): sums
+over doubles are order-dependent across partitions, so every matched
+sum is computed on DECIMAL(18,n) (exact, associative); averages are
+``CAST(decimal_sum AS DOUBLE) / count`` — a single double division
+with identical operands in both engines.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.rounding import round_half_up, sql_round
+from ..io.readers import load_table
+from ..operators.aggregates import dec
+from ..operators.joins import asof_join
+from ..operators.window_metrics import rolling_avg, top_k_per_group
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Grouped aggregation (TPC-H Q1 shape) — partial/map-side combine then
+# final agg; one shuffle on the (low-cardinality) group key.
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE = "l_extendedprice * (1.0 - l_discount)"
+
+_GROUPED_ORACLE = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+       sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "grouped_agg_pricing",
+    _GROUPED_ORACLE,
+    doc="GROUP BY with exact decimal sums + derived avg (SURVEY §2.8 ext)",
+)
+def q_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("1998-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE — grouping sets with GROUPING() markers so subtotal
+# NULLs are distinguishable from data NULLs.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       count(*) AS n,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "rollup_agg",
+    _ROLLUP_ORACLE,
+    doc="ROLLUP grouping sets + GROUPING() markers (SURVEY §2.8 ext)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).alias("sum_qty"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_agg", _CUBE_ORACLE, doc="CUBE grouping sets (SURVEY §2.8 ext)")
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast star probe: fact ⨝ two small dims. The dims are broadcast
+# explicitly — at 100 TB the fact never shuffles for a dim join.
+# ---------------------------------------------------------------------------
+
+_STAR_ORACLE = f"""
+SELECT p.p_brand,
+       s.s_nationkey,
+       count(*) AS n,
+       sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_size > 30
+GROUP BY p.p_brand, s.s_nationkey
+"""
+
+
+@register(
+    "broadcast_star_join",
+    _STAR_ORACLE,
+    doc="fact ⨝ broadcast(part) ⨝ broadcast(supplier) star probe (SURVEY §2.9)",
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") > 30)
+    supp = load_table(spark, sf_dir, "supplier")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fact-fact join: orders ⨝ lineitem on the shared key. Planned as
+# sort-merge (hinted); AQE may convert/split at runtime — that runtime
+# re-plan is exactly what we want at 100 TB with skewed keys.
+# ---------------------------------------------------------------------------
+
+_FACT_JOIN_ORACLE = f"""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus <> 'P'
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "fact_fact_join",
+    _FACT_JOIN_ORACLE,
+    doc="orders ⨝ lineitem sort-merge + grouped rollup metrics (SURVEY §2.9)",
+)
+def q_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        orders.hint("merge")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins — existence probes without payload duplication.
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+@register(
+    "semi_join_customers",
+    _SEMI_ORACLE,
+    doc="left-semi existence probe (SURVEY §2.9 ext)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+"""
+
+
+@register(
+    "anti_join_customers",
+    _ANTI_ORACLE,
+    doc="left-anti (customers with no orders) (SURVEY §2.9 ext)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Ranking windows: top-3 rows per group with a total tie-break order.
+# ---------------------------------------------------------------------------
+
+_RANKING_ORACLE = """
+SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+           row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+    FROM lineitem
+) t
+WHERE rnk <= 3
+"""
+
+
+@register(
+    "ranking_top3_per_flag",
+    _RANKING_ORACLE,
+    doc="row_number top-k per partition (SURVEY §2.5 ranking ext)",
+)
+def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ranked = top_k_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_returnflag",
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=3,
+        rank_col="rnk",
+    )
+    return ranked.select(
+        "l_returnflag", "rnk", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame-spec window: trailing 7-row moving average per symbol.
+# Exact decimal sum over the frame / frame count — reproducible under
+# any evaluation order (Spark re-aggregates frames, DuckDB uses
+# segment trees; doubles would drift in the last ulp).
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT symbol, trade_date, order_key, line_number, close,
+       CAST(sum(CAST(close AS DECIMAL(18,4))) OVER w AS DOUBLE)
+           / count(*) OVER w AS sma7
+FROM (
+    SELECT l_partkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
+           l_orderkey AS order_key, l_linenumber AS line_number,
+           l_extendedprice AS close
+    FROM lineitem
+) q
+WINDOW w AS (
+    PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register(
+    "rolling_avg_sma7",
+    _ROLLING_ORACLE,
+    doc="ROWS frame moving average, order-independent arithmetic (SURVEY §2.5 ext)",
+)
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_partkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("trade_date"),
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_extendedprice").alias("close"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date", "order_key", "line_number")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return q.withColumn(
+        "sma7",
+        F.sum(dec("close")).over(w).cast("double") / F.count(F.lit(1)).over(w),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-part functions (SURVEY §2.10) over the orders timeline.
+# ---------------------------------------------------------------------------
+
+_DATE_PARTS_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS order_quarter,
+       count(*) AS n,
+       CAST(min(o_orderdate) AS DATE) AS first_day,
+       CAST(max(o_orderdate) AS DATE) AS last_day,
+       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "date_parts_agg",
+    _DATE_PARTS_ORACLE,
+    doc="EXTRACT year/quarter + date min/max (SURVEY §2.10)",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.to_date("o_orderdate")).alias("first_day"),
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.sum(dec("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from events.props (SURVEY §2.10 ext). regexp_extract
+# keeps the oracle engine-neutral; the typed from_json path is
+# exercised in streaming/ and tests.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = r"""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+       min(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS min_k,
+       max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "json_props_agg",
+    _JSON_ORACLE,
+    doc="JSON field extraction + grouped agg on events.props (SURVEY §2.10 ext)",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time bucketing: tumbling 1-hour windows as a batch query (the
+# streaming twin with watermark lives in streaming/events.py).
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "hourly_event_agg",
+    _HOURLY_ORACLE,
+    doc="tumbling event-time buckets, batch twin of the streaming agg (SURVEY §2.11)",
+)
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(dec("value")).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — Spark has no native ASOF): for each
+# purchase event, the latest signup at-or-before it by the same user.
+# Oracle uses DuckDB's native ASOF JOIN; ours is the union-tag-window
+# composition in operators/joins.py.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+    ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@register(
+    "asof_join_events",
+    _ASOF_ORACLE,
+    doc="point-in-time as-of join via union+window (SURVEY §2.9 custom op)",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases, signups, ["user_id"], "ts", "ts", right_payload=["ts"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.date_format("matched_ts", fmt).alias("matched_signup_ts"),
+    )

@@ -40,6 +40,10 @@ _RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet scans: keep pushdown on (explicitly, for .explain review).
     "spark.sql.parquet.filterPushdown": "true",
+    # Spark 4 rejects TIMESTAMP(NANOS) parquet (events.ts); read the
+    # raw int64 and convert in the loader (io/readers.py) — integer
+    # division, since double math loses precision at 1e18.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
