@@ -1,0 +1,272 @@
+"""Deduplication operators (north star, BASELINE.json): exact,
+MinHash+LSH, SimHash, n-gram Jaccard. Inputs are (id, text) frames;
+all hashing is the md5-derived 32-bit hash shared with the DuckDB
+oracles (functions/text.py).
+
+Scale design (the point of each variant):
+
+- **exact**: hash-groupBy on the normalized text (or its md5 — group
+  on a 32-byte key instead of shipping full documents through the
+  shuffle). One exchange.
+- **minhash_lsh**: signatures are computed MAP-SIDE as array
+  expressions over the shingle array — no shingle explode, no
+  (doc × shingle) shuffle. The only exchange is (band, band_sig),
+  i.e. `n_bands` small rows per doc; candidate pairs come from
+  bucket self-joins and are verified with exact Jaccard on the
+  shingle arrays. At 100 TB this is the textbook near-dup layout:
+  cost ∝ docs + collisions, never ∝ docs².
+- **simhash**: one 32-bit signature per doc (map-side aggregate over
+  token hashes), banded into 8-bit chunks for candidate generation,
+  verified by Hamming distance — cheapest near-dup filter.
+- **ngram_jaccard**: the exact baseline — inverted index on shingles
+  with a max-document-frequency cap (a shingle in >maxdf docs is
+  stopword-like and only inflates candidate pairs), then pair counts.
+  Quadratic in the worst case; kept as the verifier/baseline the LSH
+  variants are measured against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import hash32, norm_text, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: canonical row per normalized text. Returns
+    (text_hash, kept_id, n_copies). Grouping on md5 keeps the shuffle
+    key 32 bytes regardless of document size."""
+    return (
+        df.select(
+            F.md5(norm_text(F.col(text_col))).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — distinct word n-grams, map-side."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(F.col(text_col)), ngram).alias("shingles"),
+    )
+
+
+def minhash_signature(
+    shingled: DataFrame, num_hashes: int = 12
+) -> DataFrame:
+    """Attach sig: array<bigint> of length num_hashes — min over the
+    shingle array of hash32(shingle, seed=i), computed entirely
+    map-side (array_min ∘ transform, no explode). Empty shingle sets
+    get NULL mins and are dropped."""
+    # Factory closure, NOT a default-arg lambda: PySpark binds default
+    # params of HOF lambdas as extra lambda-variable Columns.
+    def _hasher(i: int):
+        return lambda s: hash32(s, str(i))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return shingled.withColumn("sig", sig).where(F.size("shingles") > 0)
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = num_hashes // bands per band; band
+    signature = SUM of the band's minhashes — order-free, exact
+    integer arithmetic) and self-join buckets → distinct candidate
+    (doc_a < doc_b) pairs. The exchange is (band, band_sig): `bands`
+    rows per doc."""
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (F.element_at("sig", b * rows + r + 1) for r in range(1, rows)),
+                    F.element_at("sig", b * rows + 1),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signed.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_sig")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on the candidate pairs: |A∩B| / |A∪B| over the
+    distinct-shingle arrays. Output (doc_a, doc_b, jaccard)."""
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature (map
+    side) → banded buckets → candidate pairs → exact-Jaccard verify."""
+    shingled = with_shingles(df, id_col, text_col, ngram)
+    signed = minhash_signature(shingled, num_hashes)
+    pairs = lsh_candidate_pairs(signed, num_hashes, bands)
+    return jaccard_verify(pairs, shingled, threshold)
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per doc, map-side: for each bit j, sum ±1 over
+    token hashes (frequency-weighted); bit set iff the sum is
+    positive. Returns (doc_id, simhash)."""
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: hash32(t))
+
+    def _voter(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0), _voter(j)) for j in range(bits)
+    ]
+    simhash = sum(
+        (
+            F.when(bit_votes[j] > 0, F.lit(2**j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for j in range(1, bits)
+        ),
+        F.when(bit_votes[0] > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), simhash.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    signed: DataFrame, max_hamming: int = 3, chunks: int = 4, bits: int = 32
+) -> DataFrame:
+    """Candidate pairs via equal 8-bit chunks (pigeonhole: hamming ≤ 3
+    over 4 chunks → at least one chunk identical), verified with
+    bit_count(xor). Output (doc_a, doc_b, hamming)."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = signed.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("cc")
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact near-dup baseline: inverted index on shingles with a
+    max-document-frequency cap, pair counts, then Jaccard via
+    |A|+|B|-shared. Output (doc_a, doc_b, jaccard)."""
+    shingled = with_shingles(df, id_col, text_col, ngram)
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    filtered = exploded.join(rare, "shingle")
+    a, b = filtered.alias("a"), filtered.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    ).cast("double")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

