@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is measured with the noop sink (full plan runs, no
+driver-side result transfer). A small warmup query absorbs JVM/codegen
+startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sp500_stock_etl_spark.plans.registry import all_queries  # noqa: E402
+from sp500_stock_etl_spark.session import get_spark  # noqa: E402
+
+# One per operator family (BASELINE.md bench set).
+BENCH_QUERIES = [
+    "flagship_window_metrics",
+    "filtered_scan_projection",
+    "qa_aggregate",
+    "grouped_agg_pricing",
+    "rollup_agg",
+    "broadcast_star_join",
+    "fact_fact_join",
+    "global_sort_topk",
+    "union_all_distinct",
+    "rolling_avg_sma7",
+    "asof_join_events",
+    "hourly_event_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_quality_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("sp500-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # Warmup: run the flagship at the smallest sf to absorb JVM startup.
+    registry["flagship_window_metrics"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = registry[name]
+        t0 = time.perf_counter()
+        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall-clock (noop sink)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

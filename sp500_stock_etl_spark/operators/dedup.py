@@ -52,32 +52,59 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def with_shingles(
     df: DataFrame, id_col: str, text_col: str, ngram: int = 3
 ) -> DataFrame:
-    """(id, shingles: array<string>) — distinct word n-grams, map-side."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(tokens(F.col(text_col)), ngram).alias("shingles"),
+    """(id, shingles: array<string>) — distinct word n-grams, map-side.
+
+    Tokens are materialized as a column FIRST: passing the tokenizer
+    expression tree into the shingle lambda would re-run the regex
+    normalize+split for every element_at — O(tokens²) regex work per
+    document (observed 15s → 1s on 6k docs)."""
+    tokd = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks__")
     )
+    return tokd.select(
+        "doc_id", word_shingles(F.col("__toks__"), ngram).alias("shingles")
+    )
+
+
+# Affine minhash family over the base 32-bit hash: h_i = (A_i*h + B_i) mod P.
+# P is the first prime above 2^32; A_i stays < 2^21 so A_i*h < 2^53 —
+# exact in int64 for Spark AND DuckDB (which errors on overflow).
+MINHASH_P = 4294967311
+MINHASH_A = [1000003, 1000033, 1000037, 1000039, 1000081, 1000099,
+             1000117, 1000121, 1000133, 1000151, 1000159, 1000171,
+             1000183, 1000187, 1000193, 1000199]
+MINHASH_B = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317,
+             196613, 393241, 786433, 1572869, 3145739, 6291469,
+             12582917, 25165843]
 
 
 def minhash_signature(
     shingled: DataFrame, num_hashes: int = 12
 ) -> DataFrame:
-    """Attach sig: array<bigint> of length num_hashes — min over the
-    shingle array of hash32(shingle, seed=i), computed entirely
-    map-side (array_min ∘ transform, no explode). Empty shingle sets
-    get NULL mins and are dropped."""
+    """Attach sig: array<bigint> of length num_hashes, entirely
+    map-side (no explode): ONE md5-derived base hash per shingle, then
+    the affine family per hash index — md5 is ~50x the cost of the
+    integer mix, so hashing once matters. Empty shingle sets dropped."""
+    base_hashes = F.transform(F.col("shingles"), lambda s: hash32(s))
+
     # Factory closure, NOT a default-arg lambda: PySpark binds default
     # params of HOF lambdas as extra lambda-variable Columns.
-    def _hasher(i: int):
-        return lambda s: hash32(s, str(i))
+    def _mixer(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return lambda h: (h * a + b) % MINHASH_P
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), _hasher(i)))
+            F.array_min(F.transform("__h__", _mixer(i)))
             for i in range(num_hashes)
         ]
     )
-    return shingled.withColumn("sig", sig).where(F.size("shingles") > 0)
+    return (
+        shingled.withColumn("__h__", base_hashes)
+        .withColumn("sig", sig)
+        .drop("__h__")
+        .where(F.size("shingles") > 0)
+    )
 
 
 def lsh_candidate_pairs(
@@ -101,9 +128,14 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = signed.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", "bb.band", "bb.band_sig")
+    # Persist: the self-join reads the bucket frame twice; without the
+    # cache the whole shingle+signature subtree executes twice. At
+    # warehouse scale this materialization is the signature table.
+    buckets = (
+        signed.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band", "bb.band_sig")
+        .persist()
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -149,8 +181,12 @@ def minhash_lsh_dedup(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature (map
-    side) → banded buckets → candidate pairs → exact-Jaccard verify."""
-    shingled = with_shingles(df, id_col, text_col, ngram)
+    side) → banded buckets → candidate pairs → exact-Jaccard verify.
+
+    The shingle frame is persisted: it feeds the signature pass once
+    and the Jaccard verify twice; recomputing it means re-tokenizing
+    and re-hashing the corpus three times."""
+    shingled = with_shingles(df, id_col, text_col, ngram).persist()
     signed = minhash_signature(shingled, num_hashes)
     pairs = lsh_candidate_pairs(signed, num_hashes, bands)
     return jaccard_verify(pairs, shingled, threshold)
@@ -160,16 +196,19 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str, bits: int = 32)
     """32-bit SimHash per doc, map-side: for each bit j, sum ±1 over
     token hashes (frequency-weighted); bit set iff the sum is
     positive. Returns (doc_id, simhash)."""
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: hash32(t))
-
     def _voter(j: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
+    # Materialize token hashes once — each of the 32 bit aggregates
+    # would otherwise re-run tokenize+md5 per row.
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), lambda t: hash32(t)).alias("__h__"),
+    )
     bit_votes = [
-        F.aggregate(hashes, F.lit(0), _voter(j)) for j in range(bits)
+        F.aggregate(F.col("__h__"), F.lit(0), _voter(j)) for j in range(bits)
     ]
     simhash = sum(
         (
@@ -182,7 +221,7 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str, bits: int = 32)
             F.lit(0).cast("bigint")
         ),
     )
-    return df.select(F.col(id_col).alias("doc_id"), simhash.alias("simhash"))
+    return hashed.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_neardup_pairs(

@@ -18,9 +18,10 @@ column so bucket joins are exchange-free on the corpus side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import hashlib
+from functools import lru_cache
 
-from ..functions.text import hash32
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -76,23 +77,26 @@ def brute_force_topk(
     )
 
 
-def hyperplane_weight(plane: int, dim_index: Column) -> Column:
-    """Deterministic pseudo-random weight in [-1, 1): derived from the
-    shared md5 hash of 'p<plane>:d<dim>' — identical in any engine."""
-    h = hash32(F.concat(F.lit(f"p{plane}:d"), dim_index.cast("string")))
-    return (h % 2000001 - F.lit(1000000)) / F.lit(1000000.0)
+@lru_cache(maxsize=None)
+def hyperplane_weights(plane: int, dims: int) -> tuple[float, ...]:
+    """Deterministic pseudo-random weights in [-1, 1): derived from
+    md5('p<plane>:d<dim>') — no RNG state, reproducible in any engine
+    or language. Computed ONCE in Python and embedded as literals
+    (computing 512 md5s per row in-plan was pure waste; dims are
+    1-based to match SQL array indexing)."""
+    out = []
+    for i in range(1, dims + 1):
+        h = int(hashlib.md5(f"p{plane}:d{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2000001 - 1000000) / 1000000.0)
+    return tuple(out)
 
 
-def srp_signature(vec: Column, planes: int = 8) -> Column:
+def srp_signature(vec: Column, planes: int = 8, dims: int = 64) -> Column:
     """Signed-random-projection signature: bit p = sign(vec · h_p).
     Map-side only; returns an int bucket id in [0, 2^planes)."""
     def proj(p: int) -> Column:
-        # factory closure — default-arg lambdas become extra HOF
-        # lambda variables in PySpark
-        def term(i: Column) -> Column:
-            return F.element_at(vec, i).cast("double") * hyperplane_weight(p, i)
-
-        prods = F.transform(F.sequence(F.lit(1), F.size(vec)), term)
+        w = F.array(*[F.lit(x) for x in hyperplane_weights(p, dims)])
+        prods = F.zip_with(vec, w, lambda x, y: x.cast("double") * y)
         return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
     return sum(

@@ -25,8 +25,13 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - punct_count: non-alphanumeric, non-space chars
     - quality_score: bounded composite used for corpus filtering
     """
-    t = norm_text(F.col(text_col))
-    toks = tokens(F.col(text_col))
+    # Materialize normalized text and tokens as real columns: each
+    # downstream expression then reads a computed attribute instead of
+    # re-running regex normalize + split per expression.
+    staged = df.withColumn("__t__", norm_text(F.col(text_col))).withColumn(
+        "__toks__", F.split(F.col("__t__"), " ")
+    )
+    t, toks = F.col("__t__"), F.col("__toks__")
     n_tokens = F.size(toks).cast("bigint")
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
     stop_hits = F.size(
@@ -46,7 +51,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         * ttr
         * (F.lit(1.0) - F.least(punct.cast("double") / F.lit(50.0), F.lit(1.0)))
     )
-    return df.withColumns(
+    return staged.withColumns(
         {
             "n_chars_norm": F.length(t).cast("bigint"),
             "n_tokens": n_tokens,
@@ -57,15 +62,19 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "punct_count": punct,
             "quality_score": score,
         }
-    )
+    ).drop("__t__", "__toks__")
 
 
 def lang_id(text_col: Column) -> Column:
-    """N-gram/stopword language heuristic: count stopword hits per
-    language family; argmax with deterministic tie-break (hit count
-    desc, then language code asc); 'und' when nothing matches."""
-    toks = tokens(text_col)
+    """N-gram/stopword language heuristic over raw text; prefer
+    ``lang_id_from_tokens`` on a materialized token column when
+    applying to a whole table (avoids re-tokenizing per language)."""
+    return lang_id_from_tokens(tokens(text_col))
 
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Argmax of per-language stopword hits with deterministic
+    tie-break (hit count, then language code asc); 'und' if none."""
     # NB: no default-arg closures in HOF lambdas — PySpark binds every
     # parameter (including defaults) as a lambda variable Column.
     def hit_counter(words):

@@ -122,8 +122,10 @@ _ROWS = _NUM_HASHES // _BANDS
 
 
 def _sql_minhash_oracle() -> str:
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
     mins = ",\n           ".join(
-        f"list_aggregate(list_transform(sh, s -> {sql_hash32('s', str(i))}), 'min') AS m{i}"
+        f"list_aggregate(list_transform(hh, h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}), 'min') AS m{i}"
         for i in range(_NUM_HASHES)
     )
     band_rows = "\n    UNION ALL\n".join(
@@ -138,10 +140,14 @@ shingled AS (
     SELECT doc_id, {sql_word_shingles('toks', _NGRAM)} AS sh
     FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM base) t
 ),
+hashed AS (
+    SELECT doc_id, sh, list_transform(sh, s -> {sql_hash32('s')}) AS hh
+    FROM shingled WHERE len(sh) > 0
+),
 signed AS (
     SELECT doc_id, sh,
            {mins}
-    FROM shingled WHERE len(sh) > 0
+    FROM hashed
 ),
 bands AS (
 {band_rows}
@@ -345,15 +351,13 @@ _PLANES = 8
 _VEC_OFFSET = 1_000_000
 
 
-def _sql_weight(p: int) -> str:
-    h = sql_hash32("concat('p" + str(p) + ":d', CAST(i AS VARCHAR))")
-    return f"(({h} % 2000001 - 1000000) / 1000000.0)"
-
-
 def _sql_proj(p: int, vec: str) -> str:
+    from ..operators.similarity import hyperplane_weights
+
+    lit = "[" + ", ".join(repr(w) for w in hyperplane_weights(p, 64)) + "]"
     return (
         f"list_sum(list_transform(generate_series(1, len({vec})), "
-        f"i -> CAST({vec}[i] AS DOUBLE) * {_sql_weight(p)}))"
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
     )
 
 
@@ -496,10 +500,13 @@ GROUP BY 1, 2
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        F.col("lang").alias("labeled_lang"), tokens(F.col("text")).alias("__toks__")
+    )
     return (
-        docs.select(
-            F.col("lang").alias("labeled_lang"),
-            TA.lang_id(F.col("text")).alias("lang_guess"),
+        tokd.select(
+            "labeled_lang",
+            TA.lang_id_from_tokens(F.col("__toks__")).alias("lang_guess"),
         )
         .groupBy("labeled_lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
