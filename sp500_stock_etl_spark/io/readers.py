@@ -55,10 +55,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _null_if(col: F.Column) -> F.Column:
-    """Multi-token NULL_IF: Spark's ``nullValue`` option is single-token,
-    so the remaining tokens become a cleansing expression
-    (SURVEY.md §7.5.4)."""
-    return F.when(col.isin(*NULL_IF_TOKENS), F.lit(None)).otherwise(col)
+    """TRIM_SPACE then multi-token NULL_IF: Spark's ``nullValue`` option
+    is single-token and its whitespace options skip quoted fields, so
+    both become one cleansing expression (SURVEY.md §7.5.4). Trim runs
+    first, as Snowflake does, so ``"  "`` → ``""`` → NULL."""
+    trimmed = F.trim(col)
+    return F.when(trimmed.isin(*NULL_IF_TOKENS), F.lit(None)).otherwise(trimmed)
 
 
 def read_stock_csv(

@@ -1,0 +1,141 @@
+"""Structured Streaming slice (SURVEY.md §2.11 mapping + §7.1 step 5).
+
+The reference has no streams — its "incremental" semantics are a daily
+Airflow rerun over a re-read window plus idempotent re-upload
+(dags/sp500_dag.py.py:324, :21, :285). The exact Spark analogue is a
+file-stream source with ``trigger(availableNow=True)`` + checkpoint:
+each run processes only files not yet in the checkpoint — the
+exactly-once version of the reference's PURGE=TRUE bookkeeping (:378).
+
+On top of that (deliberate extension, SURVEY.md §7.3): event-time
+windowed aggregation with watermarks (tumbling / sliding / session),
+and a custom stateful operator via applyInPandasWithState.
+
+Scale notes: state store size is bounded by the watermark horizon ×
+key cardinality; the shuffle key is the window/user key, same
+partitioning rules as batch groupBy. All sinks here are append/update
+memory or parquet sinks for tests; production would write
+date-partitioned parquet (io/writers.py) for DPP.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# File-stream sources need an explicit schema (no inference at stream
+# planning time). events.ts arrives as int64 nanos (see io/readers.py).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream source over the events parquet; one file today, a
+    landing directory in production — same plan either way."""
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time windows with late-data cutoff."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding windows — each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after `gap` idle."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _running_totals(key, pdfs, state: GroupState):
+    """Custom stateful op: running per-user totals across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: arbitrary per-key state the built-in
+    windows can't express (monotone running totals, emitted every
+    micro-batch)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint: str, query_name: str, output_mode: str = "append"
+) -> None:
+    """The reference's daily-batch semantics: process everything new,
+    then stop (trigger availableNow + checkpoint = exactly-once over
+    files, replacing replace=True/PURGE=TRUE bookkeeping)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
