@@ -400,6 +400,54 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity search, scale path: SRP-LSH bucketed top-k. Candidates are
+# restricted to the query's signature bucket (cost ∝ collisions, not
+# corpus size); exact cosine rank within the bucket. The oracle
+# reproduces the md5-derived hyperplanes as SQL literals, so this
+# APPROXIMATE operator still gets an exact oracle.
+# ---------------------------------------------------------------------------
+
+_LSH_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe, {_sql_srp_sig('embedding')} AS s
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (
+    SELECT vec_id, embedding AS ce, {_sql_srp_sig('embedding')} AS s
+    FROM embeddings
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_cosine('qe', 'ce')} AS cosine
+    FROM q JOIN c ON q.s = c.s
+    WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "similarity_lsh_topk",
+    _LSH_TOPK_ORACLE,
+    doc="approximate cosine top-10 via SRP-LSH buckets — the 100 TB ANN path "
+    "(north star)",
+)
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(queries, emb, k=10, planes=_PLANES)
+
+
+# ---------------------------------------------------------------------------
 # Text quality stats — one map-side pass.
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,185 @@
+"""Streaming queries wired into the driver contract (SURVEY.md §2.11
+mapping + §7.1 step 5).
+
+The reference's "incremental" semantics are a daily Airflow rerun
+(dags/sp500_dag.py.py:324) — here each query runs a real Structured
+Streaming job with ``trigger(availableNow=True)`` over a staged
+landing directory and returns the (batch-queryable) result table:
+
+- tumbling window counts: COMPLETE output mode, so the emitted result
+  equals the batch aggregation exactly → full DuckDB oracle parity,
+  the strongest check a streaming op can get.
+- sliding window sums: same, oracle unnests each event into its
+  window/slide buckets.
+- per-user running totals via ``applyInPandasWithState``: genuinely
+  non-SQL-expressible custom state → rows-only check (driver records
+  the weaker gate, as designed).
+
+Scale notes: the shuffle key is the window/group key exactly as in
+batch; state size is bounded by watermark horizon × key cardinality;
+the memory sink here is test plumbing — production writes
+date-partitioned parquet (io/writers.py) for partition pruning.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming import events as SE
+from .registry import register
+
+_SEQ = itertools.count()
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """File-stream sources want a landing directory; stage one with a
+    symlink to the read-only testdata parquet."""
+    d = tempfile.mkdtemp(prefix="sg_events_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return d
+
+
+def _run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
+    name = f"sg_stream_{next(_SEQ)}_{os.getpid()}"
+    SE.run_available_now(
+        stream_df, tempfile.mkdtemp(prefix="sg_ckpt_"), name, output_mode=mode
+    )
+    return spark.table(name)
+
+
+_TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '{_SQL_TS_FMT}') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '{_SQL_TS_FMT}') AS window_end,
+       event_type,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "streaming_tumbling_counts",
+    _TUMBLING_ORACLE,
+    doc="Structured Streaming tumbling 1h windows, availableNow, complete mode "
+    "== batch agg (SURVEY §2.11)",
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    out = _run_to_table(spark, SE.tumbling_counts(stream), "complete")
+    return out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        F.date_format("window_end", _TS_FMT).alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# Each event lands in ceil(window/slide)=2 buckets: trunc(ts) and
+# trunc(ts)-1h. The oracle materializes exactly that assignment.
+_SLIDING_ORACLE = f"""
+WITH assigned AS (
+    SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                   date_trunc('hour', ts)]) AS ws,
+           value
+    FROM events
+)
+SELECT strftime(ws, '{_SQL_TS_FMT}') AS window_start,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM assigned
+GROUP BY 1
+"""
+
+
+@register(
+    "streaming_sliding_sums",
+    _SLIDING_ORACLE,
+    doc="Structured Streaming sliding 2h/1h windows, availableNow, complete mode "
+    "(SURVEY §2.11 ext)",
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+    out = _run_to_table(spark, windowed, "complete")
+    return out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"), "n", "sum_value"
+    )
+
+
+# Session windows (batch form of streaming/events.py::session_counts —
+# F.session_window works identically in batch groupBy, which is what
+# makes a full oracle possible; the oracle is the classic
+# gaps-and-islands rewrite: new island when the gap ≥ 30 min).
+_SESSION_ORACLE = f"""
+WITH gapped AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM gapped
+)
+SELECT strftime(min(ts), '{_SQL_TS_FMT}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{_SQL_TS_FMT}') AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "session_window_agg",
+    _SESSION_ORACLE,
+    doc="per-user session windows (30 min gap) via F.session_window; oracle is "
+    "the gaps-and-islands SQL rewrite (SURVEY §2.11 ext)",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "streaming_running_user_totals",
+    None,  # applyInPandasWithState: custom cross-batch state, not SQL-expressible
+    doc="custom stateful streaming op (applyInPandasWithState running totals); "
+    "rows-only driver check by design (SURVEY §2.11/2.12)",
+)
+def q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    return _run_to_table(spark, SE.running_user_totals(stream), "update")

@@ -19,6 +19,8 @@ that make the same plans work on local[32] for tests and on a
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +53,33 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS.
+
+    cloudpickle serializes module-level functions by reference
+    (module + qualname), so any mapInPandas/applyInPandas* closure
+    needs the worker to ``import sp500_stock_etl_spark`` — which only
+    works by accident when the driver's cwd is the repo root. Ship a
+    zip via ``addPyFile`` once per SparkContext so UDF-bearing plans
+    run no matter where the driver session was created from.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_sg_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="sg_pkg_"), "sp500_stock_etl_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zpath)
+    sc._sg_pkg_shipped = True
+
+
 def get_spark(app_name: str = "sp500-stock-etl-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a local session sized for this machine."""
     cpus = cpus or default_cpus()
@@ -64,6 +93,7 @@ def get_spark(app_name: str = "sp500-stock-etl-spark", cpus: int | None = None) 
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    _ship_package(spark)
     return spark
 
 
@@ -78,4 +108,5 @@ def harden(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # immutable in some deployments; try_* paths still hold
             pass
+    _ship_package(spark)
     return spark
