@@ -40,7 +40,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
+    "similarity_lsh_topk",
     "text_quality_stats",
+    "session_window_agg",
+    "streaming_tumbling_counts",
 ]
 
 

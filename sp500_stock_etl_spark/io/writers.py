@@ -51,3 +51,21 @@ def write_partitioned_table(df: DataFrame, path: str, partition_col: str = "trad
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16
+) -> None:
+    """Co-located join layout (SURVEY.md §7.4): hash-bucketed, sorted
+    managed table. Two tables bucketed the same way join with NO
+    exchange on either side (verified in tests/test_scale_plans.py) —
+    at 100 TB this is the difference between a fact-fact join that
+    reshuffles both inputs and one that streams bucket-to-bucket.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )

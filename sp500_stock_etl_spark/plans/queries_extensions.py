@@ -478,3 +478,46 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", fmt).alias("purchase_ts"),
         F.date_format("matched_ts", fmt).alias("matched_signup_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted fact-fact join (SURVEY §7.4 skew path): row-identical to the
+# plain join — the oracle IS the plain join — but executed on the
+# composite (key, salt) so one hot orderkey spreads over 8 reducers.
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_ORACLE = f"""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "skew_salted_join",
+    _SALTED_JOIN_ORACLE,
+    doc="deterministically salted join == plain join; explicit skew tool for "
+    "when AQE can't re-plan (SURVEY §7.4)",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on="o_orderkey",
+        salt_source="l_linenumber",
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias("revenue"),
+    )

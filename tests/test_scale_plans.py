@@ -1,0 +1,89 @@
+"""Physical-plan assertions (SURVEY.md §7.4): the properties that make
+these plans survive a 100 TB scale-up are checked here, not assumed —
+pushdown reaches the scan, small dims broadcast, bucketed joins skip
+the exchange, payload columns get pruned, salting preserves results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sp500_stock_etl_spark.io.readers import load_table
+from sp500_stock_etl_spark.io.writers import write_bucketed_table
+from sp500_stock_etl_spark.operators.skew import salted_join
+from sp500_stock_etl_spark.plans.registry import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_and_pruning_reach_parquet_scan(spark, sf_dir):
+    q = all_queries()["filtered_scan_projection"]
+    plan = _plan(q.spark_fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    # Projection pruning: the scan must not read all 16 lineitem cols.
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read and "l_shipmode" not in read
+
+
+def test_star_join_broadcasts_small_dims(spark, sf_dir):
+    plan = _plan(all_queries()["broadcast_star_join"].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dims must not trigger a full shuffle join"
+
+
+def test_fact_fact_join_is_sort_merge(spark, sf_dir):
+    plan = _plan(all_queries()["fact_fact_join"].spark_fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+
+
+def test_multimodal_metadata_agg_prunes_payload(spark, sf_dir):
+    plan = _plan(all_queries()["multimodal_metadata_agg"].spark_fn(spark, sf_dir))
+    # total_bytes needs length(payload); but decode columns must not
+    # appear — this plan has no mapInPandas/python worker at all.
+    assert "mapInPandas" not in plan.lower() and "ArrowEvalPython" not in plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    salted = salted_join(li, orders, "o_orderkey", "l_linenumber", n_salts=4)
+    plain = li.join(orders, "o_orderkey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("o_orderpriority").count().collect()
+    b = plain.groupBy("o_orderpriority").count().collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed_table(li, "b_lineitem", "l_orderkey", n_buckets=4)
+        write_bucketed_table(orders, "b_orders", "o_orderkey", n_buckets=4)
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed co-located join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
