@@ -521,3 +521,148 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond union (SURVEY §2.6 ext): INTERSECT / EXCEPT on
+# the customer cohorts of two order years, tagged into one result.
+# ---------------------------------------------------------------------------
+
+_SET_OPS_ORACLE = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS cohort, o_custkey
+FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'only_1995' AS cohort, o_custkey
+FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+"""
+
+
+@register(
+    "set_ops_cohorts",
+    _SET_OPS_ORACLE,
+    doc="INTERSECT/EXCEPT customer cohorts across order years (SURVEY §2.6 ext)",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b = orders.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = a.intersect(b).select(F.lit("both").alias("cohort"), "o_custkey")
+    only_a = a.exceptAll(b).select(F.lit("only_1995").alias("cohort"), "o_custkey")
+    return both.unionByName(only_a)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation): event counts per user bucket,
+# one column per event type. Fixed pivot values → stable schema.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "pivot_event_counts",
+    _PIVOT_ORACLE,
+    doc="pivot on event_type with fixed value list == conditional agg (ext)",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(10)).cast("bigint"))
+        .groupBy("bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for empty cells; the oracle's FILTER count gives 0.
+    return pivoted.select(
+        "bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (SURVEY §2.5 ext): trailing-7-day spend per
+# customer — a time-range frame, not a row-count frame (sma7 covers
+# that). Decimal sum domain keeps float order-dependence out.
+# ---------------------------------------------------------------------------
+
+_RANGE_WINDOW_ORACLE = """
+SELECT o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+       sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+       ) AS trailing_7d_spend
+FROM orders
+"""
+
+
+@register(
+    "range_window_trailing_spend",
+    _RANGE_WINDOW_ORACLE,
+    doc="trailing-7-day RANGE frame window per customer (SURVEY §2.5 ext)",
+)
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    # TIMESTAMP_NTZ → epoch seconds needs the two-step cast (ntz→tz is
+    # wall-clock-preserving under the UTC session harden()).
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+        F.sum(dec("o_totalprice")).over(w).alias("trailing_7d_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-function suite (SURVEY §2.10): the scalar functions the
+# reference uses (trim/translate/length/regex classes) plus common
+# neighbors, all Catalyst built-ins with exact DuckDB twins.
+# ---------------------------------------------------------------------------
+
+_STRING_FUNCS_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 10, 9) AS id_digits,
+       regexp_extract(c_name, '#(\\d+)', 1) AS id_via_regex,
+       CAST(length(c_name) AS INT) AS name_len,
+       concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+       translate(c_name, '#', '_') AS name_translated
+FROM customer
+"""
+
+
+@register(
+    "string_functions_suite",
+    _STRING_FUNCS_ORACLE,
+    doc="scalar string functions (upper/substr/regexp/lpad/translate/concat_ws) "
+    "— SURVEY §2.10",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 10, 9).alias("id_digits"),
+        F.regexp_extract("c_name", r"#(\d+)", 1).alias("id_via_regex"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.translate("c_name", "#", "_").alias("name_translated"),
+    )

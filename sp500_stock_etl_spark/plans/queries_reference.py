@@ -232,3 +232,42 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "o_orderpriority"
     )
     return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Top-k movers per day (SURVEY §2.5 note): ranking over the flagship's
+# derived metrics — rank symbols by close_pct_change within each date.
+# The oracle nests the flagship oracle as a derived table.
+# ---------------------------------------------------------------------------
+
+_TOPK_MOVERS_ORACLE = f"""
+SELECT trade_date, symbol, close_pct_change, CAST(rn AS BIGINT) AS day_rank
+FROM (
+    SELECT trade_date, symbol, close_pct_change,
+           row_number() OVER (
+               PARTITION BY trade_date
+               ORDER BY close_pct_change DESC, symbol) AS rn
+    FROM ({_FLAGSHIP_ORACLE}) flagship
+) ranked
+WHERE rn <= 3
+"""
+
+
+@register(
+    "topk_movers_per_day",
+    _TOPK_MOVERS_ORACLE,
+    doc="top-3 daily movers: rank over partitionBy(date) on the flagship "
+    "metrics (SURVEY §2.5 extension noted in the survey)",
+)
+def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    metrics = flagship_metrics(spark, sf_dir)
+    w = W.partitionBy("trade_date").orderBy(
+        F.col("close_pct_change").desc(), F.col("symbol")
+    )
+    return (
+        metrics.withColumn("day_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("day_rank") <= 3)
+        .select("trade_date", "symbol", "close_pct_change", "day_rank")
+    )
