@@ -28,12 +28,18 @@ def round_half_up(col: Column, scale: int) -> Column:
     """Half-up rounding on the scaled double; bitwise-matches
     ``sql_round`` in DuckDB. floor() returns BIGINT in Spark — the
     division promotes back to double, same value as DuckDB's
-    double-typed floor for anything within 2^53."""
+    double-typed floor for anything within 2^53. The trailing ``+ 0.0``
+    normalizes IEEE negative zero: Spark's signum(-0.0) keeps the sign
+    bit while DuckDB's sign(-0.0) drops it, and repr-level comparators
+    (the driver's value hash) distinguish -0.0 from 0.0."""
     p = float(10**scale)
-    return F.signum(col) * F.floor(F.abs(col) * F.lit(p) + F.lit(0.5)) / F.lit(p)
+    return (
+        F.signum(col) * F.floor(F.abs(col) * F.lit(p) + F.lit(0.5)) / F.lit(p)
+        + F.lit(0.0)
+    )
 
 
 def sql_round(expr: str, scale: int) -> str:
     """The same kernel as ANSI SQL text for DuckDB oracles."""
     p = float(10**scale)
-    return f"(sign({expr}) * floor(abs({expr}) * {p} + 0.5) / {p})"
+    return f"(sign({expr}) * floor(abs({expr}) * {p} + 0.5) / {p} + 0.0)"

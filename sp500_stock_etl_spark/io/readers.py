@@ -95,7 +95,7 @@ def read_stock_csv(
         )
         df = reader.schema(str_schema).csv(path)
         cleansed = [
-            F.try_cast(_null_if(F.col(f.name)), f.dataType).alias(f.name)
+            _null_if(F.col(f.name)).try_cast(f.dataType).alias(f.name)
             for f in schema.fields
         ]
         return df.select(*cleansed)

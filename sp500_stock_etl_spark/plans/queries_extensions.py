@@ -666,3 +666,38 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
         F.translate("c_name", "#", "_").alias("name_translated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure SQL API surface: the same engine through spark.sql over
+# registered views. The SQL text below is dialect-portable — it runs
+# VERBATIM in Spark SQL (the query) and DuckDB (the oracle), which is
+# itself the parity statement.
+# ---------------------------------------------------------------------------
+
+_SQL_API_TEXT = f"""
+SELECT o.o_orderkey,
+       o.o_orderpriority,
+       sum(CAST({sql_round('l.l_extendedprice * (1.0 - l.l_discount)', 2)}
+           AS DECIMAL(18,2))) AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "sql_api_shipping_priority",
+    _SQL_API_TEXT,
+    doc="TPC-H Q3-shaped query through spark.sql; one dialect-portable SQL "
+    "text is both the query and its oracle (SURVEY §3 SQL entry point)",
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_TEXT)
