@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -164,3 +166,62 @@ def cosine_neardup_pairs(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: the coarse quantizer is an existing
+    cluster id column (here the corpus's ``label``); probes scan only
+    the query's own cell. At 100 TB the corpus is WRITTEN partitioned
+    by the coarse id (io/writers.write_partitioned_table), so a probe
+    is a partition-pruned scan + broadcast join — cost ∝ cell size.
+    Recall is tuned by probing neighboring cells (nprobe>1) — not
+    needed at test scale."""
+    q = queries.select(
+        query_id, F.col(vec_col).alias("__qvec__"), F.col(coarse_col)
+    )
+    c = corpus.select(corpus_id, F.col(vec_col).alias("__cvec__"), F.col(coarse_col))
+    scored = (
+        F.broadcast(q)
+        .join(c, coarse_col)
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
+def pandas_cosine(vec_a: Column, vec_b: Column) -> Column:
+    """Arrow-batched cosine via a Pandas UDF — the documented escape
+    hatch for embedding math the built-in HOFs can't express (matrix
+    ops, quantized distance, learned metrics). NOTE: numpy's dot uses
+    SIMD/pairwise summation, so results differ from the sequential
+    Catalyst fold in the last ulp — fine for ranking, NOT for
+    bitwise-oracle queries (tests/test_similarity_udf.py asserts
+    rank-equivalence, not bit-equality)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            xa, ya = np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")
+            out.append(float(np.dot(xa, ya) / (np.linalg.norm(xa) * np.linalg.norm(ya))))
+        return pd.Series(out)
+
+    return _cos(vec_a, vec_b)

@@ -596,3 +596,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style top-k: coarse quantizer = the label column; probe scans
+# only the query's cell. At scale the corpus is partitioned by label
+# on disk → partition-pruned probes.
+# ---------------------------------------------------------------------------
+
+_IVF_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe, label
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id, embedding AS ce, label FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_cosine('qe', 'ce')} AS cosine
+    FROM q JOIN c ON q.label = c.label
+    WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    _IVF_TOPK_ORACLE,
+    doc="IVF-style ANN: label column as coarse quantizer, partition-prunable "
+    "probe (north star)",
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return S.ivf_topk(queries, emb, k=10)
