@@ -701,3 +701,77 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_API_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (EXISTS + scalar) — one dialect-portable SQL
+# text for both engines; Catalyst decorrelates into joins
+# (DecorrelateInnerQuery, SURVEY §4.1).
+# ---------------------------------------------------------------------------
+
+_CORRELATED_SQL = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+  AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@register(
+    "correlated_subqueries",
+    _CORRELATED_SQL,
+    doc="EXISTS + correlated scalar subquery, decorrelated by Catalyst; one "
+    "portable SQL text is query and oracle (SURVEY §4.1)",
+)
+def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Analytic ranking suite: dense_rank / ntile / percent_rank / cume_dist
+# under a total order (tie-broken), so every value is deterministic;
+# the ratio-valued functions are single double divisions of identical
+# integers in both engines.
+# ---------------------------------------------------------------------------
+
+_RANKING_SUITE_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       dense_rank() OVER w AS drank,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist
+FROM orders
+WHERE o_orderkey % 37 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register(
+    "ranking_function_suite",
+    _RANKING_SUITE_ORACLE,
+    doc="dense_rank/ntile/percent_rank/cume_dist under total order "
+    "(SURVEY §2.5 ext)",
+)
+def q_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 37 == 0
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )

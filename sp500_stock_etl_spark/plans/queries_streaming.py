@@ -183,3 +183,43 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
     return _run_to_table(spark, SE.running_user_totals(stream), "update")
+
+
+# Stream-static join: the streaming fact enriched with a static
+# dimension — stateless, so availableNow + append emits every joined
+# row and the batch join IS the oracle. At scale the static side is
+# re-broadcast per micro-batch (keep dims broadcast-sized or use a
+# state-store join).
+_STREAM_STATIC_ORACLE = f"""
+SELECT e.event_id,
+       e.event_type,
+       c.c_mktsegment,
+       strftime(e.ts, '{_SQL_TS_FMT}') AS ts
+FROM events e
+JOIN customer c ON e.user_id % 1000 = c.c_custkey
+"""
+
+
+@register(
+    "streaming_static_enrich",
+    _STREAM_STATIC_ORACLE,
+    doc="stream-static broadcast enrichment join under availableNow "
+    "(SURVEY §2.11 ext)",
+)
+def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        stream.withColumn("join_key", F.col("user_id") % 1000)
+        .join(F.broadcast(cust), F.col("join_key") == F.col("c_custkey"))
+        .select("event_id", "event_type", "c_mktsegment", "ts")
+    )
+    out = _run_to_table(spark, joined, "append")
+    return out.select(
+        "event_id", "event_type", "c_mktsegment",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+    )
