@@ -1,0 +1,269 @@
+"""Advanced analytics extensions (SURVEY.md §7.3): GROUPING SETS,
+window navigation functions, filtered/conditional aggregates, exact
+quantiles, and an interval range join.
+
+Same reproducibility policy as queries_extensions.py: float columns
+pass through untouched or go through exact decimal/integer arithmetic;
+every computed column is aliased identically in the DataFrame plan and
+the DuckDB oracle (driver hashes values after sorting columns by
+name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..io.readers import load_table
+from ..operators.aggregates import dec
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form behind rollup/cube (already
+# covered); Catalyst expands to an Expand node feeding one hash
+# aggregate, i.e. one shuffle regardless of how many sets. grouping()
+# flags disambiguate "NULL because aggregated away" from data NULLs.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register(
+    "grouping_sets_agg",
+    _GROUPING_SETS_ORACLE,
+    doc="GROUPING SETS with grouping() markers — Expand + single hash "
+    "aggregate, one shuffle for all sets (SURVEY §2.8 ext)",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.sum(dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window navigation: lead/lag with offset+default, first/last/nth
+# value under explicit ROWS frames and a total order (ties broken by
+# key) so every value is deterministic. No arithmetic on the doubles —
+# they pass through bit-identically in both engines.
+# ---------------------------------------------------------------------------
+
+_NAV_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       lead(o_totalprice, 2, -1.0) OVER w AS lead2_price,
+       lag(o_totalprice, 2, -1.0) OVER w AS lag2_price,
+       first_value(o_totalprice) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_first,
+       last_value(o_totalprice) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining_last,
+       nth_value(o_totalprice, 3) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price
+FROM orders
+WHERE o_orderkey % 41 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register(
+    "window_navigation_suite",
+    _NAV_ORACLE,
+    doc="lead/lag with default, first/last/nth_value under explicit ROWS "
+    "frames (SURVEY §2.5 ext)",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 41 == 0
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    growing = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    shrinking = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    price = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lead(price, 2, -1.0).over(w).alias("lead2_price"),
+        F.lag(price, 2, -1.0).over(w).alias("lag2_price"),
+        F.first(price).over(growing).alias("running_first"),
+        F.last(price).over(shrinking).alias("remaining_last"),
+        F.nth_value(price, 3).over(full).alias("third_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional / filtered aggregates: FILTER clause, bool_and/bool_or,
+# count-distinct, arg-max with an explicit total-order tiebreak (the
+# (value, key) struct) so the winner is unique in both engines.
+# ---------------------------------------------------------------------------
+
+_COND_AGG_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_order_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "conditional_agg_suite",
+    _COND_AGG_ORACLE,
+    doc="FILTER-clause counts, bool_and/bool_or, tie-broken arg_max "
+    "(SURVEY §2.8 ext)",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_totalprice") > 100000.0, 1)).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.max(
+            F.struct(
+                F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+            )
+        )["k"].alias("top_order_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles: Spark percentile() == DuckDB quantile_cont (both
+# interpolate at p*(n-1)). l_quantity is integral-valued, so the
+# interpolated fractions (.25/.5/.75) are exact binary fractions —
+# bitwise parity holds regardless of each engine's formula ordering.
+# At 100 TB the monitoring path swaps in approx_percentile (t-digest,
+# one pass, mergeable) — see tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+
+_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "exact_quantiles",
+    _QUANTILE_ORACLE,
+    doc="exact percentile (sort-based) per group; approx_percentile is "
+    "the documented 100 TB monitoring variant (SURVEY §2.8 ext)",
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, 0.25).alias("q25"),
+        F.percentile(q, 0.5).alias("median_qty"),
+        F.percentile(q, 0.75).alias("q75"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval range join: every follow-up event of the same user within
+# one hour after a purchase (band join, not as-of: ALL matches, not
+# just the nearest). The equi component (user_id) makes this a
+# sort-merge join with the band as a residual predicate — no
+# broadcast-nested-loop. At 100 TB: additionally bucket both sides by
+# time bin (epoch/3600) and join on (user_id, bin) ∪ (user_id, bin+1)
+# to bound each probe's scan to two bins; here user_id alone bounds
+# candidates enough that the residual filter is cheap.
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+SELECT a.event_id AS purchase_id,
+       b.event_id AS follow_id,
+       b.event_type AS follow_type
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'purchase'
+"""
+
+
+@register(
+    "range_interval_join",
+    _RANGE_JOIN_ORACLE,
+    doc="band/interval join (all same-user events within 1h after each "
+    "purchase) — equi key + range residual (SURVEY §2.9 custom op)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    follows = ev.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+        "user_id",
+        "ts",
+    )
+    return purchases.join(
+        follows,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("ts") > F.col("p_ts"))
+        & (F.col("ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "follow_id", "follow_type")
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based monitoring profile — the 100 TB shape of the
+# reference's QA aggregates (SURVEY §2.8 A2): approx_count_distinct
+# (HLL++, mergeable, fixed memory) and approx_percentile in place of
+# exact count-distinct / sort-based percentile, so the whole profile
+# is one map-side-combinable pass with no exact-distinct shuffle.
+# Sketch outputs are engine-specific, so no DuckDB value oracle
+# (rows-only check here); tests/test_sketches.py bounds the error
+# against the exact answers instead.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_monitoring_profile",
+    None,
+    doc="HLL++ approx distinct + t-digest percentiles: the one-pass "
+    "monitoring profile that replaces exact QA aggregates at 100 TB "
+    "(SURVEY §2.8 A2); error-bounded vs exact in tests/test_sketches.py",
+)
+def q_approx_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -46,6 +46,7 @@ def all_queries() -> dict[str, Query]:
     # Import modules for their registration side effects.
     from . import queries_reference  # noqa: F401
     from . import queries_extensions  # noqa: F401
+    from . import queries_analytics  # noqa: F401
     from . import queries_northstar  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_multimodal  # noqa: F401
