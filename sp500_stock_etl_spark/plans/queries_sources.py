@@ -1,0 +1,190 @@
+"""Source/format coverage beyond the canonical parquet scan (SURVEY.md
+§2.1 S3/S4 ext): ORC and JSON-lines round-trips through real on-disk
+staging (schema-first reads, no inference in the hot path), plus
+explode/lateral and cross-join coverage on the Spark side.
+
+Round-trip queries stage under a temp directory per call and read the
+result back, so the oracle (DuckDB over the original parquet) checks
+the whole write→read cycle for losslessness.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import sql_tokens, tokens
+from ..io.readers import load_table
+from ..operators.aggregates import dec
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Explode / lateral: corpus token frequency. The Spark side explodes a
+# generated token array (generator → nested loop inside the stage, no
+# extra shuffle beyond the final agg); ties broken by (count desc,
+# token asc) total order so the LIMIT frontier is deterministic.
+# At 100 TB the explode fan-out (~tokens-per-doc ×) happens map-side
+# before the partial agg, so the shuffle carries only (token, count)
+# partials — cardinality of the vocabulary, not the corpus.
+# ---------------------------------------------------------------------------
+
+_TOKEN_FREQ_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest({sql_tokens('text')}) AS token FROM documents
+)
+SELECT token, count(*) AS n
+FROM toks
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@register(
+    "token_frequency_topn",
+    _TOKEN_FREQ_ORACLE,
+    doc="explode(tokens) → map-side partial agg → top-20 vocabulary "
+    "(SURVEY §2.10 ext, generator/lateral coverage)",
+)
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip: columnar sibling of parquet (predicate pushdown +
+# column pruning work the same way through the ORC vectorized
+# reader). Write a projected/filtered slice out as ORC, read it back
+# schema-first, aggregate; DuckDB checks against the ORIGINAL parquet,
+# so any loss in the write→read cycle fails parity.
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT l_returnflag,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+WHERE l_quantity < 25.0
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "orc_roundtrip_agg",
+    _ORC_ORACLE,
+    doc="ORC write→read round-trip (SURVEY §2.1/§2.2 format ext); oracle "
+    "runs on the original parquet so lossy cycles fail",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="sg_orc_") + "/lineitem_orc"
+    li.write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).orc(path)
+    return (
+        back.where(F.col("l_quantity") < 25.0)
+        .groupBy("l_returnflag")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines round-trip: the interchange format of every scraping /
+# API source in the reference family (S1/S2 are HTTP → records).
+# Timestamps travel as formatted strings (micro precision) and are
+# re-parsed on read — the same cleansing-cast discipline as the CSV
+# reader (D1/D6).
+# ---------------------------------------------------------------------------
+
+_JSONL_ORACLE = """
+SELECT event_type,
+       CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "jsonl_source_agg",
+    _JSONL_ORACLE,
+    doc="JSON-lines write→schema-first read→daily agg (SURVEY §2.1 S1/S2 "
+    "interchange format); timestamps as micro-precision strings",
+)
+def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+        "value",
+    )
+    path = tempfile.mkdtemp(prefix="sg_jsonl_") + "/events_json"
+    ev.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return (
+        back.withColumn(
+            "ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        )
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit cartesian product (the only join shape with no key): tiny
+# dims only — region × nation is 125 rows; anything larger must carry
+# a key or a band predicate (range_interval_join). Spark requires the
+# explicit crossJoin call unless spark.sql.crossJoin.enabled.
+# ---------------------------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r.r_name, n.n_name, (n.n_regionkey = r.r_regionkey) AS is_home
+FROM region r CROSS JOIN nation n
+"""
+
+
+@register(
+    "cross_join_dims",
+    _CROSS_ORACLE,
+    doc="explicit cartesian product over broadcast-sized dims "
+    "(SURVEY §2.9 ext)",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )

@@ -223,3 +223,29 @@ def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "c_mktsegment",
         F.date_format("ts", _TS_FMT).alias("ts"),
     )
+
+
+# Streaming deduplication: distinct (user_id, event_type) pairs with
+# dedup state in the state store. Only the key columns are emitted, so
+# the result is deterministic regardless of which physical row
+# survives. Plain dropDuplicates keeps state forever (fine under
+# availableNow's bounded input); a 24/7 pipeline would switch to
+# dropDuplicatesWithinWatermark so state ages out at the watermark
+# horizon — same plan shape, bounded state.
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register(
+    "streaming_dedup_keys",
+    _STREAM_DEDUP_ORACLE,
+    doc="streaming deduplication via state store; keys-only output keeps "
+    "it deterministic (SURVEY §2.11 ext)",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_table(spark, deduped, "append")
