@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "text_quality_stats",
     "session_window_agg",
     "streaming_tumbling_counts",
+    "grouping_sets_agg",
+    "exact_quantiles",
+    "range_interval_join",
+    "token_frequency_topn",
+    "grouped_map_value_diff",
+    "streaming_dedup_keys",
 ]
 
 

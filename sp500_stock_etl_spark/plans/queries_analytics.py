@@ -250,6 +250,50 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Grouped-map escape hatch (SURVEY §2.12): the reference's per-symbol
+# loop body (dags/sp500_dag.py.py:95-207) IS a grouped-map UDF — one
+# group's frame in, a transformed frame out. This query runs that
+# exact shape through applyInPandas (Arrow-batched, one shuffle on
+# the group key) and the oracle is the DECLARATIVE window form — so
+# parity proves the imperative pandas path and the Catalyst window
+# path compute the same thing bit-for-bit. Use the declarative form
+# unless semantics genuinely can't be expressed (this one can; it
+# exists to keep the escape hatch tested).
+# ---------------------------------------------------------------------------
+
+_GROUPED_MAP_ORACLE = """
+SELECT event_id,
+       user_id,
+       COALESCE(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                0.0) AS value_diff
+FROM events
+"""
+
+
+def _pandas_value_diff(pdf):
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["value_diff"] = pdf["value"].diff().fillna(0.0)
+    return pdf[["event_id", "user_id", "value_diff"]]
+
+
+@register(
+    "grouped_map_value_diff",
+    _GROUPED_MAP_ORACLE,
+    doc="applyInPandas grouped-map (the reference's per-symbol loop as a "
+    "real UDF, dags/sp500_dag.py.py:95-207) vs declarative-window oracle "
+    "(SURVEY §2.12)",
+)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _pandas_value_diff,
+        schema="event_id bigint, user_id bigint, value_diff double",
+    )
+
+
 @register(
     "approx_monitoring_profile",
     None,

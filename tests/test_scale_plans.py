@@ -87,3 +87,36 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_table_prunes_statically_and_dynamically(spark, sf_dir, tmp_path):
+    """K3 partitioned layout must engage both pruning paths (SURVEY
+    §7.4): a literal filter on the partition column becomes a
+    PartitionFilter (no scan of other partitions), and a selective
+    dim-side filter reaches the fact scan as a dynamicpruning
+    subquery (DPP)."""
+    from sp500_stock_etl_spark.io.writers import write_partitioned_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned_table(orders, path, partition_col="order_year")
+    fact = spark.read.parquet(path)
+
+    static = fact.where(F.col("order_year") == 1995)
+    splan = _plan(static)
+    assert "PartitionFilters" in splan and "order_year" in splan
+
+    # The dim filter must be on a column Catalyst CANNOT rewrite in
+    # terms of the join key (constraint propagation would turn it into
+    # a static partition filter — good, but not what's under test), so
+    # the year dim carries an opaque label and the filter hits that.
+    all_years = [r[0] for r in fact.select("order_year").distinct().collect()]
+    years = spark.createDataFrame(
+        [(y, f"label_{i}") for i, y in enumerate(sorted(all_years))],
+        "order_year int, label string",
+    ).where(F.col("label") == "label_1")
+    joined = fact.join(years, "order_year").select("o_orderkey", "order_year")
+    dplan = _plan(joined)
+    assert "dynamicpruning" in dplan, dplan[:2000]
