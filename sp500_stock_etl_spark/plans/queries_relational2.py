@@ -1,0 +1,152 @@
+"""Second relational-extension batch (SURVEY.md §7.3): unpivot/melt,
+Python UDTF (lateral table function), and hierarchical rollup
+(pre-aggregated partials re-aggregated to a coarser grain — the
+continuous-aggregate / hypertable-rollup pattern).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import udtf
+
+from ..io.readers import load_table
+from ..operators.aggregates import dec
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): wide → long. The inverse of pivot_event_counts.
+# Map-side only — Expand produces k rows per input row with no
+# shuffle; at 100 TB the k× fan-out happens inside the stage and
+# any downstream agg sees it pre-combined.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, metric, val
+FROM (
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(o_custkey AS DOUBLE) AS custkey
+    FROM orders
+    WHERE o_orderkey % 53 = 0
+) UNPIVOT (val FOR metric IN (totalprice, custkey))
+"""
+
+
+@register(
+    "unpivot_order_metrics",
+    _UNPIVOT_ORACLE,
+    doc="unpivot/melt wide→long, the inverse of pivot (SURVEY §2.8 ext); "
+    "Expand node, zero shuffles",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 53 == 0
+    )
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        "o_orderkey", ["totalprice", "custkey"], "metric", "val"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: one input row → N output rows through a lateral join
+# (SURVEY §2.12 ext — the table-function face of the UDF surface).
+# Sentence splitting is deterministic string work, so the DuckDB
+# lateral generate_series oracle checks it exactly. UDTFs run in the
+# Python worker (Arrow-batched rows): keep them OFF the hot path —
+# this exists to prove the plumbing (worker-side package import,
+# lateral correlation, schema contract).
+# ---------------------------------------------------------------------------
+
+_SENTENCE_SEP = r"[.!?]+\s+"
+
+
+@udtf(returnType="sentence_idx bigint, sentence string")
+class SplitSentences:
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, part in enumerate(re.split(_SENTENCE_SEP, text)):
+            yield i + 1, part.strip()
+
+
+_UDTF_ORACLE = rf"""
+WITH parts AS (
+    SELECT doc_id, string_split_regex(text, '{_SENTENCE_SEP}') AS ps
+    FROM documents
+    WHERE doc_id % 17 = 0
+)
+SELECT p.doc_id,
+       i.i AS sentence_idx,
+       trim(p.ps[CAST(i.i AS INT)]) AS sentence
+FROM parts p, LATERAL (SELECT unnest(generate_series(1, len(p.ps))) AS i) i
+"""
+
+
+@register(
+    "udtf_split_sentences",
+    _UDTF_ORACLE,
+    doc="Python UDTF in a lateral join: one doc → N sentence rows "
+    "(SURVEY §2.12 ext); oracle via lateral generate_series",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM documents d, LATERAL split_sentences(d.text) s
+        WHERE d.doc_id % 17 = 0
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup (continuous-aggregate pattern): daily metrics
+# computed FROM the hourly aggregate, not from raw events. Decimal
+# sums are associative, so sum-of-partial-sums is exactly the direct
+# daily aggregate — which is what the oracle computes, proving the
+# rollup lattice is lossless. At 100 TB this is how dashboards stay
+# interactive: materialize the fine grain once, serve every coarser
+# grain from it (events → hour is the only full-data pass).
+# ---------------------------------------------------------------------------
+
+_HIER_ROLLUP_ORACLE = """
+SELECT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day,
+       event_type,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "hierarchical_rollup_daily",
+    _HIER_ROLLUP_ORACLE,
+    doc="daily aggregate computed from hourly partials (continuous-"
+    "aggregate / hypertable rollup); decimal sums make the lattice "
+    "lossless — oracle aggregates raw events directly (SURVEY §2.8 ext)",
+)
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
+    return hourly.groupBy(
+        F.to_date("hour").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").cast("decimal(18,4)").alias("sum_value"),
+    )

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, Query]:
     from . import queries_extensions  # noqa: F401
     from . import queries_analytics  # noqa: F401
     from . import queries_sources  # noqa: F401
+    from . import queries_relational2  # noqa: F401
     from . import queries_northstar  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_multimodal  # noqa: F401
