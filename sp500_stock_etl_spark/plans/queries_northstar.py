@@ -639,3 +639,23 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
     return S.ivf_topk(queries, emb, k=10)
+
+
+# Iterative algorithm class (driver contract: non-SQL-expressible →
+# rows-only check): Lloyd's k-means over the embedding column. Each
+# iteration's input is the previous iteration's global state, which no
+# single SQL statement expresses; invariants (inertia monotone,
+# assignment self-consistency, determinism) are asserted in
+# tests/test_clustering.py instead.
+@register(
+    "kmeans_embedding_clusters",
+    None,
+    doc="Lloyd's k-means (k=8, 3 iters, deterministic init/ties) over "
+    "embeddings — the iterative-algorithm class; map-side assign + "
+    "skinny-agg update (north star; invariants in tests/test_clustering.py)",
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, id_col="vec_id", k=8, iters=3)

@@ -1,0 +1,49 @@
+"""Invariants for the iterative k-means operator (rows-only in the
+driver contract): the Lloyd's objective must not increase, final
+assignments must be self-consistent, and the whole run must be
+deterministic at fixed partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sp500_stock_etl_spark.io.readers import load_table
+from sp500_stock_etl_spark.operators import clustering as C
+
+
+def _emb(spark, sf):
+    return load_table(spark, sf, "embeddings")
+
+
+def test_inertia_monotone_nonincreasing(spark, sf_correct):
+    emb = _emb(spark, sf_correct)
+    first = emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    centroids = [list(r[0]) for r in first]
+    dims = len(centroids[0])
+    inertias = []
+    for _ in range(3):
+        assigned = C.assign_clusters(emb, centroids)
+        inertias.append(C.inertia(assigned))
+        updated = C.update_centroids(assigned, 8, dims)
+        centroids = [
+            u if u is not None else centroids[i] for i, u in enumerate(updated)
+        ]
+    # Lloyd's: each assign+update step cannot increase the objective
+    # (tiny float slack for the nondeterministic centroid means).
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a * (1 + 1e-9), inertias
+
+
+def test_assignments_self_consistent_and_deterministic(spark, sf_correct):
+    emb = _emb(spark, sf_correct)
+    out1 = C.kmeans_lloyd(emb, id_col="vec_id", k=8, iters=3)
+    rows1 = {r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in out1.collect()}
+    assert len(rows1) == emb.count()
+    assert all(0 <= c < 8 for c, _ in rows1.values())
+    assert all(d >= 0.0 for _, d in rows1.values())
+    # every cluster id in range and at least 2 clusters non-empty
+    assert len({c for c, _ in rows1.values()}) >= 2
+    # determinism at fixed partitioning: same run → same assignment
+    out2 = C.kmeans_lloyd(emb, id_col="vec_id", k=8, iters=3)
+    rows2 = {r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in out2.collect()}
+    assert rows1 == rows2
