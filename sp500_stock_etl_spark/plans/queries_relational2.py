@@ -150,3 +150,129 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"),
         F.sum("sum_value").cast("decimal(18,4)").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins (the remaining join shapes): left-outer enrichment with
+# null-fill, and full-outer reconciliation between two aggregates —
+# the canonical "compare two pipelines' outputs" query. Both shuffle
+# on the join key like any equi-join; the outer sides just keep
+# unmatched rows, so cardinality is max(|A|,|B|), not |A∩B|.
+# ---------------------------------------------------------------------------
+
+_LEFT_OUTER_ORACLE = """
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "left_outer_enrichment",
+    _LEFT_OUTER_ORACLE,
+    doc="left-outer join with null-fill: every customer kept, zero-order "
+    "customers get 0 (SURVEY §2.9 ext)",
+)
+def q_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+_FULL_OUTER_ORACLE = """
+WITH before AS (
+    SELECT o_custkey, count(*) AS n_before FROM orders
+    WHERE o_orderdate < DATE '1997-01-01' GROUP BY o_custkey
+),
+after AS (
+    SELECT o_custkey, count(*) AS n_after FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_custkey
+)
+SELECT COALESCE(b.o_custkey, a.o_custkey) AS custkey,
+       COALESCE(b.n_before, 0) AS n_before,
+       COALESCE(a.n_after, 0) AS n_after
+FROM before b FULL OUTER JOIN after a ON b.o_custkey = a.o_custkey
+"""
+
+
+@register(
+    "full_outer_reconciliation",
+    _FULL_OUTER_ORACLE,
+    doc="full-outer reconciliation of two aggregates (customers active "
+    "only before / only after / both) (SURVEY §2.9 ext)",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    before = (
+        orders.where(F.to_date("o_orderdate") < cutoff)
+        .groupBy(F.col("o_custkey").alias("b_key"))
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    after = (
+        orders.where(F.to_date("o_orderdate") >= cutoff)
+        .groupBy(F.col("o_custkey").alias("a_key"))
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return before.join(
+        after, before.b_key == after.a_key, "full_outer"
+    ).select(
+        F.coalesce(F.col("b_key"), F.col("a_key")).alias("custkey"),
+        F.coalesce(F.col("n_before"), F.lit(0)).alias("n_before"),
+        F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other instead of disappearing — the semantic SQL inner joins
+# silently drop. Derived nullable key on both sides so the NULL
+# bucket is exercised.
+# ---------------------------------------------------------------------------
+
+_NULL_SAFE_ORACLE = """
+WITH l AS (
+    SELECT n_name AS l_name,
+           CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS k
+    FROM nation
+),
+r AS (
+    SELECT n_name AS r_name,
+           CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS k
+    FROM nation
+)
+SELECT l.l_name, r.r_name
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+
+@register(
+    "null_safe_join",
+    _NULL_SAFE_ORACLE,
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL "
+    "bucket matches itself (SURVEY §2.9 ext)",
+)
+def q_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    key = F.when(F.col("n_regionkey") == 2, F.lit(None)).otherwise(
+        F.col("n_regionkey")
+    )
+    left = nation.select(F.col("n_name").alias("l_name"), key.alias("lk"))
+    right = nation.select(F.col("n_name").alias("r_name"), key.alias("rk"))
+    return left.join(
+        right, left.lk.eqNullSafe(right.rk)
+    ).select("l_name", "r_name")
