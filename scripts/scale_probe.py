@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Scale probes (SURVEY.md §7.4 evidence): replicate each pipeline's
+input N x IN-PLAN (union of shifted copies — no extra files, the scan
+itself fans out) and measure wall-clock at 1x vs Nx. Sub-linear
+ratios show fixed overhead amortizing and all cores engaging; the
+interesting probes are the ones whose candidate/pair space grows
+super-linearly (dedup, band join) — wall-clock tracking collisions,
+not corpus^2, is the scale argument.
+
+Usage: python scripts/scale_probe.py [N] (default 10; sf dir from
+$SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1). Prints one JSON
+line per probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from sp500_stock_etl_spark.io.readers import load_table  # noqa: E402
+from sp500_stock_etl_spark.session import get_spark  # noqa: E402
+
+
+def replicate(df: DataFrame, n: int, id_cols: list[str], ts_col: str | None = None) -> DataFrame:
+    """Union n copies with disjoint id spaces; optionally shift event
+    time per copy so temporal density stays constant (capacity probe,
+    not skew probe)."""
+    copies = []
+    for i in range(n):
+        c = df
+        for col in id_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * 100_000_000))
+        if ts_col is not None:
+            c = c.withColumn(
+                ts_col, F.col(ts_col) + F.expr(f"INTERVAL {i * 31} DAYS")
+            )
+        copies.append(c)
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def timed(df: DataFrame) -> float:
+    t = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t, 2)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-probe")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    from sp500_stock_etl_spark.functions.rounding import round_half_up
+    from sp500_stock_etl_spark.io.readers import stock_data_from_lineitem
+    from sp500_stock_etl_spark.operators.dedup import minhash_lsh_dedup
+    from sp500_stock_etl_spark.operators.window_metrics import with_lag_metrics
+
+    def window_pipeline(src: DataFrame) -> DataFrame:
+        quotes = stock_data_from_lineitem(src)
+        m = with_lag_metrics(
+            quotes, "symbol", ["trade_date", "order_key", "line_number"],
+            "close", change_col="close_change", pct_change_col="close_pct_change",
+        )
+        return m.withColumn(
+            "daily_range", round_half_up(F.col("high") - F.col("low"), 4)
+        )
+
+    def band_join(src: DataFrame) -> DataFrame:
+        p = src.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+            F.col("ts").alias("pts"),
+        )
+        f = src.select("event_id", "user_id", "ts")
+        return p.join(
+            f,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("ts") > F.col("pts"))
+            & (F.col("ts") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("pid", "event_id")
+
+    def rollup(src: DataFrame) -> DataFrame:
+        hourly = src.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return hourly.groupBy(F.to_date("hour").alias("day"), "event_type").agg(
+            F.sum("n").alias("n")
+        )
+
+    probes = {
+        "flagship_window_metrics": (
+            lambda k: window_pipeline(
+                replicate(li, k, ["l_orderkey"]) if k > 1 else li
+            )
+        ),
+        "minhash_lsh_dedup": (
+            lambda k: minhash_lsh_dedup(
+                replicate(docs, k, ["doc_id"]) if k > 1 else docs,
+                "doc_id", "text",
+            )
+        ),
+        "range_band_join": (
+            lambda k: band_join(
+                replicate(ev, k, ["event_id", "user_id"], "ts") if k > 1 else ev
+            )
+        ),
+        "hierarchical_rollup": (
+            lambda k: rollup(
+                replicate(ev, k, ["event_id"], "ts") if k > 1 else ev
+            )
+        ),
+    }
+
+    # warmup
+    timed(li.select(F.count(F.lit(1)).alias("n")))
+    for name, build in probes.items():
+        t1 = timed(build(1))
+        tn = timed(build(n))
+        print(json.dumps({
+            "probe": name, "sf_dir": sf_dir, "n": n,
+            "sec_1x": t1, "sec_nx": tn,
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -249,3 +249,60 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return _run_to_table(spark, deduped, "append")
+
+
+# Stream-stream inner join: two watermarked streams joined on an equi
+# key + event-time band. Each side buffers rows in the state store
+# only until the watermark passes the band (state is bounded by
+# watermark horizon x key cardinality — the same budget as a windowed
+# agg). Under availableNow both sides are complete, so the emitted
+# matches equal the batch band join, which is the oracle
+# (range_interval_join's streaming twin, purchases x clicks).
+_STREAM_STREAM_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register(
+    "streaming_stream_stream_join",
+    _STREAM_STREAM_ORACLE,
+    doc="watermarked stream-stream interval join (purchase -> clicks "
+    "within 1h); state bounded by the watermark horizon "
+    "(SURVEY §2.11 ext)",
+)
+def q_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events_dir(sf_dir)
+    purchases = (
+        SE.read_event_stream(spark, staged)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        SE.read_event_stream(spark, staged)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id")
+    return _run_to_table(spark, joined, "append")
