@@ -276,3 +276,84 @@ def q_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         right, left.lk.eqNullSafe(right.rk)
     ).select("l_name", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# MapType surface: parse the JSON props into a real map<string,bigint>,
+# explode its entries, aggregate per key — the generic form of
+# json_props_agg (which extracts one known field). The map explode is
+# a generator (map-side); only the per-key agg shuffles.
+# ---------------------------------------------------------------------------
+
+_MAP_FUNC_ORACLE = """
+SELECT json_keys(props)[1] AS key,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"')
+                AS BIGINT)) AS sum_v
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "map_entries_agg",
+    _MAP_FUNC_ORACLE,
+    doc="from_json → map<string,bigint> → explode entries → per-key agg "
+    "(SURVEY §2.10 ext, MapType surface)",
+)
+def q_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "key", "value"
+        )
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / higher-order function suite over the embedding vectors:
+# size, element max, lambda filter, sort+slice, and a left-to-right
+# aggregate fold — every expression a native Catalyst HOF (zero UDFs),
+# each with its exact DuckDB list-function twin. Floats pass through
+# or fold in identical order, so parity is bitwise.
+# ---------------------------------------------------------------------------
+
+_ARRAY_FUNC_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       list_max(embedding) AS vmax,
+       list_filter(embedding, x -> x > 0)[1] AS first_positive,
+       list_sort(embedding)[1:3] AS smallest3,
+       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vsum
+FROM embeddings
+WHERE vec_id % 7 = 0
+"""
+
+
+@register(
+    "array_functions_suite",
+    _ARRAY_FUNC_ORACLE,
+    doc="higher-order array functions (size/max/filter/sort+slice/fold) "
+    "with bitwise DuckDB list parity (SURVEY §2.10 ext)",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 7 == 0
+    )
+    vec = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(vec).cast("bigint").alias("dim"),
+        F.array_max(vec).alias("vmax"),
+        F.element_at(F.filter(vec, lambda x: x > 0), 1).alias(
+            "first_positive"
+        ),
+        F.slice(F.sort_array(vec), 1, 3).alias("smallest3"),
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("vsum"),
+    )
