@@ -67,7 +67,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SENTENCE_SEP = r"[.!?]+\s+"
 
 
-@udtf(returnType="sentence_idx bigint, sentence string")
+@udtf(returnType="sentence_idx bigint, sentence string", useArrow=True)
 class SplitSentences:
     def eval(self, text: str):
         if text is None:

@@ -188,3 +188,62 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV round-trip through the REFERENCE's exact contract: write with
+# the K1 sink (QUOTE_ALL, %.4f floats, '' nulls, yyyy-MM-dd —
+# dags/sp500_dag.py.py:234-242), read back with the S3 cleansing
+# reader (quote/trim/NULL_IF/try_cast — dags/sp500_dag.py.py:367-376),
+# aggregate. The oracle reads the ORIGINAL parquet: parity proves the
+# reference's CSV interchange is lossless for this schema (every
+# value has <= 4 decimal places, so %.4f is exact).
+# ---------------------------------------------------------------------------
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+       count(*) AS n,
+       min(CAST(l_shipdate AS DATE)) AS first_ship,
+       max(CAST(l_shipdate AS DATE)) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "csv_roundtrip_agg",
+    _CSV_ROUNDTRIP_ORACLE,
+    doc="K1 quoted-CSV write → S3 cleansing read → agg "
+    "(dags/sp500_dag.py.py:234-242, :367-376); oracle reads the original "
+    "parquet so any interchange loss fails",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import read_stock_csv
+    from ..io.writers import write_quoted_csv
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        F.to_date("l_shipdate").alias("l_shipdate"),
+    )
+    path = tempfile.mkdtemp(prefix="sg_csv_") + "/lineitem_csv"
+    write_quoted_csv(li, path)
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_shipdate", T.DateType()),
+        ]
+    )
+    back = read_stock_csv(spark, path, schema=schema)
+    return back.groupBy("l_returnflag").agg(
+        F.sum(dec("l_quantity")).alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

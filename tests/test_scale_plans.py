@@ -120,3 +120,26 @@ def test_partitioned_table_prunes_statically_and_dynamically(spark, sf_dir, tmp_
     joined = fact.join(years, "order_year").select("o_orderkey", "order_year")
     dplan = _plan(joined)
     assert "dynamicpruning" in dplan, dplan[:2000]
+
+
+def test_no_pathological_plans_anywhere(spark, sf_dir):
+    """Fleet-wide physical-plan audit: no registry query may compile to
+    a cartesian product (except the one that IS one) or row-at-a-time
+    Python evaluation (BatchEvalPython) — Arrow paths
+    (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
+    PythonUDTF) are the only sanctioned Python operators. Streaming
+    queries are excluded (their plan materializes through the sink;
+    semantics are covered by their own tests)."""
+    qs = all_queries()
+    cartesian_ok = {"cross_join_dims"}
+    skip = {n for n in qs if n.startswith("streaming_")}
+    bad = []
+    for name, q in sorted(qs.items()):
+        if name in skip:
+            continue
+        plan = _plan(q.spark_fn(spark, sf_dir))
+        if "CartesianProduct" in plan and name not in cartesian_ok:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython (row-at-a-time Python)"))
+    assert not bad, bad
