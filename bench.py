@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "token_frequency_topn",
     "grouped_map_value_diff",
     "streaming_dedup_keys",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -659,3 +659,96 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, id_col="vec_id", k=8, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation capstone: the full training-data pipeline in ONE
+# lazy plan — quality scoring + language ID (both map-side) → policy
+# filter → exact dedup (hash-groupBy on the md5 fingerprint). The
+# only shuffle in the whole pipeline is the final dedup groupBy; at
+# 100 TB everything before it is embarrassingly parallel and the
+# shuffle key is a 32-char hash, never the document text. Duplicate
+# groups share a normalized text, so every derived stat is identical
+# within a group — min() picks deterministic representatives.
+# ---------------------------------------------------------------------------
+
+
+def _sql_corpus_curation() -> str:
+    stop_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    hit_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS hits_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    langs = sorted(STOPWORDS)
+    best = f"greatest({', '.join('hits_' + L for L in langs)})"
+    case = " ".join(
+        f"WHEN hits_{L} > 0 AND hits_{L} = {best} THEN '{L}'" for L in langs
+    )
+    return f"""
+WITH normed AS (
+    SELECT doc_id, {sql_norm_text('text')} AS t FROM documents
+),
+tokd AS (
+    SELECT doc_id, t, string_split(t, ' ') AS toks,
+           length(t) AS n_chars_norm,
+           length(regexp_replace(t, '[a-z0-9\\s]', '', 'g')) AS punct_count
+    FROM normed
+),
+scored AS (
+    SELECT doc_id, t,
+           len(toks) AS n_tokens,
+           least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+             * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+             * (1.0 - least(CAST(punct_count AS DOUBLE) / 50.0, 1.0)) AS quality_score,
+           len(list_filter(toks, x -> x IN ({stop_en}))) AS stop_en_hits,
+           {hit_cols}
+    FROM tokd
+),
+kept AS (
+    SELECT doc_id, t, n_tokens, quality_score,
+           CASE {case} ELSE 'und' END AS lang_guess
+    FROM scored
+    WHERE n_tokens >= 10 AND quality_score > 0.1
+)
+SELECT md5(t) AS fingerprint,
+       min(doc_id) AS kept_id,
+       count(*) AS n_copies,
+       min(lang_guess) AS lang_guess,
+       min(n_tokens) AS n_tokens,
+       min(quality_score) AS quality_score
+FROM kept
+GROUP BY md5(t)
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    _sql_corpus_curation(),
+    doc="end-to-end training-data curation: quality score + lang-ID "
+    "(map-side) -> policy filter -> exact dedup; ONE shuffle total, "
+    "keyed on the md5 fingerprint (north star capstone)",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = TA.with_text_stats(docs, "text")
+    with_lang = scored.withColumn("lang_guess", TA.lang_id(F.col("text")))
+    kept = with_lang.where(
+        (F.col("n_tokens") >= 10) & (F.col("quality_score") > 0.1)
+    )
+    return (
+        kept.select(
+            F.md5(norm_text(F.col("text"))).alias("fingerprint"),
+            "doc_id",
+            "lang_guess",
+            "n_tokens",
+            "quality_score",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("lang_guess").alias("lang_guess"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("quality_score").alias("quality_score"),
+        )
+    )
