@@ -357,3 +357,79 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec, F.lit(0.0), lambda acc, x: acc + x.cast("double")
         ).alias("vsum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): a data-driven calendar
+# spine — every year between min and max order date, zero-filled via
+# left join. One dialect-portable SQL text is both the query and the
+# oracle. The recursion depth is the year span (tiny, driver-side
+# iterations); the per-iteration work is distributed as usual.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE bounds AS (
+    SELECT CAST(min(year(o_orderdate)) AS INT) AS lo,
+           CAST(max(year(o_orderdate)) AS INT) AS hi
+    FROM orders
+),
+years(y) AS (
+    SELECT lo FROM bounds
+    UNION ALL
+    SELECT y + 1 FROM years WHERE y < (SELECT hi FROM bounds)
+),
+per_year AS (
+    SELECT CAST(year(o_orderdate) AS INT) AS yy, count(*) AS n
+    FROM orders GROUP BY 1
+)
+SELECT y AS order_year, COALESCE(n, 0) AS n_orders
+FROM years LEFT JOIN per_year ON y = yy
+"""
+
+
+@register(
+    "recursive_cte_calendar",
+    _RECURSIVE_SQL,
+    doc="WITH RECURSIVE calendar spine + zero-filled counts (Spark 4 "
+    "recursion; portable SQL is query and oracle) (SURVEY §7.3 ext)",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type): parse the JSON props ONCE
+# into the binary variant encoding, then extract typed paths — at
+# 100 TB this replaces per-expression string re-parsing (the
+# map/regexp approaches above) with a single decode and cheap typed
+# access. Values come out identical to the JSON-path oracle.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "variant_json_agg",
+    _VARIANT_ORACLE,
+    doc="parse_json -> VARIANT -> typed path extraction + agg (Spark 4 "
+    "semi-structured fast path; SURVEY §2.10 ext)",
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
