@@ -311,3 +311,64 @@ def q_approx_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_quantiles"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands): the batch twin of the
+# streaming session_window_agg. Session id = running count of
+# gap-exceeded markers (lag + cumulative sum over the same window
+# spec — ONE shuffle on user_id serves both window passes and the
+# final per-session agg never reshuffles thanks to partial agg).
+# Gap test in exact integer microseconds on both engines (second-
+# truncating date_diff would disagree at sub-second boundaries).
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       CAST(sid AS BIGINT) AS session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "batch_sessionization",
+    _SESSIONIZE_ORACLE,
+    doc="gaps-and-islands sessionization (30-min gap) via lag + running "
+    "sum; batch twin of the streaming session windows (SURVEY §2.5 ext)",
+)
+def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts", 1).over(w)
+    )
+    new_sess = F.when(gap_us > 1_800_000_000, 1).otherwise(0)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return sess.groupBy("user_id", F.col("sid").alias("session_id")).agg(
+        F.date_format(F.min("ts"), fmt).alias("session_start"),
+        F.date_format(F.max("ts"), fmt).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
