@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import udtf
 
 from ..io.readers import load_table
+from ..functions.rounding import round_half_up, sql_round
 from ..operators.aggregates import dec
 from .registry import register
 
@@ -432,4 +433,153 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Six-table star-chain join (TPC-H Q5 shape): region filter prunes
+# nation -> customer -> orders -> lineitem -> supplier, with the
+# local-supply predicate (customer and supplier share a nation).
+# This is the optimizer workout: CBO orders the joins, the three
+# dims broadcast, and only the orders<->lineitem edge shuffles.
+# Revenue sums in decimal for cross-partition determinism.
+# ---------------------------------------------------------------------------
+
+_STAR_CHAIN_ORACLE = """
+SELECT n.n_name,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS revenue,
+       count(*) AS n_lineitems
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "star_chain_q5",
+    _STAR_CHAIN_ORACLE,
+    doc="TPC-H Q5-shaped 6-table join with local-supply predicate; CBO "
+    "join ordering + dim broadcasts, one fact shuffle (SURVEY §2.9 ext)",
+)
+def q_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    joined = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total (ratio_to_report): a windowed sum over the whole
+# partition feeding a single double division — the share-of-segment
+# report. The decimal windowed sum keeps the denominator
+# deterministic; the division is one IEEE op with identical operands
+# in both engines.
+# ---------------------------------------------------------------------------
+
+_PCT_TOTAL_ORACLE = """
+WITH seg AS (
+    SELECT c_mktsegment,
+           sum(CAST(c_acctbal AS DECIMAL(18,4))) AS seg_bal,
+           count(*) AS n_cust
+    FROM customer
+    GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, seg_bal, n_cust,
+       CAST(seg_bal AS DOUBLE)
+         / CAST(sum(seg_bal) OVER () AS DOUBLE) AS share_of_total
+FROM seg
+"""
+
+
+@register(
+    "percent_of_total",
+    _PCT_TOTAL_ORACLE,
+    doc="ratio-to-report via whole-partition window over a pre-aggregate "
+    "(SURVEY §2.5 ext)",
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.sum(dec("c_acctbal")).alias("seg_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    total = F.sum("seg_bal").over(
+        W.partitionBy().rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+    )
+    return seg.select(
+        "c_mktsegment",
+        "seg_bal",
+        "n_cust",
+        (F.col("seg_bal").cast("double") / total.cast("double")).alias(
+            "share_of_total"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted average: sum(w*x)/sum(w), both sums in decimal. The
+# numerator's scaled value exceeds 2^53, so each engine's
+# decimal->double conversion can round the last ulp differently —
+# the quotient is therefore quantized through the shared half-up
+# kernel (6 decimals) on both sides, the same policy as every other
+# rounded column (SURVEY §7.5.1/.3).
+# ---------------------------------------------------------------------------
+
+_WA_EXPR = (
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))"
+    " * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+    " / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+)
+
+_WEIGHTED_AVG_ORACLE = f"""
+SELECT l_returnflag,
+       {sql_round(_WA_EXPR, 6)} AS qty_weighted_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "weighted_avg_pricing",
+    _WEIGHTED_AVG_ORACLE,
+    doc="weighted average with exact decimal numerator/denominator "
+    "(SURVEY §2.8 ext)",
+)
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(dec("l_quantity") * dec("l_extendedprice"))
+    den = F.sum(dec("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(num.cast("double") / den.cast("double"), 6).alias(
+            "qty_weighted_price"
+        )
     )
