@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "grouped_map_value_diff",
     "streaming_dedup_keys",
     "corpus_curation_pipeline",
+    "star_chain_q5",
 ]
 
 
