@@ -131,3 +131,72 @@ def test_running_user_totals_stateful(spark, sf_dir, event_stream, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Late-data semantics, proven across two availableNow runs
+    sharing one checkpoint (the reference's daily-rerun shape):
+    batch 1 closes a window; batch 2 delivers an event that belongs
+    to that closed window (later than the persisted watermark
+    allows) plus a fresh event. The late event must be DROPPED —
+    the closed window is never re-emitted — while the fresh event
+    advances the stream normally."""
+    import time
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            [(i, int(h * 3600 * 1e9), 1, "click", 1.0, "{}")
+             for i, h in rows],
+            schema=SE.EVENTS_RAW,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{name}")
+        )
+        import glob, shutil
+        src = glob.glob(str(tmp_path / f"stage_{name}" / "*.parquet"))[0]
+        shutil.copy(src, str(landing / f"{name}.parquet"))
+
+    # Memory sinks can't recover from a checkpoint; the restartable
+    # sink is a file sink (parquet, append) — also the realistic one.
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = SE.read_event_stream(spark, str(landing))
+        q = (
+            SE.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.window_start, r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # Batch 1: events at hours 1..5 → watermark 3h → windows ending
+    # <= 3h close and are appended: [1,2) and [2,3).
+    write_batch([(i, h) for i, h in enumerate([1.5, 2.5, 3.5, 4.5, 5.5])], "b1")
+    got1 = run()
+    hours1 = {ws.hour for ws, _ in got1}
+    assert hours1 == {1, 2}, got1
+
+    # Batch 2: one LATE event back in hour 1 (behind the persisted
+    # watermark; its window already closed) + one fresh event at hour
+    # 8 (advances watermark to 6h → windows [3,4),[4,5),[5,6) close).
+    # The file sink accumulates, so got2 is cumulative output.
+    write_batch([(100, 1.6), (101, 8.5)], "b2")
+    got2 = run()
+    hours2 = sorted(ws.hour for ws, _ in got2)
+    assert hours2 == [1, 2, 3, 4, 5], got2
+    # every emitted window holds exactly its ONE on-time event: the
+    # late hour-1 event neither re-emitted the closed window nor
+    # bumped its count.
+    assert all(n == 1 for _, n in got2), got2
