@@ -309,3 +309,71 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _band_buckets(signed: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_sig) — the LSH bucket table for a signed
+    frame (band signature = order-free integer sum of the band's
+    minhashes; exact in int64)."""
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (F.element_at("sig", b * rows + r + 1) for r in range(1, rows)),
+                    F.element_at("sig", b * rows + 1),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signed.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.band_sig"
+    )
+
+
+def minhash_similarity_join(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Approximate SET-SIMILARITY JOIN (cross-corpus, not self-dedup):
+    for each query document, the corpus documents with Jaccard >=
+    threshold. Candidates come from LSH bucket intersection — each
+    side shuffles only its (band, band_sig) rows, so the join cost
+    tracks bucket collisions, never |Q| x |C|. The production shape
+    for "dedup new crawl against existing training corpus".
+    Output (query_id, corpus_id, jaccard)."""
+    sq = with_shingles(query_df, id_col, text_col, ngram).persist()
+    sc = with_shingles(corpus_df, id_col, text_col, ngram).persist()
+    bq = _band_buckets(minhash_signature(sq, num_hashes), num_hashes, bands)
+    bc = _band_buckets(minhash_signature(sc, num_hashes), num_hashes, bands)
+    cand = (
+        bq.alias("q")
+        .join(
+            bc.alias("c"),
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.band_sig") == F.col("c.band_sig")),
+        )
+        .select(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sa = sq.select(F.col("doc_id").alias("query_id"), F.col("shingles").alias("sh_a"))
+    sb = sc.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    return (
+        cand.join(sa, "query_id")
+        .join(sb, "corpus_id")
+        .select("query_id", "corpus_id", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

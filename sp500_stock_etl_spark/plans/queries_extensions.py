@@ -775,3 +775,45 @@ def q_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: pure filter + single-row aggregate — the query whose
+# entire cost is the scan, so pushdown quality IS the performance.
+# All three predicates reach the parquet reader as PushedFilters;
+# revenue in decimal (exact product of two decimal(18,4) casts).
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(l_discount AS DECIMAL(18,4))) AS forecast_revenue,
+       count(*) AS n
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24.0
+"""
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    _Q6_ORACLE,
+    doc="TPC-H Q6 shape: scan-bound filter+agg, every predicate pushed to "
+    "the parquet reader (SURVEY §2.3/§2.8 ext)",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.to_date("l_shipdate")
+    return li.where(
+        (ship >= F.lit("1996-01-01").cast("date"))
+        & (ship < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount")).alias(
+            "forecast_revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -63,7 +63,8 @@ base AS (
     UNION ALL
     SELECT doc_id + {_NEARDUP_OFFSET} AS doc_id,
            array_to_string(
-               list_slice(toks, 1, greatest(3, CAST(floor(len(toks) * 0.8) AS INT))),
+               list_slice(toks, 1,
+                   greatest(3, CAST(floor(len(toks) * CAST(0.8 AS DOUBLE)) AS INT))),
                ' ') AS text
     FROM tokd WHERE doc_id % 5 = 0
 )
@@ -751,4 +752,117 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_tokens").alias("n_tokens"),
             F.min("quality_score").alias("quality_score"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate set-similarity JOIN (cross-corpus): corrupted probe docs
+# (70% token prefixes of doc_id%7 originals, id +30M) matched back
+# against the full corpus via LSH bucket intersection + exact-Jaccard
+# verify. The "dedup the new crawl against the training corpus" op —
+# candidates cost bucket collisions, never |Q|x|C|.
+# ---------------------------------------------------------------------------
+
+_SIMJOIN_OFFSET = 30_000_000
+_SJ_THRESHOLD = 0.5
+
+
+def _sql_simjoin_oracle() -> str:
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    mins = ",\n           ".join(
+        f"list_aggregate(list_transform(hh, h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}), 'min') AS m{i}"
+        for i in range(_NUM_HASHES)
+    )
+
+    def band_rows(src: str) -> str:
+        return "\n    UNION ALL\n".join(
+            f"    SELECT doc_id, {b} AS band, "
+            + " + ".join(f"m{b * _ROWS + r}" for r in range(_ROWS))
+            + f" AS band_sig FROM {src}"
+            for b in range(_BANDS)
+        )
+
+    shingle_sign = """
+{name}_shingled AS (
+    SELECT doc_id, {sh} AS sh
+    FROM (SELECT doc_id, {toks} AS toks FROM {base}) t
+),
+{name}_signed AS (
+    SELECT doc_id, sh, {mins}
+    FROM (SELECT doc_id, sh, list_transform(sh, s -> {h32}) AS hh
+          FROM {name}_shingled WHERE len(sh) > 0) x
+)"""
+
+    def block(name: str, base: str) -> str:
+        return shingle_sign.format(
+            name=name,
+            base=base,
+            sh=sql_word_shingles("toks", _NGRAM),
+            toks=sql_tokens("text"),
+            mins=mins,
+            h32=sql_hash32("s"),
+        )
+
+    return f"""
+WITH qtok AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    WHERE doc_id % 7 = 0
+),
+qbase AS (
+    -- CAST the fraction to DOUBLE: DuckDB parses 0.7 as DECIMAL
+    -- (exact, 90*0.7 = 63) while Spark multiplies doubles
+    -- (62.999... -> floor 62); the cast pins IEEE semantics on
+    -- both engines.
+    SELECT doc_id + {_SIMJOIN_OFFSET} AS doc_id,
+           array_to_string(
+               list_slice(toks, 1,
+                   greatest(3, CAST(floor(len(toks) * CAST(0.7 AS DOUBLE)) AS INT))),
+               ' ') AS text
+    FROM qtok
+),
+cbase AS (SELECT doc_id, text FROM documents),
+{block('q', 'qbase')},
+{block('c', 'cbase')},
+qbands AS (
+{band_rows('q_signed')}
+),
+cbands AS (
+{band_rows('c_signed')}
+),
+cand AS (
+    SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS corpus_id
+    FROM qbands q JOIN cbands c
+      ON q.band = c.band AND q.band_sig = c.band_sig
+)
+SELECT cd.query_id, cd.corpus_id,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+FROM cand cd
+JOIN q_shingled sa ON sa.doc_id = cd.query_id
+JOIN c_shingled sb ON sb.doc_id = cd.corpus_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= {_SJ_THRESHOLD}
+"""
+
+
+@register(
+    "similarity_join_corpus",
+    _sql_simjoin_oracle(),
+    doc="approximate set-similarity JOIN: corrupted probes vs full corpus "
+    "via LSH bucket intersection + Jaccard verify (north star — dedup "
+    "the new crawl against the training corpus)",
+)
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = tokens(F.col("text"))
+    keep_n = F.greatest(F.lit(3), F.floor(F.size(tk) * 0.7).cast("int"))
+    probes = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _SIMJOIN_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(tk, F.lit(1), keep_n), " ").alias("text"),
+    )
+    return D.minhash_similarity_join(
+        probes, docs, "doc_id", "text",
+        ngram=_NGRAM, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=_SJ_THRESHOLD,
     )
