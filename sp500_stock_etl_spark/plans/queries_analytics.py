@@ -372,3 +372,86 @@ def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value")).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + forward-fill (the hypertable/timeseries resampling op):
+# build the dense hour spine from the data's own bounds (sequence +
+# explode — no driver loop), left-join the sparse per-user hourly
+# sums, then carry the last observation forward per user
+# (last_value IGNORE NULLS over a growing frame). Hours before a
+# user's first observation stay NULL by design. The spine is
+# users x hours (tiny vs the fact side) and the fill is one window
+# pass — same shuffle key as the hourly aggregate.
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+    FROM events
+),
+users AS (
+    SELECT DISTINCT user_id FROM events WHERE user_id < 10
+),
+spine AS (
+    SELECT u.user_id, g.h
+    FROM users u
+    CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                FROM bounds) g
+),
+hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           sum(CAST(value AS DECIMAL(18,4))) AS hour_sum
+    FROM events WHERE user_id < 10
+    GROUP BY 1, 2
+)
+SELECT s.user_id,
+       strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       last_value(h.hour_sum IGNORE NULLS) OVER
+         (PARTITION BY s.user_id ORDER BY s.h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+       (h.hour_sum IS NULL) AS was_gap
+FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.h = s.h
+"""
+
+
+@register(
+    "gap_fill_forward",
+    _GAP_FILL_ORACLE,
+    doc="dense hour spine (sequence+explode) + left join + forward-fill "
+    "(last_value IGNORE NULLS): timeseries resampling / hypertable "
+    "gap-fill (SURVEY §2.5 ext)",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    small = ev.where(F.col("user_id") < 10)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        small.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    hourly = small.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(dec("value")).alias("hour_sum"))
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("hour_sum").isNull().alias("was_gap"),
+    )
