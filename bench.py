@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "streaming_dedup_keys",
     "corpus_curation_pipeline",
     "star_chain_q5",
+    "tpch_q6_forecast_revenue",
+    "similarity_join_corpus",
+    "gap_fill_forward",
 ]
 
 
