@@ -29,7 +29,7 @@ SELECT l_returnflag,
        l_linestatus,
        CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
        CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -51,7 +51,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
-        F.sum(dec("l_quantity")).alias("sum_qty"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -299,16 +299,18 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     doc="HLL++ approx distinct + t-digest percentiles: the one-pass "
     "monitoring profile that replaces exact QA aggregates at 100 TB "
-    "(SURVEY §2.8 A2); error-bounded vs exact in tests/test_sketches.py",
+    "(SURVEY §2.8 A2); error-bounded vs exact in tests/test_sketches.py. "
+    "Quantiles are emitted as scalar p50/p95/p99 columns (flat schema, "
+    "no array-typed terminal column).",
 )
 def q_approx_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
-        ).alias("price_quantiles"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), 10000).alias("price_p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), 10000).alias("price_p95"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), 10000).alias("price_p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -342,7 +344,7 @@ SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM sess
 GROUP BY user_id, sid
 """
@@ -370,7 +372,7 @@ def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), fmt).alias("session_start"),
         F.date_format(F.max("ts"), fmt).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value")).alias("sum_value"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
     )
 
 
@@ -407,9 +409,9 @@ hourly AS (
 )
 SELECT s.user_id,
        strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
-       last_value(h.hour_sum IGNORE NULLS) OVER
+       CAST(last_value(h.hour_sum IGNORE NULLS) OVER
          (PARTITION BY s.user_id ORDER BY s.h
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_sum,
        (h.hour_sum IS NULL) AS was_gap
 FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.h = s.h
 """
@@ -452,6 +454,6 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
-        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.last("hour_sum", ignorenulls=True).over(w).cast("double").alias("filled_sum"),
         F.col("hour_sum").isNull().alias("was_gap"),
     )

@@ -30,9 +30,9 @@ _DISC_PRICE = "l_extendedprice * (1.0 - l_discount)"
 _GROUPED_ORACLE = f"""
 SELECT l_returnflag,
        l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-       sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -53,11 +53,16 @@ def q_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.to_date("l_shipdate") <= F.lit("1998-12-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias(
-                "sum_disc_price"
-            ),
+            # Decimal sums are exact/associative internally; the terminal
+            # cast to double (mirrored by CAST(... AS DOUBLE) in the oracle)
+            # keeps the driver's pandas-level hash type-stable — DuckDB's
+            # .df() converts DECIMAL to float64, Spark's toPandas() would
+            # otherwise emit decimal.Decimal objects.
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_disc_price"),
             (
                 F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))
             ).alias("avg_qty"),
@@ -77,7 +82,7 @@ SELECT l_returnflag,
        GROUPING(l_returnflag) AS g_flag,
        GROUPING(l_linestatus) AS g_status,
        count(*) AS n,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
@@ -94,7 +99,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec("l_quantity")).alias("sum_qty"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
     )
 
 
@@ -128,7 +133,7 @@ _STAR_ORACLE = f"""
 SELECT p.p_brand,
        s.s_nationkey,
        count(*) AS n,
-       sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS revenue
+       CAST(sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -153,7 +158,9 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias("revenue"),
+            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -168,7 +175,7 @@ _FACT_JOIN_ORACLE = f"""
 SELECT o.o_orderpriority,
        count(*) AS n_lines,
        count(DISTINCT o.o_orderkey) AS n_orders,
-       sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS revenue
+       CAST(sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderstatus <> 'P'
@@ -192,7 +199,9 @@ def q_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
-            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias("revenue"),
+            F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -343,7 +352,7 @@ SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
        count(*) AS n,
        CAST(min(o_orderdate) AS DATE) AS first_day,
        CAST(max(o_orderdate) AS DATE) AS last_day,
-       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY 1, 2
 """
@@ -365,7 +374,7 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min(F.to_date("o_orderdate")).alias("first_day"),
             F.max(F.to_date("o_orderdate")).alias("last_day"),
-            F.sum(dec("o_totalprice")).alias("total_price"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
         )
     )
 
@@ -379,7 +388,7 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = r"""
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS min_k,
        max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS max_k
 FROM events
@@ -413,7 +422,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -436,7 +445,7 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("user_id").alias("n_users"),
-            F.sum(dec("value")).alias("sum_value"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
         )
     )
 
@@ -489,7 +498,7 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_JOIN_ORACLE = f"""
 SELECT o.o_orderpriority,
        count(*) AS n_lines,
-       sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS revenue
+       CAST(sum(CAST({sql_round(_DISC_PRICE, 2)} AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
@@ -519,7 +528,9 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)")).alias("revenue"),
+        F.sum(round_half_up(disc_price, 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
     )
 
 
@@ -596,10 +607,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_WINDOW_ORACLE = """
 SELECT o_custkey,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
-       sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate
            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
-       ) AS trailing_7d_spend
+       ) AS DOUBLE) AS trailing_7d_spend
 FROM orders
 """
 
@@ -623,7 +634,7 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
-        F.sum(dec("o_totalprice")).over(w).alias("trailing_7d_spend"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("trailing_7d_spend"),
     )
 
 
@@ -678,8 +689,8 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_API_TEXT = f"""
 SELECT o.o_orderkey,
        o.o_orderpriority,
-       sum(CAST({sql_round('l.l_extendedprice * (1.0 - l.l_discount)', 2)}
-           AS DECIMAL(18,2))) AS revenue
+       CAST(sum(CAST({sql_round('l.l_extendedprice * (1.0 - l.l_discount)', 2)}
+           AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
@@ -785,8 +796,8 @@ def q_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q6_ORACLE = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
-           * CAST(l_discount AS DECIMAL(18,4))) AS forecast_revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS forecast_revenue,
        count(*) AS n
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
@@ -812,8 +823,10 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.05)
         & (F.col("l_quantity") < 24.0)
     ).agg(
-        F.sum(dec("l_extendedprice") * dec("l_discount")).alias(
-            "forecast_revenue"
-        ),
+        # Scaled sum stays < 2^53 at oracle scale (sf0.01), so the
+        # decimal→double conversion is correctly rounded in both engines.
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("forecast_revenue"),
         F.count(F.lit(1)).alias("n"),
     )

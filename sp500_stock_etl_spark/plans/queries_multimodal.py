@@ -54,7 +54,7 @@ WITH media AS (
 )
 SELECT kind,
        count(*) AS n,
-       sum(CAST(payload_bytes AS BIGINT)) AS total_bytes
+       CAST(sum(CAST(payload_bytes AS BIGINT)) AS BIGINT) AS total_bytes
 FROM media
 GROUP BY kind
 """

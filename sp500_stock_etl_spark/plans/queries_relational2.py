@@ -124,7 +124,7 @@ _HIER_ROLLUP_ORACLE = """
 SELECT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day,
        event_type,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -149,7 +149,7 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("hour").alias("day"), "event_type"
     ).agg(
         F.sum("n").alias("n"),
-        F.sum("sum_value").cast("decimal(18,4)").alias("sum_value"),
+        F.sum("sum_value").cast("decimal(18,4)").cast("double").alias("sum_value"),
     )
 
 
@@ -289,8 +289,8 @@ def q_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAP_FUNC_ORACLE = """
 SELECT json_keys(props)[1] AS key,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"')
-                AS BIGINT)) AS sum_v
+       CAST(sum(CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"')
+                AS BIGINT)) AS BIGINT) AS sum_v
 FROM events
 GROUP BY 1
 """
@@ -412,7 +412,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_ORACLE = """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -447,8 +447,8 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STAR_CHAIN_ORACLE = """
 SELECT n.n_name,
-       sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-           * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS revenue,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -488,7 +488,7 @@ def q_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("n_name").agg(
-        F.sum(rev).alias("revenue"),
+        F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
 
@@ -509,7 +509,7 @@ WITH seg AS (
     FROM customer
     GROUP BY c_mktsegment
 )
-SELECT c_mktsegment, seg_bal, n_cust,
+SELECT c_mktsegment, CAST(seg_bal AS DOUBLE) AS seg_bal, n_cust,
        CAST(seg_bal AS DOUBLE)
          / CAST(sum(seg_bal) OVER () AS DOUBLE) AS share_of_total
 FROM seg
@@ -537,7 +537,7 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seg.select(
         "c_mktsegment",
-        "seg_bal",
+        F.col("seg_bal").cast("double").alias("seg_bal"),
         "n_cust",
         (F.col("seg_bal").cast("double") / total.cast("double")).alias(
             "share_of_total"

@@ -71,7 +71,7 @@ def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORC_ORACLE = """
 SELECT l_returnflag,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem
 WHERE l_quantity < 25.0
@@ -101,7 +101,10 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.where(F.col("l_quantity") < 25.0)
         .groupBy("l_returnflag")
-        .agg(F.sum(dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
@@ -117,7 +120,7 @@ _JSONL_ORACLE = """
 SELECT event_type,
        CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -156,7 +159,7 @@ def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).alias("sum_value"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
         )
     )
 
@@ -202,8 +205,8 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CSV_ROUNDTRIP_ORACLE = """
 SELECT l_returnflag,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
        count(*) AS n,
        min(CAST(l_shipdate AS DATE)) AS first_ship,
        max(CAST(l_shipdate AS DATE)) AS last_ship
@@ -241,8 +244,8 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = read_stock_csv(spark, path, schema=schema)
     return back.groupBy("l_returnflag").agg(
-        F.sum(dec("l_quantity")).alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).alias("sum_price"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),

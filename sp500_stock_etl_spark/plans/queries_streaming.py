@@ -59,7 +59,7 @@ SELECT strftime(date_trunc('hour', ts), '{_SQL_TS_FMT}') AS window_start,
        strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '{_SQL_TS_FMT}') AS window_end,
        event_type,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -79,7 +79,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_end", _TS_FMT).alias("window_end"),
         "event_type",
         "n",
-        "sum_value",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -94,7 +94,7 @@ WITH assigned AS (
 )
 SELECT strftime(ws, '{_SQL_TS_FMT}') AS window_start,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM assigned
 GROUP BY 1
 """
@@ -119,7 +119,9 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(spark, windowed, "complete")
     return out.select(
-        F.date_format("window_start", _TS_FMT).alias("window_start"), "n", "sum_value"
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
