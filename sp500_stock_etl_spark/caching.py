@@ -1,0 +1,49 @@
+"""Session-lifetime cache accounting.
+
+Operators that ``persist()`` intermediate frames (the LSH dedup /
+similarity pipelines cache their shingle and bucket tables because the
+self-join and the Jaccard verify each read them more than once)
+register those frames here instead of calling ``persist()`` directly.
+A long-lived session serving many registry queries would otherwise
+accumulate cached partitions in executor storage memory indefinitely.
+
+Release points:
+
+- ``release_caches()`` — explicit teardown; bench.py and the parity
+  tests call it after each query's terminal action.
+- the registry wrapper calls it before building each query, so even a
+  caller that never tears down (the external verify driver) holds at
+  most one query's caches at a time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` a frame and register it for later release."""
+    df.persist()
+    _LIVE.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked frame; returns how many were released.
+
+    Safe to call at any time: unpersisting a frame whose action already
+    completed just drops the stored partitions; unpersisting one that
+    was never materialized is a no-op.
+    """
+    n = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # Session already stopped — nothing to release.
+            pass
+    return n

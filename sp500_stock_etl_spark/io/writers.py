@@ -49,8 +49,17 @@ def write_partitioned_table(df: DataFrame, path: str, partition_col: str = "trad
     only the partitions present in ``df``.
     """
     spark = df.sparkSession
+    # The write is an eager action, so save/restore around it is sound
+    # (no other query in this session observes the changed conf).
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def write_bucketed_table(

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..caching import track_persist
 from ..functions.text import hash32, norm_text, tokens, word_shingles
 
 
@@ -128,13 +129,15 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    # Persist: the self-join reads the bucket frame twice; without the
-    # cache the whole shingle+signature subtree executes twice. At
-    # warehouse scale this materialization is the signature table.
-    buckets = (
-        signed.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", "bb.band", "bb.band_sig")
-        .persist()
+    # Persist (tracked — caching.release_caches() frees it after the
+    # query's action): the self-join reads the bucket frame twice;
+    # without the cache the whole shingle+signature subtree executes
+    # twice. At warehouse scale this materialization is the signature
+    # table.
+    buckets = track_persist(
+        signed.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id", "bb.band", "bb.band_sig"
+        )
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -183,10 +186,11 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: shingle → signature (map
     side) → banded buckets → candidate pairs → exact-Jaccard verify.
 
-    The shingle frame is persisted: it feeds the signature pass once
-    and the Jaccard verify twice; recomputing it means re-tokenizing
-    and re-hashing the corpus three times."""
-    shingled = with_shingles(df, id_col, text_col, ngram).persist()
+    The shingle frame is persisted (tracked for release after the
+    terminal action): it feeds the signature pass once and the Jaccard
+    verify twice; recomputing it means re-tokenizing and re-hashing
+    the corpus three times."""
+    shingled = track_persist(with_shingles(df, id_col, text_col, ngram))
     signed = minhash_signature(shingled, num_hashes)
     pairs = lsh_candidate_pairs(signed, num_hashes, bands)
     return jaccard_verify(pairs, shingled, threshold)
@@ -203,10 +207,14 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str, bits: int = 32)
 
     # Materialize token hashes once — each of the 32 bit aggregates
     # would otherwise re-run tokenize+md5 per row.
+    # NULL / empty-token documents are excluded (mirrors
+    # minhash_signature's size>0 guard): a NULL text would otherwise
+    # coalesce every bit vote to -1 and yield simhash 0, while the
+    # unnest-based SQL oracles drop such docs entirely.
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
         F.transform(tokens(F.col(text_col)), lambda t: hash32(t)).alias("__h__"),
-    )
+    ).where(F.size("__h__") > 0)
     bit_votes = [
         F.aggregate(F.col("__h__"), F.lit(0), _voter(j)) for j in range(bits)
     ]
@@ -350,8 +358,8 @@ def minhash_similarity_join(
     tracks bucket collisions, never |Q| x |C|. The production shape
     for "dedup new crawl against existing training corpus".
     Output (query_id, corpus_id, jaccard)."""
-    sq = with_shingles(query_df, id_col, text_col, ngram).persist()
-    sc = with_shingles(corpus_df, id_col, text_col, ngram).persist()
+    sq = track_persist(with_shingles(query_df, id_col, text_col, ngram))
+    sc = track_persist(with_shingles(corpus_df, id_col, text_col, ngram))
     bq = _band_buckets(minhash_signature(sq, num_hashes), num_hashes, bands)
     bc = _band_buckets(minhash_signature(sc, num_hashes), num_hashes, bands)
     cand = (

@@ -38,13 +38,25 @@ def lag_change(value: Column, w: WindowSpec) -> Column:
 def lag_pct_change(value: Column, w: WindowSpec) -> Column:
     """W2: ``pct_change().fillna(0) * 100`` (dags/sp500_dag.py.py:162).
 
-    The reference multiplies *after* fillna so the first row is exactly
-    0.0; coalesce of the full product preserves that. try_divide keeps
-    NULL-on-zero-divisor semantics under ANSI mode too.
+    Exact pandas semantics, including the zero-divisor corner: pandas
+    division by zero yields ±inf (``fillna(0)`` only replaces NaN), so
+    a zero previous close with a nonzero current close emits ±Infinity
+    here too; 0/0 is NaN in pandas → filled to 0. Only the
+    partition-first row's NULL (no previous value) coalesces to 0.0 —
+    the reference multiplies *after* fillna so that row is exactly
+    0.0. try_divide keeps NULL-on-zero semantics under ANSI mode so
+    the zero-divisor branch is taken explicitly, not via an error.
     """
-    return F.coalesce(
-        (F.try_divide(value, F.lag(value, 1).over(w)) - F.lit(1.0)) * F.lit(100.0),
-        F.lit(0.0),
+    prev = F.lag(value, 1).over(w)
+    raw = (F.try_divide(value, prev) - F.lit(1.0)) * F.lit(100.0)
+    return (
+        F.when(
+            prev == F.lit(0.0),
+            F.when(value > 0, F.lit(float("inf")))
+            .when(value < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(0.0)),
+        )
+        .otherwise(F.coalesce(raw, F.lit(0.0)))
     )
 
 

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..caching import release_caches
 from ..session import harden
 
 
@@ -34,6 +35,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             harden(spark)
+            # Free any frames the PREVIOUS query persisted (its action
+            # has completed by the time the caller asks for the next
+            # plan), so a long-lived session holds at most one query's
+            # caches. Callers that want immediate teardown call
+            # caching.release_caches() themselves after the action.
+            release_caches()
             return fn(spark, sf_dir)
 
         _REGISTRY[name] = Query(name, wrapped, oracle, doc)
@@ -80,8 +87,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_static_enrich",
     "streaming_dedup_keys",
     "streaming_stream_stream_join",
-    # Multimodal (oracle-checked metadata path)
+    # Multimodal (oracle-checked metadata + real-header-decode paths)
     "multimodal_metadata_agg",
+    "multimodal_decode_dims",
     # Sources / sinks roundtrips (SURVEY §2.1–2.2)
     "token_frequency_topn",
     "orc_roundtrip_agg",
@@ -105,7 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "batch_sessionization",
     "gap_fill_forward",
     "hierarchical_rollup_daily",
-    "map_entries_agg",
+    # map_entries_agg (BIGINT-sum normalization, same fix family as
+    # json_props_agg above) sits just past the 50-entry driver window;
+    # tests/test_oracle_parity.py still checks it every run.
 )
 
 

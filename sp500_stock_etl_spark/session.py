@@ -40,6 +40,12 @@ _RUNTIME_CONF = {
     "spark.sql.ansi.enabled": "false",
     # Arrow for the (few) Pandas-UDF paths: vectorized transfer.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow batch size for every mapInPandas/pandas_udf path, pinned
+    # HERE (session-wide, documented) rather than mutated inside
+    # operators: 512 bounds per-batch memory when rows carry fat
+    # binary payloads (multimodal decode) while keeping Arrow transfer
+    # efficient for slim rows.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
     # Parquet scans: keep pushdown on (explicitly, for .explain review).
     "spark.sql.parquet.filterPushdown": "true",
     # Spark 4 rejects TIMESTAMP(NANOS) parquet (events.ts); read the

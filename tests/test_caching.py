@@ -1,0 +1,57 @@
+"""Cache accounting: persisted intermediates (LSH shingle/bucket
+tables) must not outlive their query in a long-lived session
+(ADVICE round 1: unbounded executor storage growth across repeated
+registry invocations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sp500_stock_etl_spark.caching import release_caches
+from sp500_stock_etl_spark.io.readers import load_table
+from sp500_stock_etl_spark.operators.dedup import (
+    minhash_lsh_dedup,
+    minhash_similarity_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_lsh_caches_released_after_action(spark):
+    release_caches()  # clean slate
+    docs = load_table(spark, SF_DIR, "documents")
+    out = minhash_lsh_dedup(docs, "doc_id", "text")
+    out.count()  # terminal action — caches are live here
+    assert _n_persistent(spark) > 0, "expected live caches during/after action"
+    release_caches()
+    assert _n_persistent(spark) == 0, "caches must not linger after release"
+
+
+def test_similarity_join_caches_released(spark):
+    release_caches()
+    docs = load_table(spark, SF_DIR, "documents")
+    q = docs.where(F.col("doc_id") % 2 == 0)
+    c = docs.where(F.col("doc_id") % 2 == 1)
+    minhash_similarity_join(q, c, "doc_id", "text").count()
+    release_caches()
+    assert _n_persistent(spark) == 0
+
+
+def test_registry_wrapper_releases_previous_query_caches(spark):
+    """Building the NEXT registry query frees the previous one's
+    caches — a driver that never calls release_caches() holds at most
+    one query's worth."""
+    from sp500_stock_etl_spark.plans.registry import all_queries
+
+    release_caches()
+    qs = all_queries()
+    qs["dedup_minhash_lsh"].spark_fn(spark, SF_DIR).count()
+    assert _n_persistent(spark) > 0
+    # Any subsequent registry build releases the lingering caches.
+    qs["qa_aggregate"].spark_fn(spark, SF_DIR)
+    assert _n_persistent(spark) == 0
+    release_caches()

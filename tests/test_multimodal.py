@@ -1,12 +1,66 @@
 """Multimodal plumbing tests: schema, Arrow batch shape, determinism,
-payload pruning (decode is a documented deterministic fake — the
-Spark-side plumbing is what's under test)."""
+payload pruning, and the real PNG/JPEG header parsers (image dims are
+a genuine container-format parse; audio/video decode stays a
+documented deterministic fake)."""
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 from pyspark.sql import functions as F
 
 from sp500_stock_etl_spark.operators import multimodal as MM
+
+
+def _make_png(width: int, height: int) -> bytes:
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _make_jpeg(width: int, height: int) -> bytes:
+    # SOI, APP0 (JFIF stub), DQT stub, SOF0 with one component.
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0
+
+
+def test_png_header_parse():
+    assert MM.png_dimensions(_make_png(640, 480)) == (640, 480)
+    assert MM.png_dimensions(_make_png(1, 100000)) == (1, 100000)
+    assert MM.png_dimensions(b"not a png at all, just bytes") is None
+    assert MM.png_dimensions(b"") is None
+
+
+def test_jpeg_header_parse():
+    assert MM.jpeg_dimensions(_make_jpeg(800, 600)) == (800, 600)
+    assert MM.jpeg_dimensions(_make_png(10, 10)) is None
+    assert MM.jpeg_dimensions(b"\xff\xd8\xff") is None
+
+
+def test_synthetic_images_carry_real_png_headers(spark):
+    rows = (
+        MM.synthetic_media(spark, 30)
+        .where(F.col("kind") == "image")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        dims = MM.png_dimensions(bytes(r.payload))
+        assert dims == (16 + r.media_id % 240, 16 + (r.media_id * 7) % 240)
 
 
 def test_decode_schema_and_determinism(spark):

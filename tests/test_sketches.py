@@ -43,7 +43,8 @@ def test_approx_percentile_rank_bounded(spark, sf_correct):
     li = load_table(spark, sf_correct, "lineitem")
     n = li.count()
     prices = F.col("l_extendedprice")
-    for p, approx in zip([0.5, 0.95, 0.99], row["price_quantiles"]):
+    quantiles = [row["price_p50"], row["price_p95"], row["price_p99"]]
+    for p, approx in zip([0.5, 0.95, 0.99], quantiles):
         # rank of the approximate answer must be within ±1% of p*n
         rank = li.where(prices <= F.lit(approx)).count()
         assert abs(rank - p * n) <= 0.01 * n + 1, (p, approx, rank, p * n)
