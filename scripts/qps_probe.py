@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Sustained queries-per-second bench (BASELINE stretch): one session,
+a pool of driver threads, a mixed workload drawn round-robin from the
+registry, run for a fixed wall-clock budget. Complements
+concurrency_probe.py (one batch of 8) by measuring STEADY-STATE
+serving throughput — the BI-server / multi-tenant shape.
+
+Method: N threads each loop {take next query from the shared mix, run
+to a noop sink}; after the time budget elapses no new queries start
+(in-flight ones finish and count). Reported: completed queries, Q/s,
+per-query mean latency under concurrency vs solo latency (the
+interference measure).
+
+Usage: python scripts/qps_probe.py [seconds] [threads]
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import sys
+import threading
+import time
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sp500_stock_etl_spark.plans.registry import all_queries  # noqa: E402
+from sp500_stock_etl_spark.session import get_spark  # noqa: E402
+
+# The serving mix: light scans/aggs dominate (as in a real BI load),
+# with a window query and a join in rotation. No streaming (checkpoint
+# dirs collide across threads) and no LSH (its persist/release cycle
+# is per-thread but the bench measures latency, not cache churn).
+MIX = [
+    "filtered_scan_projection",
+    "qa_aggregate",
+    "grouped_agg_pricing",
+    "global_sort_topk",
+    "broadcast_star_join",
+    "hourly_event_agg",
+    "rolling_avg_sma7",
+    "text_quality_stats",
+    "topk_movers_per_day",
+    "star_chain_q5",
+]
+
+
+def main() -> None:
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
+    threads = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("qps-probe")
+    qs = all_queries()
+
+    def run_one(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    # Warmup + solo latencies (sequential, steady state).
+    solo = {name: run_one(name) for name in MIX}
+    solo = {name: run_one(name) for name in MIX}  # second pass = warm
+
+    mix_iter = itertools.cycle(MIX)
+    lock = threading.Lock()
+    lat: dict[str, list[float]] = defaultdict(list)
+    deadline = time.perf_counter() + budget
+
+    def worker() -> int:
+        done = 0
+        while time.perf_counter() < deadline:
+            with lock:
+                name = next(mix_iter)
+            dt = run_one(name)
+            with lock:
+                lat[name].append(dt)
+            done += 1
+        return done
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        counts = list(ex.map(lambda _: worker(), range(threads)))
+    elapsed = time.perf_counter() - t0
+
+    completed = sum(counts)
+    mean_conc = {
+        n: round(sum(v) / len(v), 3) for n, v in sorted(lat.items()) if v
+    }
+    interference = {
+        n: round(mean_conc[n] / solo[n], 2) for n in mean_conc if solo.get(n)
+    }
+    print(
+        json.dumps(
+            {
+                "probe": "sustained_qps",
+                "sf_dir": sf_dir,
+                "threads": threads,
+                "budget_sec": budget,
+                "elapsed_sec": round(elapsed, 2),
+                "completed_queries": completed,
+                "qps": round(completed / elapsed, 2),
+                "solo_latency_sec": {n: round(v, 3) for n, v in solo.items()},
+                "concurrent_mean_latency_sec": mean_conc,
+                "latency_inflation_x": interference,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""State-store sizing probe for 24/7 streaming (SURVEY §2.11 /
+BASELINE stretch): measure what the stateful operators actually keep
+in the state store, derive bytes-per-key, and project the store size
+a continuous deployment would hold at the watermark horizon.
+
+Why this matters at scale: a Structured Streaming stateful operator's
+memory footprint is ``live keys × bytes/key``, where live keys =
+(windows inside the watermark horizon) × (group-key cardinality).
+Wall-clock throughput is easy to scale with executors; the state store
+is the resource that grows with key cardinality and watermark length,
+so capacity planning needs the bytes/key constant — which this probe
+measures from ``StreamingQueryProgress.stateOperators`` rather than
+guessing.
+
+Probes (events table at $SPARK_GRAFT_SF_DIR, availableNow over a
+checkpoint, memory sink):
+
+1. tumbling 1h windows × event_type, 2h watermark;
+2. sliding 2h/1h windows (each event in 2 windows — state doubles);
+3. session windows per user (state ∝ live users);
+4. applyInPandasWithState running totals (unbounded keys — the shape
+   that needs a TTL at 100 TB, called out in the JSON).
+
+Prints ONE JSON line with measured rows/bytes and the 24/7 projection
+for 1e6 and 1e8 group keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sp500_stock_etl_spark.plans.queries_streaming import (  # noqa: E402
+    _stage_events_dir,
+)
+from sp500_stock_etl_spark.session import get_spark  # noqa: E402
+from sp500_stock_etl_spark.streaming import events as EV  # noqa: E402
+
+
+def _run_and_measure(stream_df, checkpoint: str, name: str, output_mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # availableNow may run several micro-batches; the last progress
+    # with stateOperators carries the final store size.
+    for prog in reversed(q.recentProgress):
+        ops = prog.get("stateOperators") or []
+        if ops:
+            op = ops[0]
+            rows = op.get("numRowsTotal", 0)
+            # memoryUsedBytes retains prior loaded map VERSIONS
+            # (maxBatchesToRetainInMemory), including the full
+            # pre-eviction state — stateOnCurrentVersionSizeBytes is
+            # the live store only.
+            cur = (op.get("customMetrics") or {}).get(
+                "stateOnCurrentVersionSizeBytes"
+            )
+            byts = cur if cur is not None else op.get("memoryUsedBytes", 0)
+            # The store's hash maps are sized by the PEAK key count of
+            # the run (eviction frees values, not the backing array),
+            # so peak keys — removed + live — is the honest per-key
+            # denominator, and also the planning-relevant one: a 24/7
+            # store stays sized at its steady-state live count.
+            peak = rows + op.get("numRowsRemoved", 0)
+            return {
+                "operator": op.get("operatorName", "?"),
+                "state_rows": rows,
+                "peak_keys": peak,
+                "state_bytes": byts,
+                "retained_versions_bytes": op.get("memoryUsedBytes", 0),
+                "bytes_per_peak_key": round(byts / peak, 1) if peak else None,
+            }
+    return {
+        "operator": None,
+        "state_rows": 0,
+        "peak_keys": 0,
+        "state_bytes": 0,
+        "bytes_per_peak_key": None,
+    }
+
+
+def _tumbling_by(events, key_col: str):
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n")
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("state-probe")
+    work = tempfile.mkdtemp(prefix="state_probe_")
+    try:
+        stream = EV.read_event_stream(spark, _stage_events_dir(sf_dir))
+        # The raw stateMemory at tiny key counts is dominated by FIXED
+        # per-partition store overhead (empty HDFS-backed map + version
+        # bookkeeping per shuffle partition), so bytes/key is derived
+        # MARGINALLY from two cardinalities of the SAME operator shape:
+        # marginal = (bytes_hi - bytes_lo) / (rows_hi - rows_lo).
+        lo = _run_and_measure(
+            _tumbling_by(stream, "event_type"),
+            os.path.join(work, "lo"), "sp_lo", "append",
+        )
+        hi = _run_and_measure(
+            _tumbling_by(stream, "user_id"),
+            os.path.join(work, "hi"), "sp_hi", "append",
+        )
+        d_keys = hi["peak_keys"] - lo["peak_keys"]
+        marginal = (
+            (hi["state_bytes"] - lo["state_bytes"]) / d_keys if d_keys else None
+        )
+        results = {
+            "tumbling_1h_low_card_by_type": lo,
+            "tumbling_1h_high_card_by_user": hi,
+            "marginal_bytes_per_window_key": round(marginal, 1) if marginal else None,
+            "fixed_store_overhead_bytes": (
+                max(0, int(lo["state_bytes"] - lo["peak_keys"] * marginal))
+                if marginal
+                else None
+            ),
+            "session_30m_per_user": _run_and_measure(
+                EV.session_counts(stream, "30 minutes"),
+                os.path.join(work, "w"), "sp_w", "append",
+            ),
+            "running_totals_per_user": _run_and_measure(
+                EV.running_user_totals(stream),
+                os.path.join(work, "r"), "sp_r", "update",
+            ),
+        }
+        # 24/7 projection: a CONTINUOUS deployment holds only windows
+        # inside the watermark horizon (closed windows are evicted), so
+        # store size = live_windows x keys x marginal bytes/key + fixed
+        # overhead per store partition. 2h watermark / 1h windows =>
+        # <=3 window generations live per key.
+        bpk = marginal or 0.0
+        live_windows = 3
+        results["projection_24x7_tumbling"] = {
+            "assumptions": "1h windows, 2h watermark => <=3 live window "
+            "generations per group key; MARGINAL bytes/key measured "
+            "above (fixed per-partition store overhead excluded — it "
+            "does not scale with keys)",
+            "at_1e6_keys_gb": round(bpk * live_windows * 1e6 / 2**30, 3),
+            "at_1e8_keys_gb": round(bpk * live_windows * 1e8 / 2**30, 3),
+            "note": "running_totals (applyInPandasWithState, NoTimeout) "
+            "is the unbounded one: state grows with ALL-TIME key "
+            "cardinality; a 24/7 deployment needs a state TTL "
+            "(GroupStateTimeout) or periodic key expiry.",
+        }
+        print(json.dumps({"probe": "state_store_sizing", "sf_dir": sf_dir, **{"results": results}}))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

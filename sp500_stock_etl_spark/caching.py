@@ -7,10 +7,16 @@ register those frames here instead of calling ``persist()`` directly.
 A long-lived session serving many registry queries would otherwise
 accumulate cached partitions in executor storage memory indefinitely.
 
+Tracking is PER-THREAD: a multi-tenant server running queries on
+driver threads (scripts/concurrency_probe.py shape) must not have one
+thread's registry build release a cache another thread's in-flight
+query is still reading.
+
 Release points:
 
-- ``release_caches()`` — explicit teardown; bench.py and the parity
-  tests call it after each query's terminal action.
+- ``release_caches()`` — explicit teardown of the calling thread's
+  frames; bench.py and the parity tests call it after each query's
+  terminal action.
 - the registry wrapper calls it before building each query, so even a
   caller that never tears down (the external verify driver) holds at
   most one query's caches at a time.
@@ -18,28 +24,40 @@ Release points:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_TL = threading.local()
+
+
+def _live() -> list[DataFrame]:
+    frames = getattr(_TL, "frames", None)
+    if frames is None:
+        frames = _TL.frames = []
+    return frames
 
 
 def track_persist(df: DataFrame) -> DataFrame:
-    """``persist()`` a frame and register it for later release."""
+    """``persist()`` a frame and register it for later release by the
+    calling thread."""
     df.persist()
-    _LIVE.append(df)
+    _live().append(df)
     return df
 
 
 def release_caches() -> int:
-    """Unpersist every tracked frame; returns how many were released.
+    """Unpersist every frame the calling thread tracked; returns how
+    many were released.
 
     Safe to call at any time: unpersisting a frame whose action already
     completed just drops the stored partitions; unpersisting one that
     was never materialized is a no-op.
     """
+    frames = _live()
     n = 0
-    while _LIVE:
-        df = _LIVE.pop()
+    while frames:
+        df = frames.pop()
         try:
             df.unpersist()
             n += 1

@@ -41,6 +41,27 @@ def test_similarity_join_caches_released(spark):
     assert _n_persistent(spark) == 0
 
 
+def test_release_is_thread_local(spark):
+    """A concurrent server thread building its next query must not
+    free caches another thread's in-flight query still reads."""
+    import threading
+
+    from sp500_stock_etl_spark.caching import track_persist
+
+    release_caches()
+    df = track_persist(spark.range(10))
+    df.count()
+    released_elsewhere = []
+    t = threading.Thread(
+        target=lambda: released_elsewhere.append(release_caches())
+    )
+    t.start()
+    t.join()
+    assert released_elsewhere == [0], "other thread released our cache"
+    assert _n_persistent(spark) == 1, "cache must survive foreign release"
+    assert release_caches() == 1
+
+
 def test_registry_wrapper_releases_previous_query_caches(spark):
     """Building the NEXT registry query frees the previous one's
     caches — a driver that never calls release_caches() holds at most
