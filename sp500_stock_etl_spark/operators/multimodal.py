@@ -2,15 +2,20 @@
 opaque ``binary`` columns with typed metadata, processed with
 Arrow-batched ``mapInPandas`` UDFs.
 
-The IMAGE decode path is real: a pure-Python container-header parser
-reads width/height from PNG (IHDR) and JPEG (SOFn) bytes — no imaging
-library needed, so it runs in this container and is oracle-checked
-end-to-end (the synthetic corpus embeds genuine PNG headers whose
-dimensions the DuckDB oracle recomputes arithmetically). Full pixel
-decode / audio / video remain a deterministic, clearly-marked FAKE
-derived from the payload bytes (the container has no codec libraries);
-the Spark plumbing around them — schema, batch shapes, partition
-sizing, UDF signatures, null handling — is real and tested.
+The container-header parse is real for ALL THREE modalities — pure
+Python, no media library needed, so it runs in this container and is
+oracle-checked end-to-end (the synthetic corpus embeds genuine
+headers whose facts the DuckDB oracle recomputes arithmetically):
+
+- image: PNG IHDR / JPEG SOFn → width, height;
+- audio: RIFF/WAVE fmt+data chunks → sample rate, channels,
+  header-declared duration (feeds audio_chunk_plan);
+- video: MP4 mvhd (timescale/duration) + tkhd (track dims).
+
+Only pixel/sample CODEC decode remains a deterministic, clearly-marked
+FAKE (the container has no codec libraries); the Spark plumbing —
+schema, batch shapes, partition sizing, UDF signatures, null
+handling — is real and tested.
 
 Scale notes:
 - binary payloads dominate row size → ``maxPartitionBytes`` (not row
@@ -49,9 +54,24 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+CHUNK_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("end_ms", T.IntegerType()),
+    ]
+)
+
+_VIDEO_FPS = 24
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # Signature + IHDR length (13) + "IHDR": the 16 bytes preceding the
@@ -62,24 +82,117 @@ _PNG_PREFIX = _PNG_SIG + b"\x00\x00\x00\x0dIHDR"
 _PNG_IHDR_TAIL = b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
 
 
+# MP4 literal scaffolding (sizes are fixed because every variable
+# field is a fixed-width word): ftyp(16) then moov(216) = mvhd(108) +
+# trak(100) = tkhd(92).
+_FTYP = b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"
+_MOOV_HDR = b"\x00\x00\x00\xd8moov"  # 216
+_MVHD_PRE = (
+    b"\x00\x00\x00\x6cmvhd"  # size 108
+    + b"\x00\x00\x00\x00"  # version 0 + flags
+    + b"\x00\x00\x00\x00" * 2  # ctime, mtime
+)
+# rate 1.0 (16.16), volume 1.0 (8.8), 10 reserved, unity matrix,
+# 6x4 predefined, next_track_id=2  => the fixed 80-byte mvhd tail.
+_MVHD_TAIL = (
+    b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+    + b"\x00" * 24
+    + b"\x00\x00\x00\x02"
+)
+_TRAK_HDR = b"\x00\x00\x00\x64trak"  # 100
+_TKHD_PRE = (
+    b"\x00\x00\x00\x5ctkhd"  # size 92
+    + b"\x00\x00\x00\x07"  # version 0 + flags (enabled|in movie|in preview)
+    + b"\x00\x00\x00\x00" * 2  # ctime, mtime
+    + b"\x00\x00\x00\x01"  # track_id
+    + b"\x00\x00\x00\x00"  # reserved
+)
+# reserved(8) + layer/alt-group/volume/reserved(8) + unity matrix(36)
+_TKHD_MID = (
+    b"\x00" * 8 + b"\x00" * 8
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+)
+
+
+def _be32(c):
+    return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+
+def _le_bytes(c, n_hex: int):
+    h = F.lpad(F.hex(c.cast("bigint")), n_hex, "0")
+    pairs = [F.substring(h, i, 2) for i in range(n_hex - 1, 0, -2)]
+    return F.unhex(F.concat(*pairs))
+
+
+def _le16(c):
+    return _le_bytes(c, 4)
+
+
+def _le32(c):
+    return _le_bytes(c, 8)
+
+
 def synthetic_media(spark, n: int = 100) -> DataFrame:
     """Deterministic fake corpus standing in for a parquet blob table.
+    ALL THREE kinds carry a GENUINE container header ahead of 64 md5
+    filler bytes, so every decode path exercises a real format parse:
 
-    Image rows (media_id % 3 == 0) carry a GENUINE PNG header —
-    signature + IHDR with width = 16 + id % 240 and
-    height = 16 + (id*7) % 240 in big-endian — followed by md5 filler
-    bytes, so the decode path exercises a real container-format parse.
-    Audio/video rows are pure md5 filler (their decode is the
-    documented fake).
+    - image (id % 3 == 0): PNG signature + IHDR,
+      width = 16 + id % 240, height = 16 + (id*7) % 240;
+    - audio (id % 3 == 1): RIFF/WAVE with a canonical PCM fmt chunk —
+      sample_rate = [8000,16000,44100][(id//3) % 3],
+      channels = 1 + id % 2, 16-bit; the data chunk DECLARES
+      duration_sec = (id % 117) + 3 of samples but the body is
+      truncated to the filler (the header-plus-prefix shape a
+      planning pass reads — chunk math must come from the header,
+      not the byte count);
+    - video (id % 3 == 2): MP4 ftyp + moov(mvhd + trak/tkhd),
+      timescale 1000, duration_ms = (id*37) % 57000 + 3000,
+      width = 256 + (id % 16)*16, height = 144 + ((id*3) % 16)*16.
     """
-    img_width = (F.col("media_id") % 240 + 16).cast("bigint")
-    img_height = ((F.col("media_id") * 7) % 240 + 16).cast("bigint")
-    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
-    filler = F.unhex(F.repeat(F.md5(F.col("media_id").cast("string")), 4))
+    mid = F.col("media_id")
+    filler = F.unhex(F.repeat(F.md5(mid.cast("string")), 4))
+
+    img_width = (mid % 240 + 16).cast("bigint")
+    img_height = ((mid * 7) % 240 + 16).cast("bigint")
     png = F.concat(
-        F.lit(_PNG_PREFIX), be32(img_width), be32(img_height),
+        F.lit(_PNG_PREFIX), _be32(img_width), _be32(img_height),
         F.lit(_PNG_IHDR_TAIL), filler,
     )
+
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (F.expr("media_id div 3") % 3 + 1).cast("int"),
+    )
+    channels = (mid % 2 + 1).cast("int")
+    block_align = channels * 2
+    byte_rate = rate * block_align
+    duration_sec = (mid % 117 + 3).cast("bigint")
+    data_size = duration_sec * byte_rate
+    wav = F.concat(
+        F.lit(b"RIFF"), _le32(data_size + 36), F.lit(b"WAVEfmt "),
+        _le32(F.lit(16)), _le16(F.lit(1)), _le16(channels), _le32(rate),
+        _le32(byte_rate), _le16(block_align), _le16(F.lit(16)),
+        F.lit(b"data"), _le32(data_size), filler,
+    )
+
+    vid_dur_ms = ((mid * 37) % 57000 + 3000).cast("bigint")
+    vid_w = (mid % 16 * 16 + 256).cast("bigint")
+    vid_h = ((mid * 3) % 16 * 16 + 144).cast("bigint")
+    mp4 = F.concat(
+        F.lit(_FTYP), F.lit(_MOOV_HDR),
+        F.lit(_MVHD_PRE), _be32(F.lit(1000)), _be32(vid_dur_ms),
+        F.lit(_MVHD_TAIL),
+        F.lit(_TRAK_HDR), F.lit(_TKHD_PRE), _be32(vid_dur_ms),
+        F.lit(_TKHD_MID), _be32(vid_w * 65536), _be32(vid_h * 65536),
+        filler,
+    )
+
     return (
         spark.range(n)
         .select(
@@ -92,7 +205,9 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
         )
         .withColumn(
             "payload",
-            F.when(F.col("kind") == "image", png).otherwise(filler),
+            F.when(F.col("kind") == "image", png)
+            .when(F.col("kind") == "audio", wav)
+            .otherwise(mp4),
         )
         .select("media_id", "kind", "payload", "source_uri")
     )
@@ -140,25 +255,123 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def wav_info(payload: bytes) -> dict | None:
+    """PCM WAV header facts, or None if not RIFF/WAVE.
+
+    Walks the RIFF chunk list for ``fmt `` and ``data``. Sizes come
+    from the HEADER fields, never from ``len(payload)`` — a planning
+    pass reads only a byte-range prefix of the object, so the body may
+    be truncated (or absent) and the math must still be right.
+    """
+    if len(payload) < 36 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_size = None
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        csz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            fmt = {
+                "audio_format": int.from_bytes(payload[i + 8 : i + 10], "little"),
+                "channels": int.from_bytes(payload[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(payload[i + 12 : i + 16], "little"),
+                "byte_rate": int.from_bytes(payload[i + 16 : i + 20], "little"),
+                "block_align": int.from_bytes(payload[i + 20 : i + 22], "little"),
+                "bits_per_sample": int.from_bytes(payload[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_size = csz
+        i += 8 + csz + (csz & 1)  # RIFF chunks are 2-byte aligned
+    if fmt is None or data_size is None:
+        return None
+    if not fmt["block_align"] or not fmt["byte_rate"]:
+        return None
+    return {
+        **fmt,
+        "data_size": data_size,
+        "n_samples": data_size // fmt["block_align"],
+        "duration_ms": data_size * 1000 // fmt["byte_rate"],
+    }
+
+
+def mp4_info(payload: bytes) -> dict | None:
+    """Movie duration + track dimensions from an MP4 ``moov`` box
+    (mvhd timescale/duration, first trak's tkhd width/height), or
+    None. Handles mvhd/tkhd versions 0 and 1; only box headers are
+    read, so a truncated body after ``moov`` is fine.
+    """
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            if size < 8:
+                return
+            yield payload[i + 4 : i + 8], i + 8, min(i + size, hi)
+            i += size
+
+    out: dict = {}
+    for typ, lo, hi in walk(0, len(payload)):
+        if typ != b"moov":
+            continue
+        for ctyp, clo, chi in walk(lo, hi):
+            if ctyp == b"mvhd" and chi - clo >= 20:
+                ver = payload[clo]
+                if ver == 0:
+                    out["timescale"] = int.from_bytes(payload[clo + 12 : clo + 16], "big")
+                    out["duration"] = int.from_bytes(payload[clo + 16 : clo + 20], "big")
+                else:
+                    out["timescale"] = int.from_bytes(payload[clo + 20 : clo + 24], "big")
+                    out["duration"] = int.from_bytes(payload[clo + 24 : clo + 32], "big")
+            elif ctyp == b"trak" and "width" not in out:
+                for ttyp, tlo, thi in walk(clo, chi):
+                    if ttyp == b"tkhd" and thi - tlo >= 84:
+                        ver = payload[tlo]
+                        off = tlo + (76 if ver == 0 else 88)
+                        out["width"] = int.from_bytes(payload[off : off + 4], "big") >> 16
+                        out["height"] = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
+    if "timescale" not in out or not out["timescale"]:
+        return None
+    out["duration_ms"] = out["duration"] * 1000 // out["timescale"]
+    return out
+
+
 def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Decode one Arrow batch.
 
-    Images: REAL header parse (PNG then JPEG); rows whose payload is
-    neither fall through to the deterministic fake, same as
-    audio/video (NOT a real codec decode — see module doc).
+    Every kind gets a REAL container-header parse: PNG/JPEG dims for
+    images, WAV fmt/data for audio, MP4 mvhd/tkhd for video. Rows
+    whose payload parses as none of these fall through to the
+    deterministic fake (NOT a codec decode — see module doc).
     """
     out = []
     for media_id, kind, payload in zip(
         batch["media_id"], batch["kind"], batch["payload"]
     ):
         payload = bytes(payload) if payload is not None else b""
-        dims = None
+        w = h = frames = rate = dur = None
         if kind == "image":
             dims = png_dimensions(payload) or jpeg_dimensions(payload)
-        if dims is not None:
-            w, h = dims
-            frames = 1
-        else:
+            if dims is not None:
+                (w, h), frames, rate, dur = dims, 1, 0, 0
+        elif kind == "audio":
+            wav = wav_info(payload)
+            if wav is not None:
+                # Frames are a video concept; audio fans out through
+                # audio_chunk_plan instead.
+                w, h, frames = 0, 0, 0
+                rate, dur = wav["sample_rate"], wav["duration_ms"]
+        elif kind == "video":
+            mp4 = mp4_info(payload)
+            if mp4 is not None:
+                w = mp4.get("width", 0)
+                h = mp4.get("height", 0)
+                dur = mp4["duration_ms"]
+                frames = dur * _VIDEO_FPS // 1000
+                rate = 0
+        if w is None:
             # Deterministic fake for non-parseable payloads.
             w = 16 + payload[0] if len(payload) else 0
             h = 16 + payload[1] if len(payload) > 1 else 0
@@ -167,16 +380,21 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
                 if kind == "image"
                 else (1 + (payload[2] % 32) if len(payload) > 2 else 0)
             )
+            rate = dur = 0
         # 8-dim feature = normalized byte-histogram buckets.
         buckets = [0] * 8
         for b in payload:
             buckets[b >> 5] += 1
         total = float(sum(buckets)) or 1.0
         out.append(
-            (media_id, kind, w, h, frames, [b / total for b in buckets])
+            (media_id, kind, w, h, frames, rate, dur, [b / total for b in buckets])
         )
     return pd.DataFrame(
-        out, columns=["media_id", "kind", "width", "height", "n_frames", "feature"]
+        out,
+        columns=[
+            "media_id", "kind", "width", "height", "n_frames",
+            "sample_rate", "duration_ms", "feature",
+        ],
     )
 
 
@@ -201,4 +419,50 @@ def frame_sample(decoded: DataFrame, every_k: int = 8) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
         ).alias("frame_index"),
+    )
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 10000) -> DataFrame:
+    """Chunk plan for distributed audio processing: one row per
+    fixed-duration chunk, computed from the WAV HEADER alone.
+
+    This is the 100 TB fan-out shape: the planning pass reads only a
+    small byte-range prefix of each object (header fields give
+    duration), emits (object, range) work units, and the heavy decode
+    runs downstream one-chunk-per-task — so payload bytes are never
+    shuffled and task size is bounded by chunk_ms, not by the longest
+    file. The header parse is real; rows that do not parse as WAV are
+    dropped (count them upstream via decode_media).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                wav = wav_info(bytes(payload) if payload is not None else b"")
+                if wav is None:
+                    continue
+                dur = wav["duration_ms"]
+                for idx in range(0, (dur + chunk_ms - 1) // chunk_ms):
+                    start = idx * chunk_ms
+                    rows.append(
+                        (
+                            media_id,
+                            wav["sample_rate"],
+                            wav["channels"],
+                            idx,
+                            start,
+                            min(start + chunk_ms, dur),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels",
+                    "chunk_idx", "start_ms", "end_ms",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        gen, CHUNK_PLAN_SCHEMA
     )

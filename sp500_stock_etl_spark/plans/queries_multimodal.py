@@ -1,14 +1,15 @@
 """Multimodal-column queries (north star): binary payload plumbing
 through Arrow-batched ``mapInPandas``.
 
-The IMAGE decode is a real pure-Python container-header parse (PNG
-IHDR / JPEG SOFn — operators/multimodal.py), and the synthetic corpus
-embeds genuine PNG headers, so ``multimodal_decode_dims`` is fully
-oracle-checked: DuckDB recomputes the same dimensions arithmetically.
-Audio/video decode stays a deterministic stub (no codec libs in the
-container) → those queries keep rows-only checks, flagged by design.
-The metadata-only query stays fully native and proves payload-column
-pruning does not change results.
+The container-header parse is real for all three modalities (PNG IHDR
+/ JPEG SOFn, RIFF/WAVE, MP4 mvhd+tkhd — operators/multimodal.py), and
+the synthetic corpus embeds genuine headers, so the decode-facing
+queries are fully oracle-checked: DuckDB recomputes the same header
+facts arithmetically. A value mismatch means the byte-level header
+construction or the parser is wrong. Only the byte-histogram feature
+(a Python-UDF artifact) keeps a rows-only check. The metadata-only
+query stays fully native and proves payload-column pruning does not
+change results.
 """
 
 from __future__ import annotations
@@ -20,23 +21,24 @@ from .registry import register
 
 _N_MEDIA = 300
 
+# The synthetic generator's parameters, mirrored in every oracle below
+# (operators/multimodal.py::synthetic_media): image dims, WAV rate /
+# channels / declared duration, MP4 duration / track dims.
+
 
 @register(
     "multimodal_decode_features",
-    None,  # feature histogram is a Python-UDF artifact; dims checked below
-    doc="binary payload → decoded dims + 8-bucket byte-histogram feature "
-    "via Arrow-batched mapInPandas (north star; image dims are a real "
-    "header parse, audio/video stubbed)",
+    None,  # feature histogram is a Python-UDF artifact; header facts
+    # are oracle-checked by the three queries below
+    doc="binary payload → decoded header facts + 8-bucket byte-histogram "
+    "feature via Arrow-batched mapInPandas (north star; the histogram is "
+    "the rows-only part)",
 )
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthetic_media(spark, _N_MEDIA)
     return MM.decode_media(media)
 
 
-# The oracle-checked decode path: images carry genuine PNG headers
-# whose IHDR the mapInPandas decoder parses; DuckDB reproduces the
-# width/height arithmetic of the synthetic generator. A value mismatch
-# means the byte-level header construction or the parser is wrong.
 _DECODE_DIMS_ORACLE = f"""
 SELECT range AS media_id,
        'image' AS kind,
@@ -64,11 +66,104 @@ def q_mm_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIDEO_DECODE_ORACLE = f"""
+SELECT range AS media_id,
+       CAST(256 + (range % 16) * 16 AS INT) AS width,
+       CAST(144 + ((range * 3) % 16) * 16 AS INT) AS height,
+       CAST((range * 37) % 57000 + 3000 AS INT) AS duration_ms,
+       CAST((((range * 37) % 57000 + 3000) * 24) // 1000 AS INT) AS n_frames
+FROM range({_N_MEDIA})
+WHERE range % 3 = 2
+"""
+
+
+@register(
+    "multimodal_video_decode",
+    _VIDEO_DECODE_ORACLE,
+    doc="real MP4 moov parse (mvhd timescale/duration + tkhd 16.16 track "
+    "dims) through mapInPandas; DuckDB recomputes duration and the "
+    "24fps frame count arithmetically (north star)",
+)
+def q_mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthetic_media(spark, _N_MEDIA)
+    return (
+        MM.decode_media(media)
+        .where(F.col("kind") == "video")
+        .select("media_id", "width", "height", "duration_ms", "n_frames")
+    )
+
+
+# Audio chunk plan: duration comes from the WAV header's DECLARED data
+# size (the payload body is truncated — planning must not depend on
+# byte counts), chunks of 10 s, last chunk clipped to the duration.
+_AUDIO_CHUNKS_FULL_ORACLE = f"""
+WITH audio AS (
+    SELECT range AS media_id,
+           [8000, 16000, 44100][CAST((range // 3) % 3 AS INT) + 1] AS sample_rate,
+           CAST(1 + range % 2 AS INT) AS channels,
+           CAST((range % 117 + 3) * 1000 AS INT) AS duration_ms
+    FROM range({_N_MEDIA})
+    WHERE range % 3 = 1
+), chunks AS (
+    SELECT media_id, sample_rate, channels, duration_ms,
+           CAST(unnest(range((duration_ms + 9999) // 10000)) AS INT) AS chunk_idx
+    FROM audio
+)
+SELECT media_id,
+       CAST(sample_rate AS INT) AS sample_rate,
+       channels,
+       chunk_idx,
+       chunk_idx * 10000 AS start_ms,
+       least(chunk_idx * 10000 + 10000, duration_ms) AS end_ms
+FROM chunks
+"""
+
+
+@register(
+    "multimodal_audio_chunk_plan",
+    _AUDIO_CHUNKS_FULL_ORACLE,
+    doc="distributed-audio chunk plan from the RIFF/WAVE header alone "
+    "(declared duration, truncated body): one row per 10s chunk — the "
+    "100TB fan-out shape where planning reads byte-range prefixes and "
+    "decode runs one-chunk-per-task (north star)",
+)
+def q_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthetic_media(spark, _N_MEDIA)
+    return MM.audio_chunk_plan(media, chunk_ms=10000).select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "chunk_idx",
+        "start_ms",
+        "end_ms",
+    )
+
+
+# Frame sampling is now oracle-checkable end-to-end: images contribute
+# frame 0, videos every-8th frame of the mvhd-derived count, audio has
+# no frames (n_frames = 0 → filtered).
+_FRAME_SAMPLE_ORACLE = f"""
+WITH vids AS (
+    SELECT range AS media_id,
+           CAST((((range * 37) % 57000 + 3000) * 24) // 1000 AS INT) AS n_frames
+    FROM range({_N_MEDIA})
+    WHERE range % 3 = 2
+)
+SELECT range AS media_id, 'image' AS kind, CAST(0 AS INT) AS frame_index
+FROM range({_N_MEDIA}) WHERE range % 3 = 0
+UNION ALL
+SELECT media_id, 'video' AS kind,
+       CAST(unnest(range(0, n_frames, 8)) AS INT) AS frame_index
+FROM vids
+"""
+
+
 @register(
     "multimodal_frame_sample",
-    None,  # depends on the stub decode's n_frames
+    _FRAME_SAMPLE_ORACLE,
     doc="frame sampling as explode(sequence(0, n_frames-1, k)) over decoded "
-    "media — relational plumbing, no UDF (north star)",
+    "media — relational plumbing over the real header-derived frame "
+    "counts, no UDF past the header parse (north star)",
 )
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthetic_media(spark, _N_MEDIA)
@@ -82,10 +177,12 @@ _META_ORACLE = f"""
 WITH media AS (
     SELECT range AS media_id,
            ['image', 'audio', 'video'][CAST(range % 3 AS INT) + 1] AS kind,
-           -- images additionally carry the 33-byte PNG signature+IHDR
-           -- prefix ahead of the 64 md5 filler bytes
+           -- 64 md5 filler bytes plus the genuine container header:
+           -- PNG sig+IHDR = 33 B, WAV RIFF/fmt/data header = 44 B,
+           -- MP4 ftyp(16)+moov(216) = 232 B
            octet_length(from_hex(repeat(md5(CAST(range AS VARCHAR)), 4)))
-             + CASE WHEN range % 3 = 0 THEN 33 ELSE 0 END AS payload_bytes
+             + CASE range % 3 WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 232 END
+             AS payload_bytes
     FROM range({_N_MEDIA})
 )
 SELECT kind,

@@ -63,6 +63,96 @@ def test_synthetic_images_carry_real_png_headers(spark):
         assert dims == (16 + r.media_id % 240, 16 + (r.media_id * 7) % 240)
 
 
+def _make_wav(rate: int, channels: int, data_size: int, body: bytes = b"") -> bytes:
+    block = channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + body
+    )
+
+
+def test_wav_header_parse():
+    info = MM.wav_info(_make_wav(16000, 2, 16000 * 4 * 5))  # 5 s stereo
+    assert info["sample_rate"] == 16000
+    assert info["channels"] == 2
+    assert info["duration_ms"] == 5000
+    assert info["n_samples"] == 16000 * 5
+    # duration must come from the DECLARED size even when the body is
+    # truncated (planning reads a byte-range prefix)
+    trunc = MM.wav_info(_make_wav(8000, 1, 8000 * 2 * 60, body=b"\x00" * 8))
+    assert trunc["duration_ms"] == 60000
+    assert MM.wav_info(b"RIFFxxxxNOPE") is None
+    assert MM.wav_info(b"") is None
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def test_mp4_header_parse():
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # v0
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 90000, 90000 * 42)  # 42 s at timescale 90k
+        + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1, 0)
+        + struct.pack(">I", 0)
+        + b"\x00" * 8
+        + b"\x00" * 8
+        + b"\x00" * 36
+        + struct.pack(">II", 1920 << 16, 1080 << 16),
+    )
+    payload = _box(b"ftyp", b"isom\x00\x00\x00\x00") + _box(
+        b"moov", mvhd + _box(b"trak", tkhd)
+    )
+    info = MM.mp4_info(payload)
+    assert info["duration_ms"] == 42000
+    assert (info["width"], info["height"]) == (1920, 1080)
+    assert MM.mp4_info(b"not an mp4") is None
+
+
+def test_synthetic_audio_video_carry_real_headers(spark):
+    rows = MM.synthetic_media(spark, 60).collect()
+    for r in rows:
+        payload = bytes(r.payload)
+        if r.kind == "audio":
+            info = MM.wav_info(payload)
+            assert info["sample_rate"] == [8000, 16000, 44100][(r.media_id // 3) % 3]
+            assert info["channels"] == 1 + r.media_id % 2
+            assert info["duration_ms"] == (r.media_id % 117 + 3) * 1000
+        elif r.kind == "video":
+            info = MM.mp4_info(payload)
+            assert info["duration_ms"] == (r.media_id * 37) % 57000 + 3000
+            assert info["width"] == 256 + (r.media_id % 16) * 16
+            assert info["height"] == 144 + ((r.media_id * 3) % 16) * 16
+
+
+def test_audio_chunk_plan(spark):
+    plan = MM.audio_chunk_plan(MM.synthetic_media(spark, 30), chunk_ms=10000)
+    rows = plan.collect()
+    assert rows, "audio rows must produce chunks"
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for media_id, chunks in by_media.items():
+        dur = (media_id % 117 + 3) * 1000
+        assert len(chunks) == (dur + 9999) // 10000
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[-1].end_ms == dur, "last chunk clipped to duration"
+        assert all(c.end_ms - c.start_ms <= 10000 for c in chunks)
+
+
 def test_decode_schema_and_determinism(spark):
     media = MM.synthetic_media(spark, 60)
     decoded = MM.decode_media(media)
