@@ -583,3 +583,122 @@ def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_weighted_price"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped subquery batch (SURVEY §4.1 / §7.3 ext): the four
+# decorrelation patterns the first batch did not cover — EXISTS under
+# an aggregate (Q4), an outer join with a filtered ON clause feeding a
+# count histogram (Q13), HAVING against a global scalar subquery
+# (Q11), and NOT EXISTS plus a cross-multiplied global threshold
+# (Q22). One dialect-portable SQL text is both the query and its
+# oracle. Cross-engine determinism notes: sum(l_quantity) is exact
+# (integral doubles far below 2^53); the Q22 threshold avoids avg()
+# (whose double sum is fold-order-dependent) by cross-multiplying an
+# exact decimal sum; non-representable fraction literals are pinned
+# with CAST(... AS DOUBLE).
+# ---------------------------------------------------------------------------
+
+_TPCH_Q4_SQL = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > l.l_tax)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "tpch_q4_priority_exists",
+    _TPCH_Q4_SQL,
+    doc="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join under a "
+    "grouped count; portable SQL text is query and oracle (SURVEY §4.1)",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q4_SQL)
+
+
+_TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey AS custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+@register(
+    "tpch_q13_custdist",
+    _TPCH_Q13_SQL,
+    doc="TPC-H Q13 shape: left outer join with a filtered ON clause (the "
+    "filter must NOT drop unmatched customers), two-level aggregation "
+    "into a count histogram (SURVEY §2.9 ext)",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q13_SQL)
+
+
+_TPCH_Q11_SQL = """
+SELECT l_partkey, CAST(sum(l_quantity) AS DOUBLE) AS part_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_quantity) >
+       (SELECT sum(l_quantity) / count(DISTINCT l_partkey) FROM lineitem)
+         * CAST(1.2 AS DOUBLE)
+"""
+
+
+@register(
+    "tpch_q11_important_parts",
+    _TPCH_Q11_SQL,
+    doc="TPC-H Q11 shape: HAVING against an uncorrelated global scalar "
+    "subquery (planned as a broadcast of one row, not a rescan); exact "
+    "because quantity sums are integral doubles (SURVEY §4.1)",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q11_SQL)
+
+
+_TPCH_Q22_SQL = """
+SELECT c.c_mktsegment,
+       count(*) AS n_cust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+        * (SELECT count(*) FROM customer c3 WHERE c3.c_acctbal > 0)
+      > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+         FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "tpch_q22_idle_segments",
+    _TPCH_Q22_SQL,
+    doc="TPC-H Q22 shape: NOT EXISTS anti-join plus an above-average "
+    "threshold done as an exact decimal cross-multiplication (avg() over "
+    "doubles is fold-order-dependent across engines) (SURVEY §4.1)",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q22_SQL)
