@@ -319,10 +319,14 @@ def ngram_jaccard_pairs(
     )
 
 
-def _band_buckets(signed: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, band, band_sig) — the LSH bucket table for a signed
-    frame (band signature = order-free integer sum of the band's
-    minhashes; exact in int64)."""
+def _band_buckets(
+    signed: DataFrame, num_hashes: int, bands: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [*keep,] band, band_sig) — the LSH bucket table for a
+    signed frame (band signature = order-free integer sum of the
+    band's minhashes; exact in int64). `keep` carries extra columns
+    through the explode (the streaming join needs the shingle array
+    alongside each band row)."""
     rows = num_hashes // bands
     band_structs = F.array(
         *[
@@ -336,9 +340,9 @@ def _band_buckets(signed: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             for b in range(bands)
         ]
     )
-    return signed.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "bb.band", "bb.band_sig"
-    )
+    return signed.select(
+        "doc_id", *keep, F.explode(band_structs).alias("bb")
+    ).select("doc_id", *keep, "bb.band", "bb.band_sig")
 
 
 def minhash_similarity_join(
@@ -382,6 +386,69 @@ def minhash_similarity_join(
     return (
         cand.join(sa, "query_id")
         .join(sb, "corpus_id")
+        .select("query_id", "corpus_id", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_similarity_join_stream(
+    query_stream: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of minhash_similarity_join: continuously dedupe
+    an ARRIVING document stream against a STATIC training corpus —
+    the 24/7 version of "dedup the new crawl".
+
+    Streaming shape: the stream side stays wholly map-side (shingle →
+    signature → band explode), with the shingle array carried
+    alongside each band row — a stream cannot re-join itself for the
+    Jaccard verify without watermarked stream-stream state, so the
+    bands× in-flight width buys zero extra state. Both joins are
+    stream-static (stateless, re-planned per micro-batch); the only
+    streaming state is the candidate-pair dropDuplicates, bounded
+    under trigger(availableNow). A 24/7 deployment would swap it for
+    dropDuplicatesWithinWatermark keyed the same way so pair state
+    ages out at the horizon.
+
+    Output (query_id, corpus_id, jaccard) — identical semantics to
+    the batch operator, so the batch SQL oracle checks the stream
+    end-to-end.
+    """
+    sq = minhash_signature(
+        with_shingles(query_stream, id_col, text_col, ngram), num_hashes
+    )
+    bq = _band_buckets(sq, num_hashes, bands, keep=("shingles",))
+
+    sc = track_persist(with_shingles(corpus_df, id_col, text_col, ngram))
+    bc = _band_buckets(minhash_signature(sc, num_hashes), num_hashes, bands)
+
+    cand = (
+        bq.alias("q")
+        .join(
+            bc.alias("c"),
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.band_sig") == F.col("c.band_sig")),
+        )
+        .select(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("q.shingles").alias("sh_a"),
+        )
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    sb = sc.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    return (
+        cand.join(sb, "corpus_id")
         .select("query_id", "corpus_id", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

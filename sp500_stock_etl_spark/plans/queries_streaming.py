@@ -308,3 +308,87 @@ def q_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "click_id")
     return _run_to_table(spark, joined, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming × north-star composition: continuously dedupe an arriving
+# document stream against a static training corpus with MinHash-LSH.
+# Semantics are identical to the batch similarity_join_corpus (same
+# probes: 70% token prefixes of doc_id%7 originals, id +30M), so the
+# batch SQL oracle checks the STREAM end-to-end — the strongest
+# correctness gate a streaming operator can get.
+# ---------------------------------------------------------------------------
+
+
+def _stage_documents_dir(sf_dir: str) -> str:
+    d = tempfile.mkdtemp(prefix="sg_docs_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{d}/documents.parquet")
+    return d
+
+
+def _read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(path)
+
+
+@register(
+    "streaming_corpus_dedup",
+    None,  # oracle attached below — reuses the batch simjoin oracle
+    doc="streaming MinHash-LSH dedup of an arriving document stream "
+    "against a static corpus (stream-static bucket joins, map-side "
+    "signatures, pair-dedup state only); availableNow result equals "
+    "the batch operator so the batch SQL oracle checks the stream "
+    "(SURVEY §2.11 × north star)",
+)
+def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+    from ..operators import dedup as D
+    from .queries_northstar import (
+        _BANDS,
+        _NGRAM,
+        _NUM_HASHES,
+        _SIMJOIN_OFFSET,
+        _SJ_THRESHOLD,
+    )
+    from ..functions.text import tokens
+
+    stream = _read_document_stream(spark, _stage_documents_dir(sf_dir))
+    tk = tokens(F.col("text"))
+    keep_n = F.greatest(F.lit(3), F.floor(F.size(tk) * 0.7).cast("int"))
+    probes = stream.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _SIMJOIN_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(tk, F.lit(1), keep_n), " ").alias("text"),
+    )
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = D.minhash_similarity_join_stream(
+        probes, corpus, "doc_id", "text",
+        ngram=_NGRAM, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=_SJ_THRESHOLD,
+    )
+    return _run_to_table(spark, joined, "append")
+
+
+def _attach_simjoin_oracle() -> None:
+    """The oracle is the batch similarity-join SQL (identical
+    semantics); registered after the fact to keep the build-time
+    import cheap."""
+    from .queries_northstar import _sql_simjoin_oracle
+    from .registry import _REGISTRY
+
+    q = _REGISTRY["streaming_corpus_dedup"]
+    _REGISTRY["streaming_corpus_dedup"] = type(q)(
+        q.name, q.spark_fn, _sql_simjoin_oracle(), q.doc
+    )
+
+
+_attach_simjoin_oracle()
