@@ -78,3 +78,67 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files.
+
+    The operational tool every streaming/incremental sink eventually
+    needs — availableNow micro-batches and per-partition overwrites
+    accumulate files far smaller than a scan-efficient split, and scan
+    cost at 100 TB is dominated by file-open overhead once files drop
+    below ~tens of MB. Sizing uses the filesystem's own byte count
+    (works for any Hadoop scheme, s3a included), not a row-count
+    heuristic.
+
+    Rewrites via a temp directory then swaps. The swap is NOT atomic
+    for concurrent readers (plain parquet has no snapshot protocol —
+    a table format's transactional rewrite is the production answer);
+    run it in the maintenance window that owns the table.
+
+    Returns {files_before, files_after, bytes}.
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+
+    def _parquet_files(p) -> int:
+        n = 0
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                n += _parquet_files(st.getPath())
+            elif name.endswith(".parquet"):
+                n += 1
+        return n
+
+    total = fs.getContentSummary(src).getLength()
+    files_before = _parquet_files(src)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if files_before <= n_out:
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total,
+        }
+
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    # coalesce, not repartition: narrowing to n_out needs no shuffle.
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
+        str(tmp)
+    )
+    fs.delete(src, True)
+    fs.rename(tmp, src)
+    return {
+        "files_before": files_before,
+        "files_after": _parquet_files(src),
+        "bytes": total,
+    }

@@ -133,7 +133,10 @@ def lsh_candidate_pairs(
     # query's action): the self-join reads the bucket frame twice;
     # without the cache the whole shingle+signature subtree executes
     # twice. At warehouse scale this materialization is the signature
-    # table.
+    # table. (Measured dead end, for the record: repartition(band,
+    # band_sig) before the persist does NOT let the self-join elide
+    # its exchanges under AQE — the re-planned join does not adopt the
+    # InMemoryRelation's partitioning — and adds a shuffle of its own.)
     buckets = track_persist(
         signed.select("doc_id", F.explode(band_structs).alias("bb")).select(
             "doc_id", "bb.band", "bb.band_sig"
