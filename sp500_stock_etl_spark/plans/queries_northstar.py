@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.text import (
     BPE_PATTERN,
     STOPWORDS,
+    hash32,
     norm_text,
     sql_hash32,
     sql_norm_text,
@@ -866,3 +867,89 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=_NGRAM, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=_SJ_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus balancing: deterministic stratified subsample — per-language
+# quotas filled in md5(doc_id) order. The training-data staple
+# ("cap English at N docs, keep all low-resource languages") done so
+# the sample is REPRODUCIBLE: hash order is a stable shuffle-free
+# shuffle, unlike sampleBy's RNG, so reruns and engines agree exactly.
+# At 100 TB this is one window over the lang partition — the same
+# exchange a groupBy(lang) would pay, no extra pass.
+# ---------------------------------------------------------------------------
+
+_BALANCED_QUOTA = 60
+
+_BALANCED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) t
+WHERE rn <= {_BALANCED_QUOTA}
+"""
+
+
+@register(
+    "corpus_balanced_sample",
+    _BALANCED_SAMPLE_ORACLE,
+    doc="deterministic stratified subsample: per-language quota filled in "
+    "md5(doc_id) order — reproducible corpus balancing, one window over "
+    "the lang partition (north star)",
+)
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _BALANCED_QUOTA)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixing: per-language keep-rates applied as a deterministic
+# hash-threshold Bernoulli ("cap the dominant language at 25%, keep
+# low-resource languages whole"). Same reproducibility argument as
+# the balanced sample — pmod(hash32(doc), 1000) < rate‰ survives
+# reruns, engine swaps, and partial re-ingests, unlike rand()-based
+# sampling. Map-side only: a filter, no shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 250, "de": 600, "fr": 600, "es": 800, "zh": 1000}
+
+_MIX_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {sql_hash32("CAST(doc_id AS VARCHAR)", seed="mix")} % 1000 <
+      CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
+      ELSE 1000 END
+"""
+
+
+@register(
+    "corpus_mix_sample",
+    _MIX_ORACLE,
+    doc="dataset-mixing weights as a deterministic hash-threshold "
+    "Bernoulli per language; map-side filter, reproducible across "
+    "reruns/engines (north star)",
+)
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(1000)
+    for k, v in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = (
+        F.pmod(hash32(F.col("doc_id").cast("string"), seed="mix"), F.lit(1000))
+        < rate
+    )
+    return docs.where(keep).select("doc_id", "lang", "source")
