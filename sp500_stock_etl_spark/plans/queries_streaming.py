@@ -392,3 +392,66 @@ def _attach_simjoin_oracle() -> None:
 
 
 _attach_simjoin_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus curation: the capstone pipeline (quality score +
+# lang-ID map-side → policy filter → exact dedup by fingerprint) over
+# an ARRIVING document stream. COMPLETE output mode makes the emitted
+# table equal the batch aggregation exactly, so the batch oracle
+# checks the stream. Dedup state = one row per distinct fingerprint —
+# bounded under availableNow; a 24/7 deployment bounds it with a
+# watermarked ingest-time window per fingerprint epoch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_corpus_curation",
+    None,  # oracle attached below (batch curation SQL, identical semantics)
+    doc="streaming corpus curation: quality + lang-ID (stateless map-side) "
+    "→ filter → exact dedup agg in COMPLETE mode == batch result, full "
+    "oracle parity (SURVEY §2.11 × north star capstone)",
+)
+def q_streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import norm_text
+    from ..operators import text_analysis as TA
+
+    stream = _read_document_stream(
+        spark, _stage_documents_dir(sf_dir)
+    ).select("doc_id", "text")
+    scored = TA.with_text_stats(stream, "text")
+    with_lang = scored.withColumn("lang_guess", TA.lang_id(F.col("text")))
+    kept = with_lang.where(
+        (F.col("n_tokens") >= 10) & (F.col("quality_score") > 0.1)
+    )
+    curated = (
+        kept.select(
+            F.md5(norm_text(F.col("text"))).alias("fingerprint"),
+            "doc_id",
+            "lang_guess",
+            "n_tokens",
+            "quality_score",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("lang_guess").alias("lang_guess"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("quality_score").alias("quality_score"),
+        )
+    )
+    return _run_to_table(spark, curated, "complete")
+
+
+def _attach_curation_oracle() -> None:
+    from .queries_northstar import _sql_corpus_curation
+    from .registry import _REGISTRY
+
+    q = _REGISTRY["streaming_corpus_curation"]
+    _REGISTRY["streaming_corpus_curation"] = type(q)(
+        q.name, q.spark_fn, _sql_corpus_curation(), q.doc
+    )
+
+
+_attach_curation_oracle()
