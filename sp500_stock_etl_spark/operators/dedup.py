@@ -455,3 +455,86 @@ def minhash_similarity_join_stream(
         .select("query_id", "corpus_id", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT Jaccard near-dup join via prefix filtering (AllPairs /
+    PPJoin): same results as the all-pairs baseline, without the
+    quadratic candidate space and without the max-df cap's silent
+    recall loss.
+
+    The filter: order every document's shingles by one global canonical
+    order (ascending document frequency, ties by shingle — rarest
+    first), and index only the first ``|d| - ceil(t*|d|) + 1``. Two
+    documents with Jaccard >= t MUST share at least one prefix shingle
+    under any shared total order, so the candidate set is exact;
+    rare-first ordering makes it small (candidates ∝ rare-shingle
+    collisions, and frequent shingles never enter the index). Survivors
+    are verified on the full shingle arrays.
+
+    Scale shape: two index-build shuffles (df counts, per-doc window)
+    + a self-join whose cost tracks prefix collisions — the engineered
+    version of the exact baseline, not an approximation like MinHash.
+    Output (doc_a, doc_b, jaccard).
+    """
+    from pyspark.sql import Window as W
+
+    shingled = track_persist(
+        with_shingles(df, id_col, text_col, ngram).where(F.size("shingles") > 0)
+    )
+    ex = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    w = W.partitionBy("doc_id").orderBy("freq", "shingle")
+    prefixes = (
+        ex.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "n_sh", "rn", "shingle")
+    )
+    # Candidate pruning — all three filters are EXACT (they only drop
+    # pairs that provably cannot reach the threshold), in integer
+    # per-mille arithmetic so no boundary is lost to float rounding:
+    #
+    # 1. length: jaccard >= t => |a∩b| >= t·max(|a|,|b|) and
+    #    |a∩b| <= min, so min >= t·max;
+    # 2. min-overlap: jaccard >= t  <=>  o >= t/(1+t)·(|a|+|b|)
+    #    (o = |a∩b|; from o/(na+nb-o) >= t);
+    # 3. position (PPJoin): a collision at prefix positions (i, j) of
+    #    arrays sharing one canonical order bounds the overlap by
+    #    1 + min(na-i, nb-j), which must still reach the min-overlap.
+    t_millis = int(round(threshold * 1000))
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    min_overlap_lhs = (
+        (F.lit(1) + F.least(na - F.col("a.rn"), nb - F.col("b.rn")))
+        * (1000 + t_millis)
+    )
+    len_ok = F.least(na, nb) * 1000 >= F.greatest(na, nb) * t_millis
+    pos_ok = min_overlap_lhs >= (na + nb) * t_millis
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_ok
+            & pos_ok,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return jaccard_verify(cand, shingled, threshold)

@@ -953,3 +953,52 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         < rate
     )
     return docs.where(keep).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT Jaccard join (AllPairs/PPJoin): the engineered
+# exact path that retires the quadratic baseline. The oracle is the
+# straight uncapped ground truth (full inverted-index join) — the
+# prefix filter must reproduce it exactly or the hash fails, which is
+# precisely the property that makes the filter safe to deploy.
+# ---------------------------------------------------------------------------
+
+_PJ_THRESHOLD = 0.5
+
+_PREFIX_JACCARD_ORACLE = f"""
+WITH {_SQL_NEARDUP_BASE},
+shingled AS (
+    SELECT doc_id, {sql_word_shingles('toks', _NGRAM)} AS sh
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM base) t
+),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM shingled WHERE len(sh) > 0),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM sized),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM exploded a JOIN exploded b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sized sa ON sa.doc_id = s.doc_a
+JOIN sized sb ON sb.doc_id = s.doc_b
+WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE)
+      >= {_PJ_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_prefix_jaccard",
+    _PREFIX_JACCARD_ORACLE,
+    doc="EXACT Jaccard near-dup join via AllPairs/PPJoin prefix filtering "
+    "(rarest-first canonical order, index only |d|-ceil(t|d|)+1 shingles); "
+    "oracle is the uncapped all-pairs ground truth, so the filter's "
+    "exactness is hash-checked (north star)",
+)
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_neardups(spark, sf_dir)
+    return D.prefix_jaccard_pairs(
+        base, "doc_id", "text", ngram=_NGRAM, threshold=_PJ_THRESHOLD
+    )
