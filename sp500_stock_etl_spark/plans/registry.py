@@ -130,6 +130,7 @@ def all_queries() -> dict[str, Query]:
     from . import queries_northstar  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_multimodal  # noqa: F401
+    from . import queries_quality  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in _PRIORITY:
