@@ -250,3 +250,75 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source (Spark 4 DataSource API): the reference's
+# per-symbol REST quote fetch (S2, dags/sp500_dag.py.py:95-109)
+# rebuilt as a partitioned source with real filter pushdown — the
+# fetch window (:102-103) prunes generated days INSIDE the source and
+# symbol predicates prune whole input partitions before they are
+# scheduled (sources/quote_feed.py). The feed is a deterministic
+# integer-arithmetic generator, so DuckDB reproduces every bar
+# bitwise; the source machinery (schema, partition planning,
+# pushFilters, per-partition iteration) is the production shape.
+# ---------------------------------------------------------------------------
+
+_QF_SYMBOLS, _QF_DAYS = 80, 45
+# Query window: 2020-01-10 <= trade_date < 2020-02-01 → day offsets
+# [9, 30] from the source epoch 2020-01-01.
+_QUOTE_FEED_ORACLE = f"""
+WITH bars AS (
+    SELECT s.range AS i, d.range AS j,
+           (s.range * 31 + d.range * 7) % 5000 AS base
+    FROM range({_QF_SYMBOLS}) s, range(9, 31) d
+),
+priced AS (
+    SELECT i, j,
+           (1000 + base * 3) / CAST(100.0 AS DOUBLE) AS close,
+           (1000 + ((base + 11) % 5000) * 3) / CAST(100.0 AS DOUBLE) AS open,
+           (base % 200) / CAST(100.0 AS DOUBLE) AS spread,
+           10000 + (i * 97 + j * 13) % 90000 AS volume
+    FROM bars
+)
+SELECT 'S' || lpad(CAST(i AS VARCHAR), 4, '0') AS symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       min(least(open, close) - spread) AS min_low,
+       max(greatest(open, close) + spread) AS max_high,
+       CAST(sum(CAST(close AS DECIMAL(18,2))) AS DOUBLE) AS sum_close,
+       CAST(sum(CAST(volume AS BIGINT)) AS BIGINT) AS sum_volume
+FROM priced
+GROUP BY 1
+"""
+
+
+@register(
+    "quote_feed_source_agg",
+    _QUOTE_FEED_ORACLE,
+    doc="custom Python Data Source scan (partitioned quote feed, S2) with "
+    "date-range filter pushed INTO the source; per-symbol OHLCV aggregate "
+    "over the pruned window — DuckDB regenerates the deterministic feed "
+    "arithmetically (SURVEY §4.2 custom-source candidate)",
+)
+def q_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.quote_feed import register as register_source
+
+    register_source(spark)
+    feed = (
+        spark.read.format("quote_feed")
+        .option("symbols", str(_QF_SYMBOLS))
+        .option("days", str(_QF_DAYS))
+        .option("symbols_per_partition", "20")
+        .load()
+        .where(
+            (F.col("trade_date") >= F.lit("2020-01-10").cast("date"))
+            & (F.col("trade_date") < F.lit("2020-02-01").cast("date"))
+        )
+    )
+    return feed.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("low").alias("min_low"),
+        F.max("high").alias("max_high"),
+        F.sum(F.col("close").cast("decimal(18,2)")).cast("double").alias("sum_close"),
+        F.sum("volume").alias("sum_volume"),
+    )

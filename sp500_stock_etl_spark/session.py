@@ -48,6 +48,9 @@ _RUNTIME_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
     # Parquet scans: keep pushdown on (explicitly, for .explain review).
     "spark.sql.parquet.filterPushdown": "true",
+    # Python Data Source API: let custom sources (sources/quote_feed)
+    # receive pushed filters for source-level pruning.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Spark 4 rejects TIMESTAMP(NANOS) parquet (events.ts); read the
     # raw int64 and convert in the loader (io/readers.py) — integer
     # division, since double math loses precision at 1e18.

@@ -1,0 +1,153 @@
+"""Custom quote-feed source via Spark 4's Python Data Source API —
+the idiomatic rebuild of the reference's per-symbol REST ingestion
+(S2, dags/sp500_dag.py.py:95-109): the sequential yfinance loop
+becomes a PARTITIONED source (one input partition per symbol batch,
+each fetched by its own task) with the fetch window (:102-103) pushed
+down as real source-level filter pruning.
+
+This is the custom-source candidate SURVEY §4.2 names. The "feed" is
+a deterministic synthetic generator (the sandbox has no network), in
+pure integer arithmetic so a SQL oracle reproduces it exactly — but
+the SOURCE MACHINERY is real: schema declaration, partition planning,
+``pushFilters`` (date range prunes the generated days; symbol
+equality/IN prunes whole partitions), and per-partition iteration are
+exactly what a production REST/JDBC-backed Python data source runs.
+
+Scale notes: partition count = symbols / symbols_per_partition, so
+ingest parallelism is a knob, not a loop; pushed date filters bound
+each task's work BEFORE generation (at 100 TB: before the HTTP call);
+everything the source cannot handle is returned to Spark untouched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, timedelta
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+_EPOCH = date(2020, 1, 1)
+
+QUOTE_FEED_SCHEMA = (
+    "trade_date DATE, symbol STRING, open DOUBLE, high DOUBLE, "
+    "low DOUBLE, close DOUBLE, volume BIGINT"
+)
+
+
+def _quote_row(i: int, j: int) -> tuple:
+    """Deterministic bar for symbol index i on day offset j — pure
+    integer arithmetic + /100.0, so DuckDB reproduces it bitwise."""
+    base = (i * 31 + j * 7) % 5000
+    close = (1000 + base * 3) / 100.0
+    open_ = (1000 + ((base + 11) % 5000) * 3) / 100.0
+    spread = (base % 200) / 100.0
+    high = max(open_, close) + spread
+    low = min(open_, close) - spread
+    volume = 10_000 + (i * 97 + j * 13) % 90_000
+    return (
+        _EPOCH + timedelta(days=j),
+        f"S{i:04d}",
+        open_,
+        high,
+        low,
+        close,
+        volume,
+    )
+
+
+@dataclass
+class _SymbolBatch(InputPartition):
+    first: int  # first symbol index (inclusive)
+    last: int  # last symbol index (inclusive)
+    day_lo: int  # first day offset (inclusive)
+    day_hi: int  # last day offset (inclusive)
+
+
+class QuoteFeedReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_symbols = int(options.get("symbols", "100"))
+        self.n_days = int(options.get("days", "30"))
+        self.per_partition = int(options.get("symbols_per_partition", "25"))
+        # Filter-derived pruning state (day offsets / symbol indexes).
+        self.day_lo = 0
+        self.day_hi = self.n_days - 1
+        self.symbols: set[int] | None = None
+
+    def _day(self, value) -> int:
+        return (value - _EPOCH).days
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Date-range and symbol filters prune at the source — the
+        fetch-window pushdown of dags/sp500_dag.py.py:102-103. Anything
+        else is yielded back for Spark to evaluate."""
+        for f in filters:
+            col = f.attribute[0] if f.attribute else None
+            if col == "trade_date" and isinstance(f, GreaterThanOrEqual):
+                self.day_lo = max(self.day_lo, self._day(f.value))
+            elif col == "trade_date" and isinstance(f, GreaterThan):
+                self.day_lo = max(self.day_lo, self._day(f.value) + 1)
+            elif col == "trade_date" and isinstance(f, LessThanOrEqual):
+                self.day_hi = min(self.day_hi, self._day(f.value))
+            elif col == "trade_date" and isinstance(f, LessThan):
+                self.day_hi = min(self.day_hi, self._day(f.value) - 1)
+            elif col == "trade_date" and isinstance(f, EqualTo):
+                d = self._day(f.value)
+                self.day_lo, self.day_hi = max(self.day_lo, d), min(self.day_hi, d)
+            elif col == "symbol" and isinstance(f, EqualTo):
+                want = {int(str(f.value)[1:])}
+                self.symbols = want if self.symbols is None else self.symbols & want
+            elif col == "symbol" and isinstance(f, In):
+                want = {int(str(v)[1:]) for v in f.value}
+                self.symbols = want if self.symbols is None else self.symbols & want
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+    def partitions(self) -> list[_SymbolBatch]:
+        """One partition per symbol batch whose symbols survive the
+        pushed filters — pruned partitions are never scheduled."""
+        parts = []
+        for first in range(0, self.n_symbols, self.per_partition):
+            last = min(first + self.per_partition, self.n_symbols) - 1
+            if self.symbols is not None and not any(
+                first <= s <= last for s in self.symbols
+            ):
+                continue  # whole batch pruned
+            if self.day_lo <= self.day_hi:
+                parts.append(_SymbolBatch(first, last, self.day_lo, self.day_hi))
+        return parts or [_SymbolBatch(0, -1, 0, -1)]  # empty relation
+
+    def read(self, part: _SymbolBatch) -> Iterator[tuple]:
+        for i in range(part.first, part.last + 1):
+            if self.symbols is not None and i not in self.symbols:
+                continue
+            for j in range(part.day_lo, part.day_hi + 1):
+                yield _quote_row(i, j)
+
+
+class QuoteFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "quote_feed"
+
+    def schema(self) -> str | StructType:
+        return QUOTE_FEED_SCHEMA
+
+    def reader(self, schema: StructType) -> QuoteFeedReader:
+        return QuoteFeedReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(QuoteFeedDataSource)

@@ -1,0 +1,84 @@
+"""Custom Python Data Source (sources/quote_feed): filter pushdown
+prunes days inside the source and whole symbol partitions before they
+are scheduled; pushed plans return exactly what a post-scan filter
+would."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from sp500_stock_etl_spark.sources.quote_feed import (
+    QuoteFeedReader,
+    register,
+)
+
+
+def _reader(**opts) -> QuoteFeedReader:
+    defaults = {"symbols": "40", "days": "20", "symbols_per_partition": "10"}
+    defaults.update({k: str(v) for k, v in opts.items()})
+    return QuoteFeedReader(defaults)
+
+
+def test_symbol_filter_prunes_partitions():
+    from pyspark.sql.datasource import EqualTo
+
+    r = _reader()
+    unsupported = list(r.pushFilters([EqualTo(("symbol",), "S0035")]))
+    assert unsupported == []
+    parts = r.partitions()
+    assert len(parts) == 1, "only the batch containing S0035 survives"
+    assert parts[0].first == 30 and parts[0].last == 39
+    rows = list(r.read(parts[0]))
+    assert {row[1] for row in rows} == {"S0035"}
+
+
+def test_date_filters_bound_generation():
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    r = _reader()
+    list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("trade_date",), date(2020, 1, 5)),
+                LessThan(("trade_date",), date(2020, 1, 8)),
+            ]
+        )
+    )
+    parts = r.partitions()
+    rows = list(r.read(parts[0]))
+    days = {row[0] for row in rows}
+    assert days == {date(2020, 1, 5), date(2020, 1, 6), date(2020, 1, 7)}
+
+
+def test_unsupported_filters_returned():
+    from pyspark.sql.datasource import GreaterThan
+
+    r = _reader()
+    leftover = list(r.pushFilters([GreaterThan(("close",), 10.0)]))
+    assert len(leftover) == 1, "non-prunable filters go back to Spark"
+
+
+def test_pushed_equals_post_filtered(spark):
+    register(spark)
+    base = (
+        spark.read.format("quote_feed")
+        .option("symbols", "30")
+        .option("days", "10")
+        .load()
+    )
+    pushed = base.where(
+        (F.col("trade_date") >= "2020-01-03")
+        & (F.col("trade_date") <= "2020-01-06")
+        & F.col("symbol").isin("S0002", "S0017")
+    )
+    everything = {tuple(r) for r in base.collect()}
+    kept = {
+        t
+        for t in everything
+        if date(2020, 1, 3) <= t[0] <= date(2020, 1, 6)
+        and t[1] in ("S0002", "S0017")
+    }
+    assert {tuple(r) for r in pushed.collect()} == kept
+    assert len(kept) == 8
