@@ -455,3 +455,81 @@ def _attach_curation_oracle() -> None:
 
 
 _attach_curation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING data source (Spark 4 Python Data Source API): the
+# quote feed's daily schedule as micro-batch offsets (one day per
+# batch, exactly-once via deterministic replay between offsets —
+# sources/quote_feed.py). availableNow drains every generated day, so
+# the result equals the batch scan and the arithmetic oracle checks
+# the streaming source end-to-end.
+# ---------------------------------------------------------------------------
+
+_QFS_SYMBOLS, _QFS_DAYS = 50, 15
+
+_QUOTE_FEED_STREAM_ORACLE = f"""
+WITH bars AS (
+    SELECT s.range AS i, d.range AS j,
+           (s.range * 31 + d.range * 7) % 5000 AS base
+    FROM range({_QFS_SYMBOLS}) s, range({_QFS_DAYS}) d
+),
+priced AS (
+    SELECT i, j,
+           (1000 + base * 3) / CAST(100.0 AS DOUBLE) AS close,
+           10000 + (i * 97 + j * 13) % 90000 AS volume
+    FROM bars
+)
+SELECT 'S' || lpad(CAST(i AS VARCHAR), 4, '0') AS symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CAST(close AS DECIMAL(18,2))) AS DOUBLE) AS sum_close,
+       CAST(sum(CAST(volume AS BIGINT)) AS BIGINT) AS sum_volume
+FROM priced
+GROUP BY 1
+"""
+
+
+@register(
+    "streaming_quote_feed_agg",
+    _QUOTE_FEED_STREAM_ORACLE,
+    doc="custom streaming data source (daily micro-batch offsets, "
+    "exactly-once deterministic replay) drained under availableNow in "
+    "COMPLETE mode == batch aggregate; arithmetic oracle checks the "
+    "streaming source end-to-end (SURVEY §4.2 × §2.11)",
+)
+def q_streaming_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.quote_feed import register as register_source
+
+    register_source(spark)
+    feed = (
+        spark.readStream.format("quote_feed")
+        .option("symbols", str(_QFS_SYMBOLS))
+        .option("days", str(_QFS_DAYS))
+        .option("days_per_batch", "1")
+        .load()
+    )
+    agg = feed.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("close").cast("decimal(18,2)")).cast("double").alias("sum_close"),
+        F.sum("volume").alias("sum_volume"),
+    )
+    # availableNow only drains a Simple stream reader's one prefetched
+    # batch, so run the real micro-batch cadence (one batch per "day")
+    # and drain with processAllAvailable — offsets stabilize once the
+    # feed's final day is read, empty batches stop arriving, and the
+    # COMPLETE-mode table holds the full aggregate.
+    name = f"sg_stream_{next(_SEQ)}_{os.getpid()}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)

@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -137,6 +138,44 @@ class QuoteFeedReader(DataSourceReader):
                 yield _quote_row(i, j)
 
 
+class QuoteFeedStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch twin of the batch reader: the reference's DAILY
+    schedule (dags/sp500_dag.py.py:324) as streaming offsets — each
+    micro-batch delivers ``days_per_batch`` trading days for every
+    symbol, the offset is the next unread day, and replay between
+    committed offsets is pure re-generation (deterministic source =
+    free exactly-once; a REST-backed version would re-fetch the same
+    date range, which is the reference's own retry semantics).
+
+    Under ``trigger(availableNow=True)`` the stream drains every
+    generated day and stops — so the result equals the batch scan and
+    the batch SQL oracle checks the streaming source end-to-end.
+    """
+
+    def __init__(self, options: dict):
+        self.n_symbols = int(options.get("symbols", "100"))
+        self.n_days = int(options.get("days", "30"))
+        self.days_per_batch = int(options.get("days_per_batch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def read(self, start: dict) -> tuple:
+        lo = start["day"]
+        hi = min(lo + self.days_per_batch, self.n_days)
+        # A list_iterator, not a bare generator: Spark's prefetch
+        # cache copy.copy()s the returned iterator for replay, which a
+        # generator does not support (and it calls next() on it, which
+        # a bare list does not).
+        rows = list(self.readBetweenOffsets(start, {"day": hi}))
+        return iter(rows), {"day": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for j in range(start["day"], end["day"]):
+            for i in range(self.n_symbols):
+                yield _quote_row(i, j)
+
+
 class QuoteFeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -148,6 +187,27 @@ class QuoteFeedDataSource(DataSource):
     def reader(self, schema: StructType) -> QuoteFeedReader:
         return QuoteFeedReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> QuoteFeedStreamReader:
+        return QuoteFeedStreamReader(self.options)
+
 
 def register(spark) -> None:
+    # The streaming source's prefetch runner is a separate driver-side
+    # Python process that does NOT see sc.addPyFile additions, so the
+    # reader classes must travel self-contained: register this module
+    # for cloudpickle by-VALUE serialization (classes are otherwise
+    # pickled by reference and the runner cannot import the package).
+    import sys
+
+    this_module = sys.modules[__name__]
+    for cp_name in ("pyspark.cloudpickle", "cloudpickle"):
+        # Spark serializes with its VENDORED pyspark.cloudpickle;
+        # register with the standalone package too for completeness.
+        try:
+            import importlib
+
+            cp = importlib.import_module(cp_name)
+            cp.register_pickle_by_value(this_module)
+        except Exception:
+            pass  # old cloudpickle: batch source still works via addPyFile
     spark.dataSource.register(QuoteFeedDataSource)

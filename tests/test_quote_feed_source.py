@@ -82,3 +82,22 @@ def test_pushed_equals_post_filtered(spark):
     }
     assert {tuple(r) for r in pushed.collect()} == kept
     assert len(kept) == 8
+
+
+def test_stream_reader_offsets_and_replay():
+    """Offsets advance one day-batch at a time; replay between
+    committed offsets regenerates identical rows (exactly-once)."""
+    from sp500_stock_etl_spark.sources.quote_feed import QuoteFeedStreamReader
+
+    r = QuoteFeedStreamReader({"symbols": "5", "days": "3", "days_per_batch": "1"})
+    off = r.initialOffset()
+    seen = []
+    for _ in range(4):  # one more trigger than there is data
+        rows, off2 = r.read(off)
+        seen.append((off, off2, list(rows)))
+        off = off2
+    assert [s[1]["day"] for s in seen] == [1, 2, 3, 3]
+    assert all(len(s[2]) == 5 for s in seen[:3])
+    assert seen[3][2] == [], "drained stream yields empty batches"
+    replay = list(r.readBetweenOffsets({"day": 1}, {"day": 2}))
+    assert replay == seen[1][2], "replay must be deterministic"
