@@ -702,3 +702,43 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-column predicates across a join —
+# the classic optimizer test for OR-predicate handling (each branch
+# constrains BOTH sides, so the engine must push the union of the
+# part-side constraints below the join instead of evaluating the OR
+# only post-join). Revenue goes through the shared half-up kernel +
+# decimal sum (terminal DOUBLE) for cross-engine bitwise parity.
+# ---------------------------------------------------------------------------
+
+_Q19_REV = sql_round("l.l_extendedprice * (1 - l.l_discount)", 2)
+
+_TPCH_Q19_SQL = f"""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST({_Q19_REV} AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 45
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY p.p_brand
+"""
+
+
+@register(
+    "tpch_q19_disjunctive_join",
+    _TPCH_Q19_SQL,
+    doc="TPC-H Q19 shape: three OR'd brand/size/quantity predicate groups "
+    "across a lineitem×part join — exercises disjunctive predicate "
+    "pushdown; portable SQL text is query and oracle (SURVEY §4.1)",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q19_SQL)

@@ -200,3 +200,54 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     # late hour-1 event neither re-emitted the closed window nor
     # bumped its count.
     assert all(n == 1 for _, n in got2), got2
+
+
+def test_streaming_corpus_dedup_exactly_once(spark, tmp_path):
+    """Re-running the streaming LSH corpus dedup against the SAME
+    checkpoint re-processes nothing: the reference's PURGE=TRUE
+    bookkeeping (dags/sp500_dag.py.py:378) as source-offset
+    exactly-once, composed with the north-star dedup operator."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.operators.dedup import (
+        minhash_similarity_join_stream,
+    )
+    from sp500_stock_etl_spark.plans.queries_streaming import (
+        _read_document_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    staged = str(tmp_path / "docs")
+    os.makedirs(staged)
+    os.symlink(f"{sf_dir}/documents.parquet", f"{staged}/documents.parquet")
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run() -> int:
+        stream = _read_document_stream(spark, staged).select("doc_id", "text")
+        probes = stream.select(
+            (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+        )
+        joined = minhash_similarity_join_stream(
+            probes, corpus, "doc_id", "text", threshold=0.5
+        )
+        # File sink (memory sinks cannot recover a checkpoint): the
+        # output dir accumulates across runs, so growth == new data.
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    first = run()
+    assert first > 0, "identical probes must match their corpus originals"
+    assert run() == first, "same checkpoint → nothing re-processed"
