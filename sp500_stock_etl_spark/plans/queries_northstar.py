@@ -1002,3 +1002,85 @@ def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(
         base, "doc_id", "text", ngram=_NGRAM, threshold=_PJ_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex scrubbing of emails / phone-shaped tokens —
+# the privacy pass every training corpus runs before the tokenizer.
+# Pure Catalyst (regexp_count/regexp_replace, no UDF), patterns chosen
+# to behave identically under Java regex (Spark) and RE2 (DuckDB):
+# character classes and bounded quantifiers only, no lookarounds.
+# Positives are PLANTED deterministically in-plan (docs %4==0 get an
+# email, %6==0 a phone), mirroring the dedup fixtures' pattern, and
+# the redacted text is compared by md5 so the oracle checks the FULL
+# transform, not just the counts.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_REDACT_ORACLE = f"""
+WITH planted AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 6 = 0
+                   THEN ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-0199'
+                   ELSE '' END AS text
+    FROM documents
+),
+redacted AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+    FROM planted
+)
+SELECT doc_id, n_emails, n_phones, md5(clean) AS redacted_md5
+FROM redacted
+"""
+
+
+@register(
+    "corpus_pii_redaction",
+    _REDACT_ORACLE,
+    doc="PII scrub (emails, phone-shaped tokens) as pure Catalyst "
+    "regexp_count/regexp_replace over planted positives; the oracle "
+    "md5-compares the fully redacted text, so the whole transform is "
+    "hash-checked (north star)",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    email = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(
+            F.lit(" call "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-555-0199"),
+        ),
+    ).otherwise(F.lit(""))
+    planted = docs.select(
+        "doc_id", F.concat("text", email, phone).alias("text")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(clean).alias("redacted_md5"),
+    )
