@@ -1084,3 +1084,95 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
         F.md5(clean).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing any long
+# n-gram with a held-out eval set — the pass that keeps test data out
+# of the training corpus. Shape differs from the self-join dedups: the
+# eval set is SMALL, so its n-gram index broadcasts and contamination
+# detection is a broadcast semi-join on the training side's map-side
+# shingles — no shuffle of the training corpus at any scale, cost is
+# one scan. Eval set is derived deterministically in-plan (docs with
+# doc_id % 50 == 0 play the benchmark).
+# ---------------------------------------------------------------------------
+
+_DECON_NGRAM = 8
+
+_DECONTAMINATION_ORACLE = f"""
+WITH eval_docs AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    WHERE doc_id % 50 = 0
+),
+eval_grams AS (
+    SELECT DISTINCT unnest({sql_word_shingles('toks', _DECON_NGRAM)}) AS gram
+    FROM eval_docs
+),
+-- Planted contamination: every 9th training doc gets the first 12
+-- tokens of one eval doc appended (guaranteed >= 5 shared 8-grams).
+train_raw AS (
+    SELECT t.doc_id,
+           t.text || CASE WHEN t.doc_id % 9 = 0 AND e.doc_id IS NOT NULL
+                          THEN ' ' || array_to_string(list_slice(e.toks, 1, 12), ' ')
+                          ELSE '' END AS text
+    FROM documents t
+    LEFT JOIN eval_docs e ON e.doc_id = (t.doc_id % 10) * 50
+    WHERE t.doc_id % 50 <> 0
+),
+train AS (
+    SELECT doc_id, {sql_word_shingles('toks', _DECON_NGRAM)} AS grams
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM train_raw) t
+),
+flagged AS (
+    SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM train) tr
+    JOIN eval_grams e ON tr.gram = e.gram
+    GROUP BY tr.doc_id
+)
+SELECT doc_id, n_shared_grams FROM flagged
+"""
+
+
+@register(
+    "corpus_decontamination",
+    _DECONTAMINATION_ORACLE,
+    doc="benchmark decontamination: training docs sharing any "
+    f"{_DECON_NGRAM}-gram with the (broadcast-small) eval set, counted "
+    "per doc — broadcast semi-join, zero training-corpus shuffle "
+    "(north star)",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), tokens(F.col("text")).alias("toks")
+    )
+    eval_grams = (
+        D.with_shingles(
+            docs.where(F.col("doc_id") % 50 == 0), "doc_id", "text", _DECON_NGRAM
+        )
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    # Planted contamination mirroring the oracle's train_raw CTE.
+    leak = F.when(
+        (F.col("doc_id") % 9 == 0) & F.col("eval_id").isNotNull(),
+        F.concat(F.lit(" "), F.array_join(F.slice("toks", 1, 12), " ")),
+    ).otherwise(F.lit(""))
+    train_raw = (
+        docs.where(F.col("doc_id") % 50 != 0)
+        .join(
+            F.broadcast(eval_docs),
+            (F.col("doc_id") % 10) * 50 == F.col("eval_id"),
+            "left",
+        )
+        .select("doc_id", F.concat("text", leak).alias("text"))
+    )
+    train = D.with_shingles(train_raw, "doc_id", "text", _DECON_NGRAM).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
