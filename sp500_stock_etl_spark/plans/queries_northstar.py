@@ -1176,3 +1176,74 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token budget: the first question of training-data work — how
+# many tokens, distributed how? Docs bucketed by power-of-2 BPE-token
+# count; per-bucket doc/token counts plus each bucket's share of the
+# grand total (window over the one-row aggregate — no second scan).
+# Map-side token counting (same BPE-ish pre-tokenizer as
+# text_quality_stats) + one tiny shuffle on the bucket key.
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH counted AS (
+    SELECT doc_id,
+           len(regexp_extract_all({sql_norm_text('text')}, '{BPE_PATTERN}'))
+               AS n_bpe
+    FROM documents
+),
+bucketed AS (
+    SELECT CAST(floor(log2(n_bpe + 1)) AS INT) AS bucket_log2, n_bpe
+    FROM counted
+)
+SELECT bucket_log2,
+       CAST(pow(CAST(2.0 AS DOUBLE), bucket_log2) AS BIGINT) AS bucket_min_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(n_bpe AS BIGINT)) AS BIGINT) AS bucket_tokens,
+       CAST(sum(CAST(n_bpe AS BIGINT)) AS DOUBLE)
+           / CAST(sum(sum(CAST(n_bpe AS BIGINT))) OVER () AS DOUBLE)
+           AS token_share
+FROM bucketed
+GROUP BY bucket_log2
+"""
+
+
+@register(
+    "corpus_token_budget",
+    _TOKEN_BUDGET_ORACLE,
+    doc="corpus token budget: docs bucketed by power-of-2 BPE-token count "
+    "with per-bucket token totals and share-of-corpus (window over the "
+    "aggregate, no second scan) — the 'how many tokens do we have' "
+    "query (north star)",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import BPE_PATTERN as _BP
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_bpe = F.size(
+        F.regexp_extract_all(norm_text(F.col("text")), F.lit(_BP), 0)
+    ).cast("bigint")
+    bucketed = docs.select(
+        F.floor(F.log2(n_bpe + 1)).cast("int").alias("bucket_log2"),
+        n_bpe.alias("n_bpe"),
+    )
+    from pyspark.sql import Window as W
+
+    agg = bucketed.groupBy("bucket_log2").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("bucket_tokens"),
+    )
+    return agg.select(
+        "bucket_log2",
+        F.pow(F.lit(2.0), F.col("bucket_log2")).cast("bigint").alias(
+            "bucket_min_tokens"
+        ),
+        "n_docs",
+        "bucket_tokens",
+        (
+            F.col("bucket_tokens").cast("double")
+            / F.sum("bucket_tokens").over(W.partitionBy()).cast("double")
+        ).alias("token_share"),
+    )
