@@ -742,3 +742,45 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q19_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: the classic reporting query — revenue lost to
+# returned items per customer over a quarter, customer×orders×lineitem
+# ×nation multi-join, grouped, ranked, top-k. Deterministic total
+# order (revenue DESC would tie on equal revenues; the unique custkey
+# breaks it) so LIMIT is stable across engines.
+# ---------------------------------------------------------------------------
+
+_Q10_REV = sql_round("l.l_extendedprice * (1 - l.l_discount)", 2)
+
+_TPCH_Q10_SQL = f"""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       n.n_name,
+       CAST(sum(CAST({_Q10_REV} AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_mktsegment, n.n_name
+ORDER BY sum(CAST({_Q10_REV} AS DECIMAL(18,2))) DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "tpch_q10_returned_items",
+    _TPCH_Q10_SQL,
+    doc="TPC-H Q10 shape: 4-table join, grouped returned-item revenue, "
+    "top-20 under a tie-broken total order; portable SQL text is query "
+    "and oracle (SURVEY §4.1)",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q10_SQL)
