@@ -120,6 +120,17 @@ def compact_parquet(
                 n += 1
         return n
 
+    # A flat coalesce rewrite would silently flatten a Hive partition
+    # layout — refuse rather than corrupt; partitioned tables compact
+    # per-partition (or via a table format's rewrite action).
+    for st in fs.listStatus(src):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise ValueError(
+                f"compact_parquet: {path} is Hive-partitioned "
+                f"({st.getPath().getName()}); compact each partition "
+                "directory individually"
+            )
+
     total = fs.getContentSummary(src).getLength()
     files_before = _parquet_files(src)
     n_out = max(1, math.ceil(total / target_file_bytes))
@@ -135,8 +146,15 @@ def compact_parquet(
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
         str(tmp)
     )
-    fs.delete(src, True)
+    # Swap via rename-aside so a crash at any point leaves a complete
+    # copy under either the table path or <path>__compact_old — never
+    # an empty table path (the old delete-then-rename had that hole).
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(src, old)
     fs.rename(tmp, src)
+    fs.delete(old, True)
     return {
         "files_before": files_before,
         "files_after": _parquet_files(src),

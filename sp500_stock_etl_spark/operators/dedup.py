@@ -485,6 +485,16 @@ def prefix_jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
+    # All candidate filters run in integer per-mille arithmetic — the
+    # prefix length included, since a float ceil(t*n) can land one above
+    # the true integer product and silently shorten the prefix.
+    t_millis = int(round(threshold * 1000))
+    if abs(t_millis / 1000.0 - threshold) > 1e-12:
+        raise ValueError(
+            "threshold must have at most 3 decimal places, got "
+            f"{threshold!r}"
+        )
+
     shingled = track_persist(
         with_shingles(df, id_col, text_col, ngram).where(F.size("shingles") > 0)
     )
@@ -494,9 +504,10 @@ def prefix_jaccard_pairs(
         F.explode("shingles").alias("shingle"),
     )
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).cast("int")
+    # Exact integer ceil(t*n) = (n*t_millis + 999) div 1000.
+    prefix_len = F.expr(
+        f"CAST(n_sh - ((n_sh * {t_millis} + 999) DIV 1000) + 1 AS INT)"
+    )
     w = W.partitionBy("doc_id").orderBy("freq", "shingle")
     prefixes = (
         ex.join(freq, "shingle")
@@ -515,7 +526,6 @@ def prefix_jaccard_pairs(
     # 3. position (PPJoin): a collision at prefix positions (i, j) of
     #    arrays sharing one canonical order bounds the overlap by
     #    1 + min(na-i, nb-j), which must still reach the min-overlap.
-    t_millis = int(round(threshold * 1000))
     a, b = prefixes.alias("a"), prefixes.alias("b")
     na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     min_overlap_lhs = (

@@ -318,17 +318,21 @@ def mp4_info(payload: bytes) -> dict | None:
             continue
         for ctyp, clo, chi in walk(lo, hi):
             if ctyp == b"mvhd" and chi - clo >= 20:
+                # v1 offsets run to clo+32; a truncated v1 box must be
+                # rejected, not silently parsed from short slices.
                 ver = payload[clo]
                 if ver == 0:
                     out["timescale"] = int.from_bytes(payload[clo + 12 : clo + 16], "big")
                     out["duration"] = int.from_bytes(payload[clo + 16 : clo + 20], "big")
-                else:
+                elif chi - clo >= 32:
                     out["timescale"] = int.from_bytes(payload[clo + 20 : clo + 24], "big")
                     out["duration"] = int.from_bytes(payload[clo + 24 : clo + 32], "big")
             elif ctyp == b"trak" and "width" not in out:
                 for ttyp, tlo, thi in walk(clo, chi):
                     if ttyp == b"tkhd" and thi - tlo >= 84:
                         ver = payload[tlo]
+                        if ver != 0 and thi - tlo < 96:
+                            continue  # truncated v1 tkhd
                         off = tlo + (76 if ver == 0 else 88)
                         out["width"] = int.from_bytes(payload[off : off + 4], "big") >> 16
                         out["height"] = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16

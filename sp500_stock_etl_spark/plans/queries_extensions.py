@@ -72,6 +72,73 @@ def q_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Decimal-typed money twin (SURVEY §7.4 decision, round-2 verdict item 7):
+# the same Q1 shape with the MONEY columns kept as exact DECIMAL end to
+# end — no terminal double. Hash-parity rule for decimals at 100 TB:
+# (1) pin every intermediate to an EXPLICIT decimal(p,s) on both engines
+#     (each engine's implicit precision-propagation rules differ:
+#     Spark sum(decimal(18,4)) -> (28,4), DuckDB -> (38,4));
+# (2) compare as canonical decimal STRINGS, never through float64 —
+#     toPandas() yields decimal.Decimal while DuckDB .df() yields
+#     float64, so a decimal-typed terminal column can never repr-match;
+#     both engines render CAST(decimal AS STRING) identically
+#     (plain notation, trailing zeros to scale);
+# (3) choose intermediate scales the data cannot overflow or round at
+#     (price has 2 real dp, discount 2 dp -> the product is exact at
+#     scale 4), so no engine-specific rounding mode is ever exercised.
+# Decimal sums are associative/exact, so the result is partitioning-
+# independent — the property that makes money columns auditable on a
+# 1000-executor cluster where double sums are fold-order-dependent.
+# ---------------------------------------------------------------------------
+
+_GROUPED_DECIMAL_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS STRING) AS sum_qty_dec,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS STRING) AS sum_base_price_dec,
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS STRING) AS sum_disc_price_dec,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "grouped_agg_pricing_decimal",
+    _GROUPED_DECIMAL_ORACLE,
+    doc="money-typed Q1 twin: exact DECIMAL(18,4) end to end, canonical "
+    "decimal-string comparison (SURVEY §7.4 decimal-at-scale decision)",
+)
+def q_grouped_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("1998-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity"))
+            .cast("decimal(28,4)")
+            .cast("string")
+            .alias("sum_qty_dec"),
+            F.sum(dec("l_extendedprice"))
+            .cast("decimal(28,4)")
+            .cast("string")
+            .alias("sum_base_price_dec"),
+            F.sum(disc_price)
+            .cast("decimal(28,4)")
+            .cast("string")
+            .alias("sum_disc_price_dec"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROLLUP / CUBE — grouping sets with GROUPING() markers so subtotal
 # NULLs are distinguishable from data NULLs.
 # ---------------------------------------------------------------------------

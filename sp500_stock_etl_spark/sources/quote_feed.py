@@ -21,6 +21,7 @@ everything the source cannot handle is returned to Spark untouched.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from datetime import date, timedelta
 from typing import Iterator
@@ -90,6 +91,14 @@ class QuoteFeedReader(DataSourceReader):
     def _day(self, value) -> int:
         return (value - _EPOCH).days
 
+    @staticmethod
+    def _sym_index(value) -> int | None:
+        """Parse an 'S<digits>' symbol literal to its index, or None for
+        any foreign ticker (e.g. 'AAPL') — which this source never emits,
+        so it matches nothing rather than raising mid-scan."""
+        m = re.fullmatch(r"S(\d+)", str(value))
+        return int(m.group(1)) if m else None
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Date-range and symbol filters prune at the source — the
         fetch-window pushdown of dags/sp500_dag.py.py:102-103. Anything
@@ -107,11 +116,15 @@ class QuoteFeedReader(DataSourceReader):
             elif col == "trade_date" and isinstance(f, EqualTo):
                 d = self._day(f.value)
                 self.day_lo, self.day_hi = max(self.day_lo, d), min(self.day_hi, d)
-            elif col == "symbol" and isinstance(f, EqualTo):
-                want = {int(str(f.value)[1:])}
-                self.symbols = want if self.symbols is None else self.symbols & want
-            elif col == "symbol" and isinstance(f, In):
-                want = {int(str(v)[1:]) for v in f.value}
+            elif col == "symbol" and isinstance(f, (EqualTo, In)):
+                vals = f.value if isinstance(f, In) else (f.value,)
+                # Unparseable literals match nothing (never generated);
+                # an empty `want` legitimately prunes every partition.
+                want = {
+                    s
+                    for s in (self._sym_index(v) for v in vals)
+                    if s is not None
+                }
                 self.symbols = want if self.symbols is None else self.symbols & want
             else:
                 yield f  # unsupported → Spark evaluates it post-scan

@@ -47,3 +47,31 @@ def test_compact_noop_when_already_compact(spark, tmp_path):
     ).write.parquet(path)
     stats = compact_parquet(spark, path, target_file_bytes=128 * 1024 * 1024)
     assert stats["files_before"] == stats["files_after"] == 1
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    """A flat rewrite would silently drop the Hive partition layout —
+    compact_parquet must refuse instead."""
+    import pytest
+
+    path = str(tmp_path / "parts")
+    load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    ).repartition(8).write.partitionBy("l_returnflag").parquet(path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet(spark, path, target_file_bytes=1)
+
+
+def test_compact_leaves_no_tmp_dirs(spark, tmp_path):
+    """The rename-aside swap cleans up both __compact_tmp and
+    __compact_old on success."""
+    import os
+
+    path = str(tmp_path / "swap")
+    load_table(spark, SF_DIR, "lineitem").select("l_orderkey").repartition(
+        16
+    ).write.parquet(path)
+    compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
+    assert len(glob.glob(f"{path}/*.parquet")) >= 1

@@ -60,6 +60,23 @@ def test_unsupported_filters_returned():
     assert len(leftover) == 1, "non-prunable filters go back to Spark"
 
 
+def test_foreign_symbol_literal_matches_nothing():
+    """symbol = 'AAPL' (never generated) must yield an empty relation,
+    not a ValueError mid-scan; a mixed IN list keeps the parseable
+    members."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    r = _reader()
+    assert list(r.pushFilters([EqualTo(("symbol",), "AAPL")])) == []
+    parts = r.partitions()
+    assert sum(len(list(r.read(p))) for p in parts) == 0
+
+    r2 = _reader()
+    assert list(r2.pushFilters([In(("symbol",), ("AAPL", "S0007"))])) == []
+    rows = [row for p in r2.partitions() for row in r2.read(p)]
+    assert {row[1] for row in rows} == {"S0007"}
+
+
 def test_pushed_equals_post_filtered(spark):
     register(spark)
     base = (

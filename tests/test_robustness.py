@@ -111,3 +111,37 @@ def test_lag_metrics_property(spark, rows):
                 want_change = math.copysign(1, c - prev) * math.floor(abs(c - prev) * p + 0.5) / p
                 assert change == want_change, (s, d, change, want_change)
             prev = c
+
+
+def test_prefix_jaccard_threshold_validation(spark):
+    """Thresholds that per-mille arithmetic can't represent exactly are
+    rejected up front, not silently mis-rounded."""
+    import pytest
+
+    from sp500_stock_etl_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame([("d1", "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="3 decimal"):
+        prefix_jaccard_pairs(df, "doc_id", "text", threshold=1 / 3)
+
+
+def test_prefix_len_integer_ceil_exact(spark):
+    """The prefix length must use exact integer ceil(t*n): IEEE float
+    ceil overshoots at e.g. t=0.56, n=25 (float ceil 15, true 14),
+    silently shortening the prefix by one."""
+    import math
+
+    for t_millis in (140, 280, 560, 600, 500):
+        got = {
+            r["n"]: r["c"]
+            for r in spark.range(1, 101)
+            .selectExpr(
+                "CAST(id AS INT) AS n",
+                f"CAST((id * {t_millis} + 999) DIV 1000 AS INT) AS c",
+            )
+            .collect()
+        }
+        for n in range(1, 101):
+            true_ceil = -((-n * t_millis) // 1000)
+            assert got[n] == true_ceil, (t_millis, n)
+            assert true_ceil >= math.floor(t_millis / 1000 * n)
