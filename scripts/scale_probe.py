@@ -131,6 +131,75 @@ def main() -> None:
             "ratio": round(tn / t1, 2) if t1 > 0 else None,
         }), flush=True)
 
+    srp_banding_probe(spark, sf_dir, n)
+
+
+def srp_banding_probe(spark, sf_dir: str, n: int) -> None:
+    """Candidate-count evidence for the banded SRP layout (round-2
+    verdict item 2): with the plane count FIXED, bucket population —
+    and so the bucket self-join's candidate pairs — grows ∝ N²/2^r;
+    with r sized by srp_params_for(N), expected bucket population is
+    pinned near target_bucket and candidates stay ∝ N · collisions.
+    Copies are circularly ROTATED (not duplicated) so each replica
+    behaves as an independent random vector w.r.t. the hyperplanes —
+    exact duplicates would collide in every band by construction and
+    measure the planted-dup rate, not the background collision rate."""
+    from sp500_stock_etl_spark.operators.similarity import (
+        srp_band_rows,
+        srp_params_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def rotated(k: int) -> DataFrame:
+        copies = []
+        for i in range(k):
+            shift = i % 63 + 1 if i else 0
+            c = emb.select(
+                (F.col("vec_id") + F.lit(i * 100_000_000)).alias("vec_id"),
+                (
+                    F.concat(
+                        F.slice("embedding", shift + 1, 64 - shift),
+                        F.slice("embedding", 1, shift),
+                    )
+                    if shift
+                    else F.col("embedding")
+                ).alias("embedding"),
+            )
+            copies.append(c)
+        return reduce(lambda a, b: a.unionByName(b), copies)
+
+    n_1x = emb.count()
+    bands = 4
+    out = {"probe": "srp_banding_candidates", "sf_dir": sf_dir, "n": n,
+           "bands": bands, "n_vectors_1x": n_1x, "n_vectors_nx": n_1x * n}
+    for label, r_of in (
+        ("fixed_r8", lambda nv: 8),
+        ("scaled_r", lambda nv: srp_params_for(nv)),
+    ):
+        for scale, k in (("1x", 1), ("nx", n)):
+            src = rotated(k)
+            r = r_of(n_1x * k)
+            rows = srp_band_rows(
+                src, "id_a", "va", "vec_id", "embedding", bands, r
+            ).select("id_a", "band", "sig")
+            cand = (
+                rows.join(
+                    rows.select(
+                        F.col("id_a").alias("id_b"), "band", "sig"
+                    ),
+                    ["band", "sig"],
+                )
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+                .count()
+            )
+            out[f"{label}_{scale}"] = {"r": r, "candidates": cand}
+        f, x = out[f"{label}_1x"], out[f"{label}_nx"]
+        out[f"{label}_growth"] = round(x["candidates"] / max(f["candidates"], 1), 1)
+    print(json.dumps(out), flush=True)
+
 
 if __name__ == "__main__":
     main()

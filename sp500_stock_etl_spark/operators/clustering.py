@@ -64,17 +64,28 @@ def assign_clusters(
 def update_centroids(
     assigned: DataFrame, k: int, dims: int, vec_col: str = "embedding"
 ) -> list[list[float]]:
-    """Elementwise mean per cluster via posexplode → skinny agg; empty
-    clusters keep nothing (caller reuses the old centroid)."""
+    """Elementwise mean per cluster in the partial-aggregate layout
+    (Spark MLlib's treeAggregate communication pattern, expressed
+    declaratively): d per-dimension SUM aggregates + a count, grouped
+    by cluster. Tungsten's hash aggregate computes per-partition
+    partials map-side, so the exchange carries exactly
+    k·(d+1) doubles PER PARTITION — independent of row count — and the
+    driver collects k skinny rows. The previous posexplode form
+    shuffled n·d exploded rows per iteration: at 100 TB that is the
+    whole corpus re-keyed every round, vs a few KB of partials here.
+    Empty clusters return None (caller reuses the old centroid)."""
+    sums = [
+        F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
+        for i in range(dims)
+    ]
     rows = (
-        assigned.select("cluster", F.posexplode(vec_col).alias("dim", "v"))
-        .groupBy("cluster", "dim")
-        .agg(F.avg("v").alias("m"))
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
         .collect()
     )
-    acc: dict[int, list[float | None]] = {}
-    for r in rows:
-        acc.setdefault(r["cluster"], [None] * dims)[r["dim"]] = r["m"]
+    acc: dict[int, list[float]] = {
+        r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dims)] for r in rows
+    }
     return [acc.get(i) for i in range(k)]  # type: ignore[return-value]
 
 

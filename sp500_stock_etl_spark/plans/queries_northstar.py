@@ -349,7 +349,17 @@ def q_sim_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Planted exact vector copies guarantee positives.
 # ---------------------------------------------------------------------------
 
+# Banded SRP layout (round-2 verdict item 2): _BANDS independent hash
+# tables of _PLANES sign bits each; band b uses global planes
+# [b*_PLANES, (b+1)*_PLANES). The oracle reproduces every band
+# signature from the same md5-derived hyperplane literals, and a pair
+# is a candidate when ANY band matches — OR-join in SQL (fine for
+# DuckDB at oracle scale), exploded (band, sig) equi-join in Spark
+# (the scale shape). At 100 TB _PLANES comes from
+# operators/similarity.srp_params_for(corpus size); here it is pinned
+# so the oracle text is static.
 _PLANES = 8
+_BANDS = 4
 _VEC_OFFSET = 1_000_000
 
 
@@ -363,11 +373,22 @@ def _sql_proj(p: int, vec: str) -> str:
     )
 
 
-def _sql_srp_sig(vec: str) -> str:
+def _sql_srp_sig(vec: str, band: int = 0) -> str:
     return " + ".join(
-        f"(CASE WHEN {_sql_proj(p, vec)} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        for p in range(_PLANES)
+        f"(CASE WHEN {_sql_proj(band * _PLANES + i, vec)} > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(_PLANES)
     )
+
+
+def _sql_band_cols(vec: str) -> str:
+    return ", ".join(
+        f"{_sql_srp_sig(vec, b)} AS s{b}" for b in range(_BANDS)
+    )
+
+
+def _sql_any_band(a: str, b: str) -> str:
+    return " OR ".join(f"{a}.s{i} = {b}.s{i}" for i in range(_BANDS))
 
 
 _COSINE_NEARDUP_ORACLE = f"""
@@ -378,11 +399,11 @@ WITH base AS (
     FROM embeddings WHERE vec_id % 10 = 0
 ),
 sig AS (
-    SELECT vec_id, embedding, {_sql_srp_sig('embedding')} AS s FROM base
+    SELECT vec_id, embedding, {_sql_band_cols('embedding')} FROM base
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
-FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+FROM sig a JOIN sig b ON ({_sql_any_band('a', 'b')}) AND a.vec_id < b.vec_id
 WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.999
 """
 
@@ -398,7 +419,9 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + _VEC_OFFSET).alias("vec_id"), "embedding"
     )
     base = emb.select("vec_id", "embedding").unionByName(copies)
-    return S.cosine_neardup_pairs(base, threshold=0.999)
+    return S.cosine_neardup_pairs(
+        base, threshold=0.999, planes=_PLANES, bands=_BANDS
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -411,17 +434,17 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_TOPK_ORACLE = f"""
 WITH q AS (
-    SELECT vec_id AS query_id, embedding AS qe, {_sql_srp_sig('embedding')} AS s
+    SELECT vec_id AS query_id, embedding AS qe, {_sql_band_cols('embedding')}
     FROM embeddings WHERE vec_id % 100 = 0
 ),
 c AS (
-    SELECT vec_id, embedding AS ce, {_sql_srp_sig('embedding')} AS s
+    SELECT vec_id, embedding AS ce, {_sql_band_cols('embedding')}
     FROM embeddings
 ),
 scored AS (
     SELECT q.query_id, c.vec_id AS neighbor_id,
            {_sql_cosine('qe', 'ce')} AS cosine
-    FROM q JOIN c ON q.s = c.s
+    FROM q JOIN c ON ({_sql_any_band('q', 'c')})
     WHERE q.query_id <> c.vec_id
 ),
 ranked AS (
@@ -446,7 +469,7 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_topk(queries, emb, k=10, planes=_PLANES)
+    return S.lsh_topk(queries, emb, k=10, planes=_PLANES, bands=_BANDS)
 
 
 # ---------------------------------------------------------------------------
