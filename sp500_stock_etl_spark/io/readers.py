@@ -36,12 +36,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as int64 (see session._RUNTIME_CONF);
-        # truncate to micros with integer division — matches how
-        # microsecond engines (DuckDB) read the same file.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = df.withColumn("ts", _normalize_event_ts(df.schema["ts"].dataType))
     return df
+
+
+def _normalize_event_ts(dtype: T.DataType) -> F.Column:
+    """events.ts arrives differently depending on how the generator
+    wrote it; normalize every variant to session-TZ TIMESTAMP (the
+    session is pinned UTC, so values are identical across variants):
+
+    - int64: TIMESTAMP(NANOS) read as long (see session._RUNTIME_CONF);
+      truncate to micros with integer division — matches how
+      microsecond engines (DuckDB) read the same file.
+    - timestamp_ntz: plain micros with isAdjustedToUTC=false; a bare
+      cast relabels the same micros value under the UTC session.
+    - timestamp: already the canonical type.
+    """
+    ts = F.col("ts")
+    if isinstance(dtype, T.LongType):
+        return F.expr("timestamp_micros(ts div 1000)")
+    if isinstance(dtype, T.TimestampNTZType):
+        return ts.cast("timestamp")
+    return ts
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -144,10 +144,11 @@ def srp_band_rows(
     planes: int,
     dims: int = 64,
 ) -> DataFrame:
-    """Explode a vector frame into one row per (band, band signature).
-    Band b uses global planes [b*planes, (b+1)*planes) — b independent
-    hash tables computed in a single map-side pass (no shuffle; the
-    downstream (band, sig) equi-join is the only exchange)."""
+    """Explode a vector frame into one row per (band, band signature),
+    CARRYING the vector. Band b uses global planes [b*planes,
+    (b+1)*planes) — b independent hash tables computed in a single
+    map-side pass. Kept for the scale probe; the query paths below use
+    srp_id_band_rows (no vector payload) + a score-once join-back."""
     entries = F.array(
         *[
             F.struct(
@@ -164,6 +165,72 @@ def srp_band_rows(
         F.col(vec_col).alias(vec_alias),
         F.explode(entries).alias("__band__"),
     ).select(id_alias, vec_alias, "__band__.band", "__band__.sig")
+
+
+def srp_signatures_arrow(bands: int, planes: int, dims: int = 64):
+    """All ``bands*planes`` SRP projections as ONE Arrow-batched matmul:
+    batch (n×dims) @ Wᵀ (dims×bands·planes) → sign bits → per-band bit
+    pack. Returns a pandas_udf mapping the vector column to
+    ``array<bigint>`` of length ``bands``.
+
+    Why not the Catalyst fold: ``srp_signature`` builds bands·planes
+    nested zip_with/aggregate HOFs over dims literals — ~2·bands·planes·
+    dims scalar expression evaluations per row, which measured ~4 s at
+    sf0.1 on the corpus side (round-3 verdict #1). The matmul is the
+    same arithmetic vectorized through BLAS.
+
+    Parity note: numpy's dot uses SIMD/pairwise summation while the
+    oracle folds sequentially; they can differ in the last ulp, so a
+    projection within ~1e-13 of zero could flip a sign bit vs DuckDB.
+    Measured floor on the testdata is |proj| ≥ 1.5e-5 (8 orders of
+    magnitude of margin) and tests/test_similarity_lsh.py pins
+    Arrow==Catalyst signature equality on real data; a production
+    corpus would re-run that probe."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.array(
+        [hyperplane_weights(p, dims) for p in range(bands * planes)],
+        dtype=np.float64,
+    )
+    bit_weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
+        bits = (x @ w.T > 0).reshape(len(v), bands, planes)
+        return pd.Series(list(bits @ bit_weights))
+
+    return _sigs
+
+
+def srp_id_band_rows(
+    df: DataFrame,
+    id_alias: str,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    planes: int,
+    dims: int = 64,
+    arrow: bool = True,
+) -> DataFrame:
+    """(id, band, sig) rows WITHOUT the vector — the bucket-join payload
+    is ~24 bytes/row instead of replicating the embedding per band.
+    ``arrow=False`` keeps the pure-Catalyst signature path (used by the
+    parity test and available for bitwise-oracle-critical runs)."""
+    if arrow:
+        sigs = srp_signatures_arrow(bands, planes, dims)(F.col(vec_col))
+    else:
+        sigs = F.array(
+            *[
+                srp_signature(F.col(vec_col), planes, dims, first_plane=b * planes)
+                for b in range(bands)
+            ]
+        )
+    return df.select(F.col(id_col).alias(id_alias), sigs.alias("__sigs__")).select(
+        id_alias, F.posexplode("__sigs__").alias("band", "sig")
+    )
 
 
 def lsh_topk(
@@ -187,23 +254,33 @@ def lsh_topk(
     scales with corpus size (``srp_params_for``) so expected bucket
     population is constant, and the recall the longer signature costs
     is bought back by OR-ing the b bands — exactly the MinHash-LSH
-    geometry (operators/dedup.py). Cost ∝ collisions in all bands;
-    a pair colliding in several bands is deduped by the group-by
-    (cosine is recomputed per collision, map-side, ≤ b× — cheaper
-    than re-joining vectors onto deduped id pairs)."""
-    q = srp_band_rows(queries, query_id, "__qvec__", query_id, vec_col, bands, planes)
-    c = srp_band_rows(corpus, corpus_id, "__cvec__", corpus_id, vec_col, bands, planes)
-    scored = (
-        F.broadcast(q)
-        .join(c, ["band", "sig"])
+    geometry (operators/dedup.py).
+
+    Round-3 verdict #1 restructure: the bucket join ships ONLY
+    (id, band, sig) rows — never the vectors — candidate pairs are
+    deduped FIRST (a pair colliding in several bands scores once, not
+    ≤b×), and the two vector tables are joined back once per distinct
+    pair. Pairs ∝ queries × bucket population, so both pair-side joins
+    broadcast; the corpus is scanned map-side, never shuffled."""
+    q_sig = srp_id_band_rows(queries, query_id, query_id, vec_col, bands, planes)
+    c_sig = srp_id_band_rows(corpus, corpus_id, corpus_id, vec_col, bands, planes)
+    pairs = (
+        F.broadcast(q_sig)
+        .join(c_sig, ["band", "sig"])
         .where(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id)
+        .distinct()
+    )
+    qv = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec__"))
+    cv = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec__"))
+    scored = (
+        cv.join(F.broadcast(pairs), corpus_id)
+        .join(F.broadcast(qv), query_id)
         .select(
             query_id,
             F.col(corpus_id).alias("neighbor_id"),
             cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cosine"),
         )
-        .groupBy(query_id, "neighbor_id")
-        .agg(F.min("cosine").alias("cosine"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -226,15 +303,32 @@ def cosine_neardup_pairs(
     of at least one band with overwhelming probability — and OR-ing
     bands makes that probability 1-(1-p^r)^b instead of p^r). Same
     scale rationale as lsh_topk: r from srp_params_for keeps bucket
-    population constant in N, bands keep recall."""
-    a = srp_band_rows(df, "id_a", "va", id_col, vec_col, bands, planes)
-    b = srp_band_rows(df, "id_b", "vb", id_col, vec_col, bands, planes)
-    return (
-        a.join(b, ["band", "sig"])
+    population constant in N, bands keep recall.
+
+    Same round-3 restructure as lsh_topk: the signature frame is
+    computed ONCE (tracked persist — both sides of the self-join read
+    it), the bucket self-join carries ids only, pairs are deduped, and
+    each distinct pair is scored exactly once via two id-equi-joins
+    back to the skinny (id, vec) table."""
+    from ..caching import track_persist
+
+    sig = track_persist(srp_id_band_rows(df, "__sid__", id_col, vec_col, bands, planes))
+    pairs = (
+        sig.select(F.col("__sid__").alias("id_a"), "band", "sig")
+        .join(sig.select(F.col("__sid__").alias("id_b"), "band", "sig"), ["band", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-        .groupBy("id_a", "id_b")
-        .agg(F.min("cosine").alias("cosine"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = df.select(F.col(id_col), F.col(vec_col))
+    return (
+        pairs.join(
+            v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__")), "id_a"
+        )
+        .join(
+            v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__")), "id_b"
+        )
+        .select("id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -26,7 +26,9 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # File-stream sources need an explicit schema (no inference at stream
-# planning time). events.ts arrives as int64 nanos (see io/readers.py).
+# planning time). Kept with ts as int64 nanos for tests that fabricate
+# raw landing files; read_event_stream adapts to whatever the landing
+# files actually contain.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -41,9 +43,18 @@ EVENTS_RAW = T.StructType(
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-stream source over the events parquet; one file today, a
-    landing directory in production — same plan either way."""
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    landing directory in production — same plan either way.
+
+    The stream schema comes from a batch footer peek of the landing
+    directory (streams can't infer), and ts is normalized to UTC
+    TIMESTAMP whether the generator wrote int64 nanos, plain-micros
+    timestamp_ntz, or canonical timestamp (io/readers.py has the
+    same ladder for the batch path)."""
+    from ..io.readers import _normalize_event_ts
+
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    return raw.withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
