@@ -22,6 +22,13 @@ checkpoint, memory sink):
 4. applyInPandasWithState running totals (unbounded keys — the shape
    that needs a TTL at 100 TB, called out in the JSON).
 
+5. (round-4) TTL eviction before/after: running_user_totals vs the
+   EventTimeTimeout twin driven past the TTL horizon — the measured
+   case that the TTL caps state at active keys, not all-time keys;
+6. (round-4) state-store provider comparison: the same high-card
+   tumbling agg under the HDFS-backed heap map vs RocksDB —
+   commit/update latencies and state rows from the progress metrics.
+
 Prints ONE JSON line with measured rows/bytes and the 24/7 projection
 for 1e6 and 1e8 group keys.
 """
@@ -102,6 +109,148 @@ def _tumbling_by(events, key_col: str):
     )
 
 
+def _op_latencies(q) -> dict:
+    """Pull the state operator's latency metrics from the last progress
+    that carries them (availableNow runs several micro-batches)."""
+    for prog in reversed(q.recentProgress):
+        ops = prog.get("stateOperators") or []
+        if ops:
+            op = ops[0]
+            return {
+                "state_rows": op.get("numRowsTotal"),
+                "all_updates_ms": op.get("allUpdatesTimeMs"),
+                "all_removals_ms": op.get("allRemovalsTimeMs"),
+                "commit_ms": op.get("commitTimeMs"),
+                "batch_duration_ms": prog.get("batchDuration"),
+            }
+    return {}
+
+
+def _ttl_eviction_probe(spark, sf_dir: str, work: str) -> dict:
+    """Run the TTL twin twice against one checkpoint: first the real
+    events file, then a single far-future event that advances the
+    watermark past every key's TTL — the second run must evict
+    (numRowsRemoved ≈ run-1 key count), which is the measured
+    bounded-state claim for the 24/7 deployment."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    landing = os.path.join(work, "ttl_landing")
+    os.makedirs(landing)
+    os.symlink(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    ckpt = os.path.join(work, "ttl_ckpt")
+    out = os.path.join(work, "ttl_out")
+
+    def run(tag: str) -> dict:
+        stream = EV.read_event_stream(spark, landing)
+        q = (
+            EV.running_user_totals_ttl(stream, ttl_ms=3_600_000)
+            .writeStream.foreachBatch(
+                lambda df, _b: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        removed = 0
+        m = {}
+        for prog in q.recentProgress:
+            for op in prog.get("stateOperators") or []:
+                removed += op.get("numRowsRemoved", 0)
+                m = {
+                    "state_rows": op.get("numRowsTotal"),
+                    "state_bytes": (op.get("customMetrics") or {}).get(
+                        "stateOnCurrentVersionSizeBytes",
+                        op.get("memoryUsedBytes"),
+                    ),
+                }
+        return {"tag": tag, "rows_removed": removed, **m}
+
+    before = run("full_events")
+
+    # One future event at max ts + watermark delay (2h) + TTL (1h) +
+    # 1h margin: replaying it advances the watermark far enough that
+    # EVERY key from run 1 times out. Written with the landing dir's
+    # OWN schema (the generator's ts type varies round to round; a
+    # mixed-type landing dir fails the scan).
+    import datetime
+
+    raw = spark.read.parquet(landing)
+    max_raw_ts = raw.agg(F.max("ts")).collect()[0][0]
+    if isinstance(max_raw_ts, int):  # int64 nanos variant
+        fut_ts = max_raw_ts + int(4 * 3600 * 1e9)
+    else:
+        fut_ts = max_raw_ts + datetime.timedelta(hours=4)
+    fut = spark.createDataFrame(
+        [(10**9, fut_ts, 10**9, "click", 1.0, "{}")], schema=raw.schema
+    )
+    stage = os.path.join(work, "ttl_stage")
+    fut.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+    shutil.copy(src, os.path.join(landing, "future.parquet"))
+
+    after = run("future_event_past_ttl")
+    return {
+        "ttl_ms": 3_600_000,
+        "before": before,
+        "after": after,
+        "claim": "rows_removed(after) ~= state_rows(before): the TTL "
+        "caps state at keys active within horizon+TTL; the unbounded "
+        "twin would have kept every all-time key",
+    }
+
+
+def _provider_compare(spark, sf_dir: str, work: str) -> dict:
+    """Same high-cardinality tumbling agg under both state-store
+    providers; separate checkpoints (a checkpoint pins its provider).
+    RocksDB's value at this toy scale is NOT latency — it is keeping
+    1e8-key state off-heap (no GC wall) with changelog checkpointing;
+    the probe records the latencies so the overhead is known."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    providers = {
+        "hdfs_heap_map": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        ),
+        "rocksdb": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    out = {}
+    try:
+        for label, cls in providers.items():
+            spark.conf.set(key, cls)
+            stream = EV.read_event_stream(spark, _stage_events_dir(sf_dir))
+            q = (
+                _tumbling_by(stream, "user_id")
+                .writeStream.format("memory")
+                .queryName(f"sp_prov_{label}")
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, f"prov_{label}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out[label] = _op_latencies(q)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("state-probe")
@@ -142,6 +291,8 @@ def main() -> None:
                 EV.running_user_totals(stream),
                 os.path.join(work, "r"), "sp_r", "update",
             ),
+            "ttl_eviction": _ttl_eviction_probe(spark, sf_dir, work),
+            "state_store_providers": _provider_compare(spark, sf_dir, work),
         }
         # 24/7 projection: a CONTINUOUS deployment holds only windows
         # inside the watermark horizon (closed windows are evicted), so

@@ -83,6 +83,48 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RocksDB state-store twin (round-2 verdict item 8): identical plan
+# and oracle to streaming_tumbling_counts, state kept in an embedded
+# RocksDB instead of the JVM-heap HDFS-backed map. At the 1e8-key
+# projection (BASELINE.md §4) the heap map's GC pressure is the
+# limiter; RocksDB keeps state off-heap with changelog checkpointing.
+# scripts/state_probe.py records commit/update latencies for both.
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@register(
+    "streaming_tumbling_counts_rocksdb",
+    _TUMBLING_ORACLE,
+    doc="streaming_tumbling_counts with the RocksDB state-store provider — "
+    "off-heap state for the 1e8-key 24/7 projection (SURVEY §2.11, "
+    "round-2 verdict item 8)",
+)
+def q_streaming_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        prev = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev = None
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+        out = _run_to_table(spark, SE.tumbling_counts(stream), "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
+    return out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        F.date_format("window_end", _TS_FMT).alias("window_end"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 # Each event lands in ceil(window/slide)=2 buckets: trunc(ts) and
 # trunc(ts)-1h. The oracle materializes exactly that assignment.
 _SLIDING_ORACLE = f"""
@@ -187,6 +229,25 @@ def q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(spark, SE.running_user_totals(stream), "update")
 
 
+@register(
+    "streaming_running_user_totals_ttl",
+    None,  # custom cross-batch state with TTL eviction, not SQL-expressible
+    doc="bounded-state twin of streaming_running_user_totals: "
+    "EventTimeTimeout evicts keys idle past the TTL, capping state at "
+    "active-key cardinality instead of all-time (round-2 verdict item 4); "
+    "rows-only driver check by design",
+)
+def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Under a single availableNow replay nothing times out (the
+    # watermark only advances between micro-batches), so the emitted
+    # totals equal the unbounded twin — tests/test_streaming.py drives
+    # the multi-run eviction path explicitly.
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    return _run_to_table(
+        spark, SE.running_user_totals_ttl(stream, ttl_ms=3_600_000), "update"
+    )
+
+
 # Stream-static join: the streaming fact enriched with a static
 # dimension — stateless, so availableNow + append emits every joined
 # row and the batch join IS the oracle. At scale the static side is
@@ -251,6 +312,44 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return _run_to_table(spark, deduped, "append")
+
+
+# Bounded-state dedup twin (round-2 verdict item 4, second half): the
+# dedup key carries its hour bucket and the stream is watermarked, so
+# dropDuplicatesWithinWatermark ages each key's dedup state out once
+# the watermark passes its bucket — state ∝ keys active inside the
+# horizon, not all-time distinct keys. Keying by (user, type, hour)
+# makes the bounded semantics EXACTLY SQL-expressible (distinct per
+# hour bucket): duplicates of one key are at most 1h apart, inside the
+# 2h horizon, so none can outlive the state that dedups them.
+_STREAM_DEDUP_TTL_ORACLE = f"""
+SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('hour', ts), '{_SQL_TS_FMT}') AS hour_start
+FROM events
+"""
+
+
+@register(
+    "streaming_dedup_keys_ttl",
+    _STREAM_DEDUP_TTL_ORACLE,
+    doc="bounded-state streaming dedup via dropDuplicatesWithinWatermark on "
+    "hour-bucketed keys; dedup state ages out at the watermark horizon "
+    "(SURVEY §2.11 ext, round-2 verdict item 4)",
+)
+def q_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    deduped = (
+        stream.withColumn("hour_start", F.date_trunc("hour", "ts"))
+        .withWatermark("hour_start", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_start"])
+        .select("user_id", "event_type", "hour_start")
+    )
+    out = _run_to_table(spark, deduped, "append")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("hour_start", _TS_FMT).alias("hour_start"),
+    )
 
 
 # Stream-stream inner join: two watermarked streams joined on an equi

@@ -125,13 +125,69 @@ def _running_totals(key, pdfs, state: GroupState):
 def running_user_totals(events: DataFrame) -> DataFrame:
     """applyInPandasWithState: arbitrary per-key state the built-in
     windows can't express (monotone running totals, emitted every
-    micro-batch)."""
+    micro-batch).
+
+    NoTimeout: state grows with ALL-TIME key cardinality — correct for
+    bounded replays (availableNow over a finite landing dir), a
+    scale-killer for 24/7 deployment. The bounded twin is
+    running_user_totals_ttl below."""
     return events.groupBy("user_id").applyInPandasWithState(
         _running_totals,
         outputStructType=_RUNNING_SCHEMA,
         stateStructType="n BIGINT, total DOUBLE",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_totals_ttl(
+    events: DataFrame, ttl_ms: int = 3_600_000, watermark: str = "2 hours"
+) -> DataFrame:
+    """Bounded-state twin of running_user_totals (round-2 verdict item
+    4): EventTimeTimeout evicts a user's state once the watermark
+    passes their last event by ``ttl_ms``. Totals RESTART after an
+    idle gap longer than the TTL — the deliberate semantics trade that
+    caps state at (keys active within horizon+TTL) × bytes/key instead
+    of all-time key cardinality. Event-time (not processing-time)
+    timeout so replays of the same files are deterministic.
+
+    Timeout mechanics: Spark invokes the function once per key with
+    ``state.hasTimedOut`` when the watermark passes the registered
+    timestamp and the key has no data in the batch — that invocation
+    removes the state and emits nothing. ``scripts/state_probe.py``
+    measures the before/after state rows; tests drive eviction across
+    checkpointed availableNow runs."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            # pandas datetime64[ns] → epoch ms
+            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n, total, last_ms))
+        # Must register strictly past the current watermark or Spark
+        # rejects the timestamp (the key would be already expired).
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType="n BIGINT, total DOUBLE, last_ms BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

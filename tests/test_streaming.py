@@ -202,6 +202,107 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     assert all(n == 1 for _, n in got2), got2
 
 
+def test_running_totals_ttl_evicts_idle_keys(spark, tmp_path):
+    """Bounded-state twin (round-2 verdict item 4): a user idle past
+    the event-time TTL is EVICTED once the watermark passes — and a
+    later event for that user restarts their totals from zero instead
+    of resuming. Driven across checkpointed availableNow runs, the
+    same multi-run shape as the late-data test above.
+
+    Timeline (TTL=1h, watermark delay=2h):
+      run1: u1@{1.0h,1.2h}, u2@1.5h  → totals u1=2, u2=1; wm stays 0
+      run2: u9@8h                     → wm advances to 6h; availableNow
+                                        runs a trailing no-data batch,
+                                        so u1/u2 (timeout 2.2h/2.5h)
+                                        are evicted within this run
+      run3: u8@9h                     → no u1/u2 rows re-emitted
+      run4: u1@9.5h                   → u1 restarts at n=1 (not 3)
+    """
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            [(i, int(h * 3600 * 1e9), u, "click", 1.0, "{}") for i, (u, h) in enumerate(rows)],
+            schema=SE.EVENTS_RAW,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"stage_{name}"))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / f"stage_{name}" / "*.parquet"))[0]
+        shutil.copy(src, str(landing / f"{name}.parquet"))
+
+    def run():
+        stream = SE.read_event_stream(spark, str(landing))
+        q = (
+            SE.running_user_totals_ttl(stream, ttl_ms=3_600_000)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        removed = 0
+        for prog in q.recentProgress:
+            for op in prog.get("stateOperators") or []:
+                removed += op.get("numRowsRemoved", 0)
+        return removed
+
+    write_batch([(1, 1.0), (1, 1.2), (2, 1.5)], "b1")
+    run()
+    got1 = {(r.user_id, r.n_events) for r in spark.read.parquet(out).collect()}
+    assert (1, 2) in got1 and (2, 1) in got1
+
+    write_batch([(9, 8.0)], "b2")
+    removed = run()
+
+    write_batch([(8, 9.0)], "b3")
+    removed += run()
+    assert removed >= 2, "u1/u2 state must be evicted once wm passes TTL"
+    rows3 = spark.read.parquet(out).collect()
+    # The timed-out invocation emits nothing: no new u1/u2 rows.
+    assert {(r.user_id, r.n_events) for r in rows3 if r.user_id == 1} == {(1, 2)}
+
+    write_batch([(1, 9.5)], "b4")
+    run()
+    u1_counts = sorted(
+        r.n_events for r in spark.read.parquet(out).collect() if r.user_id == 1
+    )
+    assert u1_counts == [1, 2], (
+        "post-eviction event must RESTART the total at 1, got %s" % u1_counts
+    )
+
+
+def test_running_totals_ttl_matches_unbounded_single_run(spark, sf_dir, event_stream, tmp_path):
+    """Under one availableNow replay nothing times out, so the TTL twin
+    emits exactly what the unbounded operator emits."""
+    SE.run_available_now(
+        SE.running_user_totals_ttl(event_stream, ttl_ms=3_600_000),
+        str(tmp_path / "ckpt_ttl"),
+        "t_state_ttl",
+        output_mode="update",
+    )
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) n_events FROM t_state_ttl GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_corpus_dedup_exactly_once(spark, tmp_path):
     """Re-running the streaming LSH corpus dedup against the SAME
     checkpoint re-processes nothing: the reference's PURGE=TRUE
