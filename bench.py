@@ -30,6 +30,12 @@ variants have something to be measured against:
 
 They are timed and reported under ``exhibits`` with a combined
 ``full_value``, but excluded from the headline number.
+
+Round-4 change (round-2 verdict item 6): the ngram exhibit runs at
+sf0.01 — its argument is the RATIO vs the bucketed/prefix plans at a
+common scale, not an absolute at the bench sf, and at sf0.1 its 27 s
+dominated ``full_value`` while saying nothing new. The JSON records
+the sf each exhibit ran at so the numbers are never cross-read.
 """
 
 from __future__ import annotations
@@ -100,10 +106,15 @@ def main() -> None:
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
 
+    # The quadratic exhibit is benched at sf0.01 (see module docstring);
+    # everything else at the bench sf.
+    exhibit_sf_override = {"dedup_ngram_jaccard": "/root/testdata/sf0.01"}
+
     def run_once(name: str) -> float:
         q = registry[name]
+        d = exhibit_sf_override.get(name, sf_dir)
         t0 = time.perf_counter()
-        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        q.spark_fn(spark, d).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
     # Recommended plans are timed best-of-2 (the host carries background
@@ -131,6 +142,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "exhibits": exhibit_timings,
+                "exhibit_sf": {
+                    n: exhibit_sf_override.get(n, sf_dir).rsplit("sf", 1)[-1]
+                    for n in exhibit_timings
+                },
                 "full_value": full,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

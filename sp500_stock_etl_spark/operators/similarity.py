@@ -371,6 +371,91 @@ def ivf_topk(
     )
 
 
+def ivf_cell_centroids(
+    corpus: DataFrame, vec_col: str = "embedding", coarse_col: str = "label"
+) -> DataFrame:
+    """Per-cell centroid DIRECTION vectors for nprobe ranking, as
+    elementwise integer sums: each element is quantized by
+    floor(x * 2^20) — a power-of-two scale, so the multiply is exact
+    in binary floating point and floor is engine-independent — then
+    summed as exact BIGINTs. Cosine is scale-invariant, so ranking
+    cells by cosine(query, sum) equals ranking by cosine(query, mean)
+    with NO float summation or division anywhere — the whole centroid
+    is bit-reproducible in any engine (the avg-of-floats alternative
+    depends on accumulation order).
+
+    One n·d-row exchange at build time; at 100 TB centroids are
+    computed once at corpus-write time and stored (k·d doubles), so a
+    probe reads them as a broadcast-sized side table."""
+    return (
+        corpus.select(coarse_col, F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .withColumn(
+            "qv", F.floor(F.col("val").cast("double") * F.lit(1048576.0)).cast("bigint")
+        )
+        .groupBy(coarse_col, "pos")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy(coarse_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("s")))),
+                lambda x: x["s"].cast("double"),
+            ).alias("cvec")
+        )
+    )
+
+
+def ivf_topk_nprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_col: str = "label",
+) -> DataFrame:
+    """IVF probe with a recall knob (round-3 verdict item 7): each
+    query scans its ``nprobe`` highest-affinity cells (affinity =
+    cosine to the cell centroid direction) instead of only its own
+    labeled cell. Candidates grow ∝ nprobe × cell size — the standard
+    IVF recall/cost dial; at 100 TB the per-cell scans stay
+    partition-pruned because the probe set is a broadcast-sized
+    (query, cell) pair list."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec__"))
+    cent = ivf_cell_centroids(corpus, vec_col, coarse_col)
+    w_aff = Window.partitionBy(query_id).orderBy(
+        F.col("__aff__").desc(), F.col(coarse_col)
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            query_id,
+            coarse_col,
+            cosine(F.col("__qvec__"), F.col("cvec")).alias("__aff__"),
+        )
+        .withColumn("rn", F.row_number().over(w_aff))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id, coarse_col)
+    )
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec__"), F.col(coarse_col))
+    scored = (
+        c.join(F.broadcast(probes), coarse_col)
+        .join(F.broadcast(q), query_id)
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
 def pandas_cosine(vec_a: Column, vec_b: Column) -> Column:
     """Arrow-batched cosine via a Pandas UDF — the documented escape
     hatch for embedding math the built-in HOFs can't express (matrix

@@ -666,6 +666,78 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, emb, k=10)
 
 
+# nprobe>1 recall knob (round-3 verdict item 7): rank cells by cosine
+# affinity to integer-quantized centroid DIRECTIONS (floor(x·2^20)
+# elementwise sums — exact power-of-two quantize + exact BIGINT sums,
+# so the centroid is bit-reproducible in DuckDB; cosine's scale
+# invariance makes sum ≡ mean for ranking), probe the top-2 cells per
+# query. An approximate operator with an exact oracle, like the SRP
+# path above.
+_IVF_NPROBE = 2
+
+_IVF_NPROBE_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+cent AS (
+    SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
+    FROM (
+        SELECT label, g.i AS pos,
+               CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                   * 1048576.0) AS BIGINT)) AS BIGINT) AS s
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        GROUP BY label, g.i
+    )
+    GROUP BY label
+),
+affinity AS (
+    SELECT q.query_id, cent.label,
+           {_sql_cosine('qe', 'cvec')} AS aff
+    FROM q CROSS JOIN cent
+),
+probed AS (
+    SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY aff DESC, label) AS rn
+        FROM affinity
+    ) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_cosine('qe', 'c.embedding')} AS cosine
+    FROM q
+    JOIN probed p ON q.query_id = p.query_id
+    JOIN embeddings c ON c.label = p.label
+    WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "similarity_ivf_topk_nprobe2",
+    _IVF_NPROBE_ORACLE,
+    doc="IVF ANN with nprobe=2: top-2 cells by centroid-direction cosine "
+    "affinity per query — the recall/cost dial (north star, round-3 "
+    "verdict item 7)",
+)
+def q_sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk_nprobe(queries, emb, k=10, nprobe=_IVF_NPROBE)
+
+
 # Iterative algorithm class (driver contract: non-SQL-expressible →
 # rows-only check): Lloyd's k-means over the embedding column. Each
 # iteration's input is the previous iteration's global state, which no

@@ -586,6 +586,51 @@ def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Money-typed twin of weighted_avg_pricing (round-3 verdict item 8):
+# the SURVEY §7.4 decimal-at-scale policy applied to the ratio family.
+# Per-column decision: qty (2 real dp) and price (2 real dp) carry
+# DECIMAL(18,4); their product is exact at 4 dp and is held at
+# DECIMAL(24,8) so the SUM — decimal, associative, fold-order-free —
+# is exact on any partitioning. The RATIO itself is deliberately NOT
+# emitted as decimal: decimal division scale/rounding is the one spot
+# where engines legitimately disagree (Spark picks quotient scale by
+# its own promotion rule, DuckDB by another), so the auditable exact
+# artifacts are numerator + denominator, and ratio consumers divide in
+# double (weighted_avg_pricing above) or in their ledger system.
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_AVG_DECIMAL_ORACLE = """
+SELECT l_returnflag,
+       CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4))
+                          * CAST(l_extendedprice AS DECIMAL(18,4))
+                          AS DECIMAL(24,8))) AS DECIMAL(38,8)) AS STRING)
+           AS sum_qty_price_dec,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS STRING)
+           AS sum_qty_dec,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "weighted_avg_pricing_decimal",
+    _WEIGHTED_AVG_DECIMAL_ORACLE,
+    doc="money-typed weighted-average twin: exact decimal numerator + "
+    "denominator, canonical decimal-string comparison; ratio left to "
+    "double-space consumers (SURVEY §7.4, round-3 verdict item 8)",
+)
+def q_weighted_avg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_price = (dec("l_quantity") * dec("l_extendedprice")).cast("decimal(24,8)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(qty_price).cast("decimal(38,8)").cast("string").alias("sum_qty_price_dec"),
+        F.sum(dec("l_quantity")).cast("decimal(28,4)").cast("string").alias("sum_qty_dec"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-shaped subquery batch (SURVEY §4.1 / §7.3 ext): the four
 # decorrelation patterns the first batch did not cover — EXISTS under
 # an aggregate (Q4), an outer join with a filtered ON clause feeding a

@@ -50,15 +50,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Explicit driver-facing ordering. The verify driver hash-checks the first
-# 50 registry entries against their DuckDB oracles. Round 3 ROTATES the
-# window (round-2 verdict item 1): a ~15-query core regression set that
-# covers every family stays pinned, and the remaining slots go to queries
-# that have never had a driver row (round-2 additions, TPC-H tail,
-# relational suites). Queries not listed here follow in
-# module-registration order; tests/test_oracle_parity.py still checks the
-# FULL registry every run, so rotation never un-verifies anything locally.
+# 50 registry entries against their DuckDB oracles. The window ROTATES
+# each round (round-2 verdict item 1): a ~15-query core regression set
+# covering every family stays pinned; round 4 gives the remaining slots
+# to (a) everything that has never had a driver row — including this
+# round's five new queries — and (b) the STALEST greens (r1-only, then
+# r2-only), so every registry query's driver evidence stays fresh.
+# Round-3's 34 first-row queries keep their r3 rows and remain covered
+# every run by tests/test_oracle_parity.py (full-registry parametrize),
+# so rotation never un-verifies anything locally.
 _PRIORITY: tuple[str, ...] = (
-    # --- Core regression set (one per family, all green in r01/r02) ---
+    # --- Core regression set (one per family) ---
     "flagship_window_metrics",  # reference flagship (windows W1-W3)
     "qa_aggregate",  # reference QA aggregate (A1-A5)
     "symbol_validation",  # reference validity predicates (P1-P8)
@@ -66,51 +68,54 @@ _PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_agg",  # warehouse bulk load + idempotent reload (K3)
     "topk_movers_per_day",  # global sort / top-k (O1-O3)
     "dedup_minhash_lsh",  # dedup family
-    "dedup_embedding_cosine",  # embedding near-dup (banded SRP this round)
-    "similarity_lsh_topk",  # ANN family (banded SRP this round)
+    "dedup_embedding_cosine",  # embedding near-dup (pair-dedup rework, r4)
+    "similarity_lsh_topk",  # ANN family (pair-dedup rework, r4)
     "text_quality_stats",  # text-analysis family
     "corpus_curation_pipeline",  # LLM-pipeline capstone
     "streaming_tumbling_counts",  # streaming family
     "multimodal_decode_dims",  # multimodal real-header decode
     "broadcast_star_join",  # join family
     "grouped_agg_pricing",  # grouped agg + rounding kernel
-    # --- New this round ---
-    "grouped_agg_pricing_decimal",  # decimal(18,4) money-typed twin
-    # --- Never driver-checked before round 3 ---
-    "dedup_prefix_jaccard",
-    "corpus_pii_redaction",
-    "corpus_decontamination",
-    "corpus_token_budget",
-    "corpus_balanced_sample",
-    "corpus_mix_sample",
-    "quote_feed_source_agg",
-    "streaming_quote_feed_agg",
-    "streaming_corpus_dedup",
-    "streaming_corpus_curation",
-    "tpch_q4_priority_exists",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_custdist",
-    "tpch_q19_disjunctive_join",
-    "tpch_q22_idle_segments",
-    "weighted_avg_pricing",
-    "percent_of_total",
-    "star_chain_q5",
-    "multimodal_video_decode",
-    "multimodal_audio_chunk_plan",
-    "multimodal_frame_sample",
-    "dq_violation_counts",
-    "dq_quarantine_rows",
-    "recursive_cte_calendar",
-    "variant_json_agg",
-    "asof_join_events",
-    "skew_salted_join",
-    "range_interval_join",
-    "exact_quantiles",
-    "string_functions_suite",
-    "window_navigation_suite",
-    "ranking_function_suite",
-    "conditional_agg_suite",
+    # --- Never driver-checked (round-4 additions + the last two
+    # --- stragglers; multimodal_decode_features and the running-totals
+    # --- TTL twin are rows-only by design) ---
+    "array_functions_suite",
+    "multimodal_decode_features",
+    "similarity_ivf_topk_nprobe2",
+    "weighted_avg_pricing_decimal",
+    "streaming_dedup_keys_ttl",
+    "streaming_tumbling_counts_rocksdb",
+    "streaming_running_user_totals_ttl",
+    # --- Stalest greens: r1-only rows (no driver row since round 1) ---
+    "cube_agg",
+    "semi_join_customers",
+    "anti_join_customers",
+    "ranking_top3_per_flag",
+    "rolling_avg_sma7",
+    "set_ops_cohorts",
+    "pivot_event_counts",
+    "correlated_subqueries",
+    "grouped_map_value_diff",
+    "cross_join_dims",
+    "unpivot_order_metrics",
+    "udtf_split_sentences",
+    "left_outer_enrichment",
+    "full_outer_reconciliation",
+    "null_safe_join",
+    # --- r2-only rows (no driver row since round 2) ---
+    "dedup_exact",
+    "dedup_simhash",
+    "similarity_ivf_topk",
+    "similarity_join_corpus",
+    "text_lang_id",
+    "doc_fingerprint",
+    "kmeans_embedding_clusters",
+    "streaming_sliding_sums",
+    "session_window_agg",
+    "streaming_static_enrich",
+    "streaming_dedup_keys",
+    "streaming_stream_stream_join",
+    "multimodal_metadata_agg",
 )
 
 

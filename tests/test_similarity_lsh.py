@@ -75,6 +75,38 @@ def test_topk_matches_score_per_collision_layout(spark, sf_correct):
     assert sorted(map(tuple, new)) == sorted(map(tuple, old))
 
 
+def test_ivf_nprobe_recall_lift(spark, sf_correct):
+    """nprobe=2 must recall strictly more true (brute-force) top-10
+    neighbors than nprobe=1 — the measured case for the recall/cost
+    dial. Absolute recall is capped low here by the DATA, not the
+    operator: the synthetic labels are nearly uncorrelated with cosine
+    geometry (within-label mean cos 0.0016 vs 0.0003 across), so the
+    probe-the-top-c-cells ceiling is c/10 of the corpus — and the
+    implementation hits exactly that ceiling (measured 0.16/0.32 at
+    sf0.01), i.e. cell ranking is as good as the quantizer allows."""
+    from sp500_stock_etl_spark.io.readers import load_table
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(queries, emb, k=10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk_nprobe(queries, emb, k=10, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 > r1, (r1, r2)
+    assert r2 >= 1.5 * r1, (r1, r2)
+
+
 def test_bucket_join_ships_no_vectors(spark, sf_correct):
     """The candidate-pair subplan's join payload is ids+band+sig only:
     no array column appears below the pair distinct."""
