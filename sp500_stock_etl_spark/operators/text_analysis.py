@@ -100,3 +100,104 @@ def fingerprint(text_col: Column, prefix_chars: int = 64) -> Column:
 
 def prefix_fingerprint(text_col: Column, prefix_chars: int = 64) -> Column:
     return F.md5(F.substring(norm_text(text_col), 1, prefix_chars))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-token-budget training chunks with
+    overlap (chunk i covers whitespace tokens [i*stride, i*stride +
+    chunk_tokens)): the context-window preparation step of an LLM data
+    pipeline. Chunk starts come from one in-plan `sequence` per row —
+    no UDF, no shuffle; the explode multiplies rows ∝ doc length /
+    stride, which is the output size itself, so the plan stays
+    map-side at any corpus scale. Empty docs yield no chunks.
+
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text,
+    chunk_fingerprint) — the fingerprint feeds straight into the exact
+    dedup family (operators/dedup.py) so near-identical strided chunks
+    dedupe before training."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    staged = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks__"))
+        .withColumn("__n__", F.size("__toks__"))
+        .where((F.col("__n__") > 0) & (F.element_at("__toks__", 1) != ""))
+    )
+    starts = F.sequence(F.lit(0), F.col("__n__") - 1, F.lit(stride))
+    chunked = staged.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_id", "__start__"),
+        F.col("__toks__"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.slice(F.col("__toks__"), F.col("__start__") + 1, chunk_tokens).alias(
+            "__chunk__"
+        ),
+    )
+    chunk_text = F.concat_ws(" ", F.col("__chunk__"))
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size("__chunk__").cast("bigint").alias("n_chunk_tokens"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_fingerprint"),
+    )
+
+
+def boilerplate_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """C4-style boilerplate detection: a LINE appearing (normalized)
+    in >= min_df distinct documents is boilerplate (nav bars, cookie
+    banners, license footers); each doc reports how much of it is
+    boilerplate. Two shuffles, both on md5(line) — the line text never
+    shuffles: (1) distinct (doc, line-hash) -> line document
+    frequency; (2) per-doc roll-up. At 100 TB the line-frequency table
+    is the only global state and it is pruned by min_line_chars before
+    the exchange.
+
+    Output: (doc_id, n_lines, n_boiler_lines, boiler_ratio)."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"\n")).alias("__line__"),
+        )
+        .select(
+            id_col,
+            F.trim(F.regexp_replace(F.lower("__line__"), r"\s+", " ")).alias(
+                "__line__"
+            ),
+        )
+        .where(F.length("__line__") >= min_line_chars)
+        .select(id_col, F.md5("__line__").alias("line_hash"))
+    )
+    per_doc_line = lines.distinct()
+    line_df = per_doc_line.groupBy("line_hash").agg(
+        F.count(F.lit(1)).alias("line_doc_freq")
+    )
+    return (
+        lines.join(line_df, "line_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(F.col("line_doc_freq") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_boiler_lines"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.col("n_boiler_lines").cast("double") / F.col("n_lines").cast("double"),
+        )
+    )

@@ -1342,3 +1342,114 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("bucket_tokens").over(W.partitionBy()).cast("double")
         ).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (round-4 extension): fixed-token-budget
+# chunks with strided overlap — the training-batch preparation step.
+# One in-plan `sequence` + explode per doc; output rows ∝ corpus
+# tokens / stride, the plan is pure map-side (PLANS.md). The oracle
+# rebuilds every chunk with generate_series + list_slice.
+# ---------------------------------------------------------------------------
+
+
+def _sql_chunks(size: int, stride: int) -> str:
+    """CTE text producing (doc_id, chunk_id, chunk list) at the given
+    geometry over `documents` — mirrors operators/text_analysis.
+    chunk_documents token for token."""
+    return f"""
+tokd AS (
+    SELECT doc_id, string_split({sql_norm_text('text')}, ' ') AS toks
+    FROM documents
+    WHERE length({sql_norm_text('text')}) > 0
+),
+chunked AS (
+    SELECT doc_id,
+           CAST(s / {stride} AS BIGINT) AS chunk_id,
+           list_slice(toks, s + 1, s + {size}) AS chunk
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, {stride})) AS s
+        FROM tokd
+    )
+)"""
+
+
+_CHUNKING_ORACLE = f"""
+WITH {_sql_chunks(64, 48)}
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text,
+       md5(array_to_string(chunk, ' ')) AS chunk_fingerprint
+FROM chunked
+"""
+
+
+@register(
+    "corpus_chunking",
+    _CHUNKING_ORACLE,
+    doc="context-window chunking: 64-token chunks, stride 48 (overlap 16) — "
+    "training-batch prep, pure map-side sequence+explode (north star, r4)",
+)
+def q_corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TA.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate segments (round-4 extension): a non-overlapping 32-token
+# segment recurring in >= 3 DISTINCT documents is boilerplate (the C4
+# line-frequency rule, applied to token segments because the synthetic
+# docs are single-line; operators/text_analysis.boilerplate_line_stats
+# is the newline-corpus variant, unit-tested on fabricated multi-line
+# docs). Two md5-keyed shuffles; segment text never shuffles.
+# ---------------------------------------------------------------------------
+
+_BOILER_ORACLE = f"""
+WITH {_sql_chunks(32, 32)},
+segs AS (
+    SELECT doc_id, md5(array_to_string(chunk, ' ')) AS seg_hash FROM chunked
+),
+seg_df AS (
+    SELECT seg_hash, count(DISTINCT doc_id) AS seg_doc_freq
+    FROM segs GROUP BY seg_hash
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN d.seg_doc_freq >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler_segments,
+       CAST(sum(CASE WHEN d.seg_doc_freq >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS boiler_ratio
+FROM segs s JOIN seg_df d USING (seg_hash)
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "corpus_boilerplate_segments",
+    _BOILER_ORACLE,
+    doc="boilerplate detection: 32-token segments recurring in >=3 distinct "
+    "docs; per-doc boilerplate ratio (C4 rule on segments; north star, r4)",
+)
+def q_corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = TA.chunk_documents(docs, chunk_tokens=32, stride=32).select(
+        "doc_id", F.col("chunk_fingerprint").alias("seg_hash")
+    )
+    seg_df = segs.groupBy("seg_hash").agg(
+        F.count_distinct("doc_id").alias("seg_doc_freq")
+    )
+    boiler = F.when(F.col("seg_doc_freq") >= 3, F.lit(1)).otherwise(F.lit(0))
+    return (
+        segs.join(seg_df, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(boiler).cast("bigint").alias("n_boiler_segments"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.col("n_boiler_segments").cast("double")
+            / F.col("n_segments").cast("double"),
+        )
+    )
