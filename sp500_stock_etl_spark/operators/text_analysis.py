@@ -201,3 +201,55 @@ def boilerplate_line_stats(
             F.col("n_boiler_lines").cast("double") / F.col("n_lines").cast("double"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    budget: int = 256,
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-budget
+    training sequences: within each group (ordered by id) a doc joins
+    the current bin unless it would overflow ``budget``, else it opens
+    the next bin; an oversized doc gets its own bin. This is the
+    context-window packing step after chunking/tokenization.
+
+    The fold is INHERENTLY sequential per group — each placement
+    depends on the running fill — i.e. exactly the documented Arrow
+    escape hatch (SURVEY §2.12): one applyInPandas pass per group, no
+    per-row Python. At 100 TB packing runs per shard/group by design
+    (a global greedy order would serialize the pipeline), so group
+    cardinality bounds parallelism, not correctness. The registry
+    oracle replays the same fold as a DuckDB recursive CTE."""
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, {id_col} bigint, "
+        f"{weight_col} bigint, bin_id bigint"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        b, fill = 0, 0
+        for w in pdf[weight_col]:
+            w = int(w)
+            if fill > 0 and fill + w > budget:
+                b, fill = b + 1, w
+            else:
+                fill += w
+            bins.append(b)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                id_col: pdf[id_col],
+                weight_col: pdf[weight_col],
+                "bin_id": bins,
+            }
+        )
+
+    return df.select(group_col, id_col, weight_col).groupBy(group_col).applyInPandas(
+        pack, out_schema
+    )

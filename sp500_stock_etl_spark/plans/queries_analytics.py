@@ -457,3 +457,46 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("hour_sum", ignorenulls=True).over(w).cast("double").alias("filled_sum"),
         F.col("hour_sum").isNull().alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2-style history intervals (round-4 ext): each event becomes a
+# validity interval [ts, next ts) per user — the slowly-changing-
+# dimension type-2 layout every warehouse derives from a change
+# stream. One window pass; the shuffle key (user_id) is the same as
+# the downstream as-of join family, so the exchange is reusable.
+# Microsecond-exact interval bounds on both engines.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BOOLEAN) AS is_current
+FROM events
+"""
+
+
+@register(
+    "scd2_event_history",
+    _SCD2_ORACLE,
+    doc="SCD2 validity intervals from a change stream: [ts, lead(ts)) per "
+    "user, NULL-open current row (SURVEY §2.5 ext, r4)",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    nxt = F.lead("ts", 1).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -1453,3 +1453,59 @@ def q_corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_segments").cast("double"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (round-4 extension): docs → fixed-budget
+# training sequences. The per-group fold is inherently sequential
+# (each placement depends on the running fill), so the Spark side is
+# the documented applyInPandas escape hatch; the oracle replays the
+# identical fold as a DuckDB recursive CTE — an exact oracle for a
+# non-window-expressible computation.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+_PACKING_ORACLE = f"""
+WITH RECURSIVE ordered AS (
+    SELECT lang, doc_id, n,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM (
+        SELECT lang, doc_id,
+               len(string_split({sql_norm_text('text')}, ' ')) AS n
+        FROM documents
+    )
+),
+packed AS (
+    SELECT lang, doc_id, n, rn, 0 AS bin_id, n AS fill
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.lang, o.doc_id, o.n, o.rn,
+           CASE WHEN p.fill + o.n > {_PACK_BUDGET}
+                THEN p.bin_id + 1 ELSE p.bin_id END,
+           CASE WHEN p.fill + o.n > {_PACK_BUDGET}
+                THEN o.n ELSE p.fill + o.n END
+    FROM packed p
+    JOIN ordered o ON o.lang = p.lang AND o.rn = p.rn + 1
+)
+SELECT lang, doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(bin_id AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
+@register(
+    "corpus_sequence_packing",
+    _PACKING_ORACLE,
+    doc="greedy fixed-budget sequence packing per language (applyInPandas "
+    "sequential fold; recursive-CTE oracle) (north star, r4)",
+)
+def q_corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return TA.pack_sequences(
+        docs, group_col="lang", id_col="doc_id",
+        weight_col="n_tokens", budget=_PACK_BUDGET,
+    )
