@@ -248,6 +248,16 @@ def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: streaming/events.py also implements the Spark 4
+# transformWithStateInPandas successor (running_user_totals_tws —
+# typed ValueState, first-class TTL, RocksDB-backed). It is NOT
+# registered as a driver query: the TWS Python<->JVM state protocol
+# needs google.protobuf, which this container lacks (pip installs are
+# out of scope), so the operator is environment-gated —
+# tests/test_streaming.py skips it cleanly when the import is broken
+# and verifies batch-equality where it works.
+
+
 # Stream-static join: the streaming fact enriched with a static
 # dimension — stateless, so availableNow + append emits every joined
 # row and the batch join IS the oracle. At scale the static side is

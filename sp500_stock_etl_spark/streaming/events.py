@@ -206,3 +206,48 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_totals_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` version of the running
+    totals: the successor API to applyInPandasWithState — typed state
+    handles (ValueState here; List/MapState for bigger shapes), state
+    TTL as a first-class argument instead of hand-rolled timeout
+    bookkeeping, and RocksDB-only state storage (the session conf is
+    set by the caller; queries_streaming wires it with save/restore).
+    Same output contract as running_user_totals, so the two APIs are
+    directly comparable in tests."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

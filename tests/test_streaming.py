@@ -303,6 +303,54 @@ def test_running_totals_ttl_matches_unbounded_single_run(spark, sf_dir, event_st
     assert got == want
 
 
+def test_running_totals_transform_with_state(spark, sf_dir, events_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas (typed ValueState, RocksDB
+    provider) must produce the same final totals as the
+    applyInPandasWithState operator and the batch aggregate.
+
+    Environment-gated: the TWS state protocol speaks protobuf between
+    the Python state client and the JVM state server; this container's
+    google.protobuf is broken, so the test (and the operator) skip
+    where the import fails rather than shipping a query that can only
+    crash."""
+    pytest.importorskip("google.protobuf.descriptor")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        SE.run_available_now(
+            SE.running_user_totals_tws(SE.read_event_stream(spark, events_dir)),
+            str(tmp_path / "ckpt_tws"),
+            "t_state_tws",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) n_events FROM t_state_tws GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_corpus_dedup_exactly_once(spark, tmp_path):
     """Re-running the streaming LSH corpus dedup against the SAME
     checkpoint re-processes nothing: the reference's PURGE=TRUE
