@@ -102,13 +102,17 @@ _PRIORITY: tuple[str, ...] = (
     "left_outer_enrichment",
     "full_outer_reconciliation",
     "null_safe_join",
-    # --- r2-only rows (no driver row since round 2) ---
+    # --- New round-4 operators (first driver rows) ---
+    "corpus_chunking",
+    "corpus_boilerplate_segments",
+    "corpus_sequence_packing",
+    "scd2_event_history",
+    # --- r2-only rows (no driver row since round 2; the four swapped
+    # --- out for the new operators — dedup_simhash, similarity_ivf_topk,
+    # --- text_lang_id, doc_fingerprint — keep their r2 rows and stay
+    # --- pytest-checked every run) ---
     "dedup_exact",
-    "dedup_simhash",
-    "similarity_ivf_topk",
     "similarity_join_corpus",
-    "text_lang_id",
-    "doc_fingerprint",
     "kmeans_embedding_clusters",
     "streaming_sliding_sums",
     "session_window_agg",
