@@ -829,3 +829,139 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q10_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation batch 3 (round 4): the remaining classic
+# optimizer shapes — Q15 (agg view + scalar-max equality), Q17
+# (correlated scalar avg subquery against the outer row), Q18 (IN over
+# a grouped HAVING subquery), Q21 (EXISTS + NOT EXISTS both correlated
+# to the same fact, adapted to this schema's lateness predicate since
+# the synthetic lineitem has no commit/receipt dates). One portable
+# SQL text per query is both the Spark plan (spark.sql) and the DuckDB
+# oracle. Determinism: every money sum goes through exact
+# DECIMAL(18,4) before its terminal DOUBLE cast; quantity sums are
+# integral doubles cast BIGINT; avg() operands are integral so the
+# double sum is fold-order-free below 2^53.
+# ---------------------------------------------------------------------------
+
+_TPCH_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register(
+    "tpch_q15_top_supplier",
+    _TPCH_Q15_SQL,
+    doc="TPC-H Q15 shape: aggregated revenue view + scalar-max equality "
+    "(exact-decimal revenue so the max tie is engine-stable) (SURVEY §4.1)",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q15_SQL)
+
+
+_TPCH_Q17_SQL = """
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(7.0 AS DOUBLE) AS DOUBLE) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND p.p_size < 15
+  AND l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register(
+    "tpch_q17_small_quantity",
+    _TPCH_Q17_SQL,
+    doc="TPC-H Q17 shape: correlated scalar avg subquery on the probe's own "
+    "part — small-quantity revenue (avg over integral doubles is "
+    "fold-order-free) (SURVEY §4.1)",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q17_SQL)
+
+
+_TPCH_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_odate,
+       o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@register(
+    "tpch_q18_large_orders",
+    _TPCH_Q18_SQL,
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery feeding a "
+    "three-way join rollup (large-volume customers) (SURVEY §4.1)",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q18_SQL)
+
+
+_TPCH_Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    _TPCH_Q21_SQL,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS both correlated to the same "
+    "fact (sole-late-supplier in multi-supplier orders; lateness adapted to "
+    "l_shipdate vs o_orderdate — this schema has no commit/receipt dates) "
+    "(SURVEY §4.1)",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q21_SQL)
