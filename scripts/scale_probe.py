@@ -132,6 +132,55 @@ def main() -> None:
         }), flush=True)
 
     srp_banding_probe(spark, sf_dir, n)
+    lsh_topk_runtime_probe(spark, sf_dir, n)
+
+
+def lsh_topk_runtime_probe(spark, sf_dir: str, n: int) -> None:
+    """Wall-clock for the round-4 pair-dedup-then-score lsh_topk at 1×
+    vs N× corpus (rotated replicas — independent vectors, see
+    srp_banding_probe). The claim under test: with signatures one
+    Arrow matmul and the bucket join carrying ids only, runtime tracks
+    candidate collisions (∝ N at scaled r), not corpus × signature
+    cost — the regression the round-3 layout had."""
+    from sp500_stock_etl_spark.operators.similarity import lsh_topk, srp_params_for
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def rotated(k: int) -> DataFrame:
+        copies = []
+        for i in range(k):
+            shift = i % 63 + 1 if i else 0
+            c = emb.select(
+                (F.col("vec_id") + F.lit(i * 100_000_000)).alias("vec_id"),
+                (
+                    F.concat(
+                        F.slice("embedding", shift + 1, 64 - shift),
+                        F.slice("embedding", 1, shift),
+                    )
+                    if shift
+                    else F.col("embedding")
+                ).alias("embedding"),
+            )
+            copies.append(c)
+        return reduce(lambda a, b: a.unionByName(b), copies)
+
+    n_1x = emb.count()
+    out = {"probe": "lsh_topk_runtime", "sf_dir": sf_dir, "n": n,
+           "n_vectors_1x": n_1x, "n_vectors_nx": n_1x * n}
+    for scale, k in (("1x", 1), ("nx", n)):
+        corpus = rotated(k)
+        queries = corpus.where(F.col("vec_id") % 100 == 0).where(
+            F.col("vec_id") < 1_000_000
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        r = srp_params_for(n_1x * k)
+        best = None
+        for _ in range(2):
+            t = timed(lsh_topk(queries, corpus, k=10, planes=r, bands=4))
+            best = t if best is None else min(best, t)
+        out[f"sec_{scale}"] = best
+        out[f"r_{scale}"] = r
+    out["ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    print(json.dumps(out), flush=True)
 
 
 def srp_banding_probe(spark, sf_dir: str, n: int) -> None:
