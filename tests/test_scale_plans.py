@@ -143,3 +143,38 @@ def test_no_pathological_plans_anywhere(spark, sf_dir):
         if "BatchEvalPython" in plan:
             bad.append((name, "BatchEvalPython (row-at-a-time Python)"))
     assert not bad, bad
+
+
+def test_chunking_plan_is_shuffle_free(spark, sf_dir):
+    """corpus_chunking must stay pure map-side: sequence+explode, no
+    Exchange of any kind — the property that keeps it embarrassingly
+    parallel at any corpus size."""
+    plan = _plan(all_queries()["corpus_chunking"].spark_fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_boilerplate_plan_shuffles_hashes_only(spark, sf_dir):
+    """corpus_boilerplate_segments may shuffle, but only md5 segment
+    hashes + ids — the segment/document TEXT must be pruned before
+    every exchange (ReadSchema keeps text at the scan; no string
+    column wider than the hash crosses an Exchange)."""
+    df = all_queries()["corpus_boilerplate_segments"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" in plan
+    # The final output carries no text column at all.
+    assert all(
+        f.name in {"doc_id", "n_segments", "n_boiler_segments", "boiler_ratio"}
+        for f in df.schema.fields
+    )
+
+
+def test_packing_plan_single_arrow_group_pass(spark, sf_dir):
+    """corpus_sequence_packing is one FlatMapGroupsInPandas over the
+    group key — exactly one grouped Python pass, no second shuffle."""
+    import re
+
+    plan = _plan(all_queries()["corpus_sequence_packing"].spark_fn(spark, sf_dir))
+    # Count operator-detail headers — the formatted dump names each
+    # node once in the tree and once in the details.
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
