@@ -548,3 +548,67 @@ def prefix_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(cand, shingled, threshold)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve dedup PAIRS into dedup CLUSTERS: connected components
+    over the pair graph, component id = min node id. This is the step
+    between pair generation (MinHash/SimHash/prefix-Jaccard/embedding
+    buckets above) and the keep-one-per-cluster policy — pairs alone
+    over-delete when A~B and B~C but A!~C.
+
+    Algorithm: iterative min-label propagation (the iterative-
+    algorithm class, like operators/clustering.kmeans_lloyd): each
+    round every node takes min(own label, neighbors' labels); rounds
+    needed = graph diameter, which for near-dup clusters is small. The
+    per-round plan is one join + one groupBy on node ids (never
+    payloads); the driver sees only the single convergence COUNT per
+    round — no data is collected. Every round the label frame is
+    eagerly localCheckpoint-ed: caching alone keeps the DATA but lets
+    the logical plan nest one join deeper per round, and Catalyst
+    re-analysis of that tower goes super-linear (measured: a 10-round
+    path graph OOMs the driver without truncation). Lineage
+    truncation, not caching, is what makes iterative DataFrame
+    algorithms viable — on a cluster use checkpoint() to reliable
+    storage for fault tolerance instead.
+
+    Output: (node, component) for every node that appears in an edge.
+    """
+    sym = track_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        step = (
+            labels.join(neighbor_min, labels.node == F.col("a"), "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()  # eager: truncates lineage, materializes once
+        )
+        changed = step.where(F.col("comp") != F.col("old_comp")).count()
+        labels = step.select("node", "comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))

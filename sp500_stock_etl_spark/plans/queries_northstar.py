@@ -1509,3 +1509,71 @@ def q_corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, group_col="lang", id_col="doc_id",
         weight_col="n_tokens", budget=_PACK_BUDGET,
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-cluster resolution (round-4 extension): pairs → components.
+# The pair graph links orig → first copy → second copy as a CHAIN
+# (consecutive ids within each fingerprint group), so min-label
+# propagation genuinely has to walk diameter 2 — while the oracle can
+# state the fixpoint directly (component = group-min over the
+# fingerprint partition). An exact oracle for an iterative algorithm.
+# ---------------------------------------------------------------------------
+
+_CC_OFFSET_B, _CC_OFFSET_C = 20_000_000, 30_000_000
+
+_CC_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_CC_OFFSET_B} AS doc_id, text
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + {_CC_OFFSET_C} AS doc_id, text
+    FROM documents WHERE doc_id % 6 = 0
+),
+fp AS (
+    SELECT doc_id, md5({sql_norm_text('text')}) AS f FROM base
+),
+counted AS (
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY f) AS c,
+           min(doc_id) OVER (PARTITION BY f) AS m
+    FROM fp
+)
+SELECT doc_id AS node, CAST(m AS BIGINT) AS component
+FROM counted WHERE c >= 2
+"""
+
+
+@register(
+    "dedup_connected_components",
+    _CC_ORACLE,
+    doc="dedup pairs -> clusters via min-label-propagation connected "
+    "components (iterative class, like kmeans, but with an exact "
+    "fixpoint oracle); chain edges force diameter-2 walks (north star, r4)",
+)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + _CC_OFFSET_B).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + _CC_OFFSET_C).alias("doc_id"), "text"
+            )
+        )
+    )
+    fp = base.select("doc_id", F.md5(norm_text(F.col("text"))).alias("f"))
+    w = W.partitionBy("f").orderBy("doc_id")
+    edges = (
+        fp.withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return D.connected_components(edges)
