@@ -500,3 +500,66 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, fmt).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlier fences + winsorization (round-4 ext): Tukey fences
+# [q1 - 1.5·IQR, q3 + 1.5·IQR] per group, then outlier counts and a
+# winsorized (clamped) sum — the numeric-feature cleaning step of a
+# training pipeline. Determinism: quantiles at .25/.75 over the
+# INTEGRAL l_quantity interpolate on binary fractions, so q1/q3 land
+# on the exact .25 grid, the 1.5·IQR arithmetic stays on the .125
+# grid, and every clamped value sums exactly in double. Plan: one
+# skinny fence aggregate broadcast back onto the fact scan — two
+# passes over the group, no row ever carries more than its own value.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_FENCE_ORACLE = """
+WITH fences AS (
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q1,
+           quantile_cont(l_quantity, 0.75) AS q3
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       f.q1, f.q3,
+       f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
+       f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l.l_quantity < f.q1 - 1.5 * (f.q3 - f.q1)
+                       OR l.l_quantity > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       sum(greatest(f.q1 - 1.5 * (f.q3 - f.q1),
+                    least(f.q3 + 1.5 * (f.q3 - f.q1), l.l_quantity)))
+           AS winsorized_qty_sum
+FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+GROUP BY l.l_returnflag, f.q1, f.q3
+"""
+
+
+@register(
+    "feature_outlier_fences",
+    _OUTLIER_FENCE_ORACLE,
+    doc="Tukey-fence outlier counts + winsorized sum per group (numeric "
+    "feature cleaning; binary-fraction quantiles keep bit parity) "
+    "(SURVEY §2.8 ext, r4)",
+)
+def q_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    fences = li.groupBy("l_returnflag").agg(
+        F.percentile(q, 0.25).alias("q1"),
+        F.percentile(q, 0.75).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    joined = li.join(F.broadcast(fences), "l_returnflag")
+    return joined.groupBy("l_returnflag", "q1", "q3").agg(
+        F.first(lo).alias("lo_fence"),
+        F.first(hi).alias("hi_fence"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when((q < lo) | (q > hi), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.sum(F.greatest(lo, F.least(hi, q))).alias("winsorized_qty_sum"),
+    )
