@@ -897,3 +897,153 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("forecast_revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SMA crossover signals (round-4 ext): the reference's own analytics
+# domain — fast/slow moving-average golden/death crosses per symbol.
+# Pure windows over one shuffle (both SMAs + the lag share the same
+# partition/order). Determinism: each SMA is an exact decimal window
+# sum cast to double over a ROWS frame (the rolling_avg_sma7 recipe),
+# so the sign tests compare bit-identical doubles on both engines.
+# ---------------------------------------------------------------------------
+
+_SMA_FAST, _SMA_SLOW = 5, 20
+
+_CROSSOVER_ORACLE = f"""
+WITH priced AS (
+    SELECT l_partkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
+           l_orderkey AS order_key, l_linenumber AS line_number,
+           l_extendedprice AS close
+    FROM lineitem
+),
+sma AS (
+    SELECT symbol, trade_date, order_key, line_number,
+           CAST(sum(CAST(close AS DECIMAL(18,4))) OVER wf AS DOUBLE)
+               / count(*) OVER wf AS sma_fast,
+           CAST(sum(CAST(close AS DECIMAL(18,4))) OVER ws AS DOUBLE)
+               / count(*) OVER ws AS sma_slow
+    FROM priced
+    WINDOW wf AS (PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+                  ROWS BETWEEN {_SMA_FAST - 1} PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+                  ROWS BETWEEN {_SMA_SLOW - 1} PRECEDING AND CURRENT ROW)
+),
+diffed AS (
+    SELECT symbol, trade_date, order_key, line_number, sma_fast, sma_slow,
+           sma_fast - sma_slow AS d,
+           lag(sma_fast - sma_slow) OVER (
+               PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+           ) AS prev_d
+    FROM sma
+)
+SELECT symbol, trade_date, order_key, line_number, sma_fast, sma_slow,
+       CASE WHEN prev_d <= 0 AND d > 0 THEN 'golden_cross'
+            ELSE 'death_cross' END AS signal
+FROM diffed
+WHERE (prev_d <= 0 AND d > 0) OR (prev_d >= 0 AND d < 0)
+"""
+
+
+@register(
+    "sma_crossover_signals",
+    _CROSSOVER_ORACLE,
+    doc="fast/slow SMA golden/death crossover detection per symbol — the "
+    "reference's analytics domain, pure windows, one shuffle "
+    "(SURVEY §2.5 ext, r4)",
+)
+def q_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    priced = li.select(
+        F.col("l_partkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("trade_date"),
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_extendedprice").alias("close"),
+    )
+    order = ["trade_date", "order_key", "line_number"]
+    base = Window.partitionBy("symbol").orderBy(*order)
+    wf = base.rowsBetween(-(_SMA_FAST - 1), Window.currentRow)
+    ws = base.rowsBetween(-(_SMA_SLOW - 1), Window.currentRow)
+
+    def sma(w):
+        return F.sum(dec("close")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+
+    diffed = (
+        priced.withColumn("sma_fast", sma(wf))
+        .withColumn("sma_slow", sma(ws))
+        .withColumn("d", F.col("sma_fast") - F.col("sma_slow"))
+        .withColumn("prev_d", F.lag("d").over(base))
+    )
+    up = (F.col("prev_d") <= 0) & (F.col("d") > 0)
+    down = (F.col("prev_d") >= 0) & (F.col("d") < 0)
+    return diffed.where(up | down).select(
+        "symbol", "trade_date", "order_key", "line_number",
+        "sma_fast", "sma_slow",
+        F.when(up, F.lit("golden_cross")).otherwise(F.lit("death_cross")).alias("signal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown per symbol (round-4 ext): peak-to-trough loss off the
+# running maximum — the classic risk metric for the reference's
+# domain. Every step is order-free-exact: running max of 2-dp prices
+# is exact double comparison, each drawdown is one division of exact
+# doubles, and the final max picks among deterministic values.
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH priced AS (
+    SELECT l_partkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
+           l_orderkey AS order_key, l_linenumber AS line_number,
+           l_extendedprice AS close
+    FROM lineitem
+),
+tracked AS (
+    SELECT symbol, close,
+           max(close) OVER (
+               PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+               ROWS UNBOUNDED PRECEDING
+           ) AS run_max
+    FROM priced
+)
+SELECT symbol,
+       max((run_max - close) / run_max) AS max_drawdown,
+       max(run_max) AS peak_close,
+       CAST(count(*) AS BIGINT) AS n_bars
+FROM tracked
+GROUP BY symbol
+"""
+
+
+@register(
+    "max_drawdown_per_symbol",
+    _DRAWDOWN_ORACLE,
+    doc="max peak-to-trough drawdown off the running max per symbol — "
+    "order-free-exact window arithmetic (SURVEY §2.5 ext, r4)",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    priced = li.select(
+        F.col("l_partkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("trade_date"),
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_extendedprice").alias("close"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date", "order_key", "line_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tracked = priced.withColumn("run_max", F.max("close").over(w))
+    dd = (F.col("run_max") - F.col("close")) / F.col("run_max")
+    return tracked.groupBy("symbol").agg(
+        F.max(dd).alias("max_drawdown"),
+        F.max("run_max").alias("peak_close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+    )
