@@ -58,6 +58,24 @@ EXHIBIT_QUERIES = {
     "dedup_ngram_jaccard",
 }
 
+# Round-4 additions, reported under a SEPARATE key so the headline
+# `value` stays comparable round-over-round (the driver diffs
+# overlapping queries; these get their own sum).
+R4_QUERIES = [
+    "corpus_chunking",
+    "corpus_boilerplate_segments",
+    "corpus_sequence_packing",
+    "dedup_connected_components",
+    "similarity_ivf_topk_nprobe2",
+    "sma_crossover_signals",
+    "max_drawdown_per_symbol",
+    "feature_outlier_fences",
+    "scd2_event_history",
+    "weighted_avg_pricing_decimal",
+    "streaming_dedup_keys_ttl",
+    "streaming_tumbling_counts_rocksdb",
+]
+
 # One per operator family (BASELINE.md bench set).
 BENCH_QUERIES = [
     "flagship_window_metrics",
@@ -131,6 +149,12 @@ def main() -> None:
     for name in timings:
         timings[name] = min(timings[name], run_once(name))
 
+    r4_timings: dict[str, float] = {}
+    for name in R4_QUERIES:
+        r4_timings[name] = run_once(name)
+    for name in r4_timings:
+        r4_timings[name] = min(r4_timings[name], run_once(name))
+
     recommended = round(sum(timings.values()), 3)
     full = round(recommended + sum(exhibit_timings.values()), 3)
     print(
@@ -141,6 +165,8 @@ def main() -> None:
                 "value": recommended,
                 "unit": "sec",
                 "queries": timings,
+                "queries_r4": r4_timings,
+                "value_r4": round(sum(r4_timings.values()), 3),
                 "exhibits": exhibit_timings,
                 "exhibit_sf": {
                     n: exhibit_sf_override.get(n, sf_dir).rsplit("sf", 1)[-1]
