@@ -66,3 +66,50 @@ def test_prefix_filter_join_is_exact(spark, docs, threshold):
         ).collect()
     }
     assert got == _brute_pairs(docs, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Generative twin of test_robustness's adversarial rounding cases: the
+# half-up-on-scaled-double kernel must stay bit-identical between
+# Spark and DuckDB on arbitrary finite doubles, not just hand-picked
+# .5 boundaries.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-1e12,
+            max_value=1e12,
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    scale=st.sampled_from([0, 2, 4, 6]),
+)
+def test_round_half_up_property_matches_duckdb(spark, xs, scale):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from sp500_stock_etl_spark.functions.rounding import round_half_up, sql_round
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i bigint, x double")
+    got = {
+        r.i: r.r
+        for r in df.select("i", round_half_up(F.col("x"), scale).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for i, x in enumerate(xs):
+        want[i] = con.execute(
+            f"SELECT {sql_round('x', scale)} FROM (SELECT CAST(? AS DOUBLE) AS x)",
+            [x],
+        ).fetchone()[0]
+    assert all(repr(got[i]) == repr(want[i]) for i in want), (got, want)
