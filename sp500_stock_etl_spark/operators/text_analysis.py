@@ -253,3 +253,87 @@ def pack_sequences(
     return df.select(group_col, id_col, weight_col).groupBy(group_col).applyInPandas(
         pack, out_schema
     )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable heavy-hitters sketch (Misra-Gries) over the token
+    stream — the approximate, ONE-PASS twin of the exact
+    token-frequency top-n: at 100 TB the exact count needs a full
+    (token → count) shuffle whose key cardinality is the vocabulary;
+    the sketch ships at most ``k`` (token, weight) rows per partition.
+
+    Per partition (mapInPandas, one summary per partition): batches
+    are pre-counted vectorized (value_counts — no per-row Python),
+    then merged into the k-counter summary with the WEIGHTED
+    Misra-Gries update; every eviction round subtracts the same amount
+    from all counters, and the total subtracted weight is tracked as
+    that partition's max undercount. Merging partials (groupBy token,
+    sum) preserves the guarantee: for every token,
+
+        true_freq - sum(part_errs) <= est_freq <= true_freq,
+
+    so any token with true frequency > sum(part_errs) is PRESENT in
+    the merged summary (tests/test_heavy_hitters.py asserts both
+    bounds against exact counts). Output: (token, est_freq,
+    max_undercount) where max_undercount is the global error bound —
+    the consumer-facing honesty column.
+    """
+    import pandas as pd
+
+    from ..functions.text import norm_text
+
+    toks = df.select(
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token")
+    ).where(F.col("token") != "")
+
+    def partials(it):
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in it:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                # Weighted MG eviction: subtract the (k+1)-largest
+                # weight from everyone; at most k counters survive.
+                cut = sorted(counters.values(), reverse=True)[k]
+                err += cut
+                counters = {
+                    t: w - cut for t, w in counters.items() if w > cut
+                }
+        yield pd.DataFrame(
+            {
+                "token": list(counters) or [None],
+                "est": list(counters.values()) or [0],
+                "part_err": [err] * max(len(counters), 1),
+            }
+        )
+
+    summaries = toks.mapInPandas(
+        partials, "token string, est bigint, part_err bigint"
+    )
+    # One row per partition carries that partition's error; global
+    # error = sum of DISTINCT per-partition errors. Spark has no
+    # partition id in the summary, so emit err once per row and
+    # aggregate with max-per-token + a separate global pass — instead
+    # we attach a monotonically increasing partition marker.
+    summaries = summaries.withColumn("pid", F.spark_partition_id())
+    total_err = (
+        summaries.select("pid", "part_err")
+        .groupBy("pid")
+        .agg(F.max("part_err").alias("e"))
+        .agg(F.sum("e").alias("total_err"))
+    )
+    merged = (
+        summaries.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("est").alias("est_freq"))
+    )
+    return merged.crossJoin(F.broadcast(total_err)).select(
+        "token",
+        "est_freq",
+        F.col("total_err").cast("bigint").alias("max_undercount"),
+    )

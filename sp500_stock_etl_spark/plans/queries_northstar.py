@@ -1577,3 +1577,24 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
     )
     return D.connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via Misra-Gries (round-4 ext): the mergeable-sketch
+# twin of token_frequency_topn. Estimates depend on the physical
+# partitioning (legitimately — the sketch is defined per stream
+# split), so this is a rows-only driver check; the frequency/error
+# INVARIANTS vs exact counts are pinned in tests/test_heavy_hitters.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_heavy_hitters_sketch",
+    None,  # partitioning-dependent estimates: invariant-tested, not hashed
+    doc="Misra-Gries mergeable heavy-hitters over the token stream — "
+    "k rows per partition instead of a vocabulary-wide shuffle; "
+    "carries its own max_undercount error bound (north star, r4)",
+)
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return TA.misra_gries_heavy_hitters(docs, "text", k=64)
