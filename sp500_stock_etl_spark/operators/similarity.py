@@ -475,3 +475,54 @@ def pandas_cosine(vec_a: Column, vec_b: Column) -> Column:
         return pd.Series(out)
 
     return _cos(vec_a, vec_b)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x_i|,
+    q_i = round_half_up(x_i · 127 / scale) ∈ [-127, 127]. The 100 TB
+    embedding-storage op — 4× smaller than float32 (16× vs the float64
+    math type), and the int codes + one double scale reconstruct to
+    within scale/254 per element (emitted as max_abs_err so consumers
+    see the loss). All arithmetic is elementwise double ops in one
+    fixed expression order — exactly reproducible in any engine, so
+    the quantized CODES get a bitwise oracle despite being a lossy
+    transform. Map-side only; no shuffle.
+
+    Ranking survival (the property that matters for ANN over the
+    quantized corpus) is pinned by tests/test_similarity_lsh.py::
+    test_quantized_topk_recall."""
+    x = F.col(vec_col)
+    # A zero vector would make every code 0/0; pin its scale to 1 so
+    # codes come out 0 with zero error — same CASE in the oracle.
+    raw_scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.when(raw_scale == 0.0, F.lit(1.0)).otherwise(raw_scale)
+    q = F.transform(
+        x,
+        lambda v: F.floor(v.cast("double") * 127.0 / F.col("__scale__") + 0.5).cast(
+            "int"
+        ),
+    )
+    recon_err = F.array_max(
+        F.zip_with(
+            x,
+            F.col("__q__"),
+            lambda v, c: F.abs(
+                v.cast("double") - c.cast("double") * F.col("__scale__") / 127.0
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), x.alias(vec_col))
+        .withColumn("__scale__", scale)
+        .withColumn("__q__", q)
+        .select(
+            id_col,
+            F.col("__scale__").alias("scale"),
+            F.col("__q__").alias("q_embedding"),
+            recon_err.alias("max_abs_err"),
+        )
+    )

@@ -1598,3 +1598,51 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     return TA.misra_gries_heavy_hitters(docs, "text", k=64)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (round-4 ext): symmetric per-vector
+# codes — the 100 TB embedding-storage transform (4× under float32).
+# Lossy, yet bitwise-oracle-checkable: every step is elementwise
+# double arithmetic in one pinned expression order.
+# ---------------------------------------------------------------------------
+
+_QUANTIZE_ORACLE = """
+WITH scaled AS (
+    SELECT vec_id, embedding,
+           CASE WHEN list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) = 0.0
+                THEN 1.0
+                ELSE list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) END AS scale
+    FROM embeddings
+),
+coded AS (
+    SELECT vec_id, embedding, scale,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT)
+           ) AS q_embedding
+    FROM scaled
+)
+SELECT vec_id, scale, q_embedding,
+       list_max(
+           list_transform(
+               generate_series(1, len(embedding)),
+               i -> abs(CAST(embedding[i] AS DOUBLE)
+                        - CAST(q_embedding[i] AS DOUBLE) * scale / 127.0)
+           )
+       ) AS max_abs_err
+FROM coded
+"""
+
+
+@register(
+    "embedding_quantize_int8",
+    _QUANTIZE_ORACLE,
+    doc="symmetric per-vector int8 quantization of embeddings with "
+    "self-reported reconstruction error — lossy transform, exact oracle "
+    "(north star, r4)",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_embeddings_int8(emb)

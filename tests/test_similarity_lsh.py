@@ -107,6 +107,36 @@ def test_ivf_nprobe_recall_lift(spark, sf_correct):
     assert r2 >= 1.5 * r1, (r1, r2)
 
 
+def test_quantized_topk_recall(spark, sf_correct):
+    """int8 codes must preserve cosine ranking almost perfectly: top-10
+    per query over the DEQUANTIZED corpus recalls >= 90% of the
+    full-precision top-10 (symmetric 8-bit error is ~0.4% of max|x|
+    per element)."""
+    from sp500_stock_etl_spark.io.readers import load_table
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(queries, emb, k=10).collect()
+    }
+    deq = S.quantize_embeddings_int8(emb).select(
+        "vec_id",
+        F.transform(
+            "q_embedding",
+            lambda c: (c.cast("double") * F.col("scale") / 127.0).cast("float"),
+        ).alias("embedding"),
+    )
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(queries, deq, k=10).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
 def test_bucket_join_ships_no_vectors(spark, sf_correct):
     """The candidate-pair subplan's join payload is ids+band+sig only:
     no array column appears below the pair distinct."""
