@@ -563,3 +563,130 @@ def q_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.sum(F.greatest(lo, F.least(hi, q))).alias("winsorized_qty_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (round-4 ext): view → click → purchase conversion
+# per user, ordered first-occurrence semantics (a stage counts only if
+# its first event follows the previous stage's first event). One
+# skinny per-user aggregate (min ts per stage) then a global rollup —
+# two shuffles total, both on user_id/constants; the fact table is
+# scanned once.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS stage_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+FROM firsts
+"""
+
+
+@register(
+    "event_funnel_conversion",
+    _FUNNEL_ORACLE,
+    doc="view->click->purchase funnel with ordered first-occurrence "
+    "semantics; one scan, skinny per-user stage aggregate "
+    "(SURVEY §2.8 ext, r4)",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+
+    def n(cond):
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+
+    return firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        n(viewed).alias("stage_view"),
+        n(clicked).alias("stage_click"),
+        n(purchased).alias("stage_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (round-4 ext): users grouped by signup week, then
+# distinct-active counts at each week offset — the canonical retention
+# matrix. Week truncation starts Monday in both engines; offsets are
+# exact integer epoch arithmetic (no date formatting in the output, so
+# no strftime-dialect hazard).
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH cohorts AS (
+    SELECT user_id,
+           date_trunc('week',
+               min(CASE WHEN event_type = 'signup' THEN ts END)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+       CAST((epoch(a.week) - epoch(c.cohort_week)) / 604800 AS BIGINT)
+           AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM cohorts c
+JOIN activity a ON a.user_id = c.user_id
+WHERE c.cohort_week IS NOT NULL AND a.week >= c.cohort_week
+GROUP BY c.cohort_week, week_offset
+"""
+
+
+@register(
+    "cohort_retention_weekly",
+    _COHORT_ORACLE,
+    doc="signup-week cohort retention matrix (distinct active users per "
+    "week offset); exact integer epoch arithmetic, no date-format "
+    "dialect in the output (SURVEY §2.8 ext, r4)",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc(
+            "week", F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        ).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    joined = (
+        cohorts.where(F.col("cohort_week").isNotNull())
+        .join(activity, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+    )
+    offset = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("bigint")
+    return joined.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        offset.alias("week_offset"),
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
