@@ -74,6 +74,10 @@ R4_QUERIES = [
     "weighted_avg_pricing_decimal",
     "streaming_dedup_keys_ttl",
     "streaming_tumbling_counts_rocksdb",
+    "embedding_quantize_int8",
+    "token_heavy_hitters_sketch",
+    "event_funnel_conversion",
+    "cohort_retention_weekly",
 ]
 
 # One per operator family (BASELINE.md bench set).
