@@ -690,3 +690,49 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_week").cast("date").alias("cohort_week"),
         offset.alias("week_offset"),
     ).agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample (round-4 ext): tick stream → hourly candlesticks per
+# event type — the reference domain's bar-building op. Open/close are
+# deterministic via (ts, event_id) total order (Spark min_by/max_by on
+# a struct key ≡ DuckDB ordered-aggregate first/last); volume is an
+# exact decimal sum. One shuffle on the (hour, type) group key.
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_hour,
+       event_type,
+       first(value ORDER BY ts, event_id) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       last(value ORDER BY ts, event_id) AS close_v,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "ohlc_hourly_resample",
+    _OHLC_ORACLE,
+    doc="tick -> hourly OHLC candlesticks per event type; deterministic "
+    "open/close via (ts, event_id) total order (SURVEY §2.8 ext, r4)",
+)
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table as _lt
+    from ..operators.aggregates import dec as _dec
+
+    ev = _lt(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bar_hour"), "event_type"
+    ).agg(
+        F.min_by("value", key).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", key).alias("close_v"),
+        F.sum(_dec("value")).cast("double").alias("volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
