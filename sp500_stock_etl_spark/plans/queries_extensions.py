@@ -1047,3 +1047,152 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_max").alias("peak_close"),
         F.count(F.lit(1)).cast("bigint").alias("n_bars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VWAP per symbol-day (round-4 ext): the volume-weighted price every
+# execution desk computes. Exact decimal numerator/denominator (the
+# weighted_avg_pricing recipe) — the division happens once, in double,
+# identically on both engines.
+# ---------------------------------------------------------------------------
+
+_VWAP_ORACLE = """
+SELECT l_partkey AS symbol,
+       CAST(l_shipdate AS DATE) AS trade_date,
+       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4))
+                     * CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+            AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS vwap,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "vwap_per_symbol_day",
+    _VWAP_ORACLE,
+    doc="volume-weighted average price per symbol-day; exact decimal "
+    "num/den, one double division (SURVEY §2.8 ext, r4)",
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum((dec("l_quantity") * dec("l_extendedprice")).cast("decimal(28,8)"))
+    den = F.sum(dec("l_quantity"))
+    return li.groupBy(
+        F.col("l_partkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("trade_date"),
+    ).agg(
+        (num.cast("double") / den.cast("double")).alias("vwap"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (round-4 ext): parts ranked by exact
+# decimal revenue; class A carries the first 80% of cumulative share,
+# B to 95%, C the tail. Cumulative sums are decimal (associative), the
+# share division is one double op per row, and ties in revenue are
+# broken by part key — fully deterministic classification.
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4))) AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, revenue,
+           CAST(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(sum(revenue) OVER () AS DOUBLE) AS cum_share
+    FROM rev
+)
+SELECT l_partkey,
+       CAST(revenue AS DOUBLE) AS revenue,
+       cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register(
+    "abc_pareto_classification",
+    _ABC_ORACLE,
+    doc="ABC/Pareto revenue classification via decimal cumulative share "
+    "(80/95 cut; deterministic tie-break) (SURVEY §2.5 ext, r4)",
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    ).cast("decimal(18,4)")
+    rev = li.groupBy("l_partkey").agg(F.sum(disc).alias("revenue"))
+    w_cum = (
+        Window.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum_share = (
+        F.sum("revenue").over(w_cum).cast("double")
+        / F.sum("revenue").over(w_all).cast("double")
+    )
+    classified = rev.withColumn("cum_share", cum_share)
+    return classified.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.80, F.lit("A"))
+        .when(F.col("cum_share") <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (round-4 ext): part pairs appearing in
+# the same order, support >= 5 — the association-analysis shape. The
+# self-join key is the order, pairs are canonicalized a < b, and only
+# (order, part) ids ever shuffle. At 100 TB the guard is the per-order
+# line cap (baskets are small), so pairs ∝ orders × basket², not
+# parts².
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+
+
+@register(
+    "basket_part_cooccurrence",
+    _BASKET_ORACLE,
+    doc="market-basket co-occurring part pairs with min support 5; ids-only "
+    "self-join per order (SURVEY §2.9 ext, r4)",
+)
+def q_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= 5)
+    )
