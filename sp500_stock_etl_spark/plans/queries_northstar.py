@@ -1646,3 +1646,96 @@ FROM coded
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.quantize_embeddings_int8(emb)
+
+
+# ---------------------------------------------------------------------------
+# Training-batch build capstone (round-4 ext): the full context-window
+# path in ONE lazy plan — chunk (map-side) → exact-dedup chunks (one
+# md5 groupBy; strided overlap makes repeated chunks common) → greedy
+# pack survivors into fixed-budget sequences per language. Composes
+# three operators; the oracle composes their SQL (chunk CTE + group-
+# min dedup + recursive-CTE packing). Survivor = lowest (doc_id,
+# chunk_id) per fingerprint, packing order = (doc_id, chunk_id) —
+# every step totally ordered, so the emitted (lang, chunk, bin)
+# assignment is bit-deterministic end to end.
+# ---------------------------------------------------------------------------
+
+_BUILD_BUDGET = 256
+
+_TRAINING_BUILD_ORACLE = f"""
+WITH RECURSIVE {_sql_chunks(64, 48)},
+fp AS (
+    SELECT c.doc_id, c.chunk_id, d.lang,
+           CAST(len(c.chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c.chunk, ' ')) AS f
+    FROM chunked c JOIN documents d USING (doc_id)
+),
+survivors AS (
+    SELECT doc_id, chunk_id, lang, n_tokens, f
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY f ORDER BY doc_id, chunk_id) AS rn
+        FROM fp
+    ) WHERE rn = 1
+),
+ordered AS (
+    SELECT lang, doc_id, chunk_id, n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id, chunk_id) AS rn
+    FROM survivors
+),
+packed AS (
+    SELECT lang, doc_id, chunk_id, n_tokens, rn, 0 AS bin_id, n_tokens AS fill
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.lang, o.doc_id, o.chunk_id, o.n_tokens, o.rn,
+           CASE WHEN p.fill + o.n_tokens > {_BUILD_BUDGET}
+                THEN p.bin_id + 1 ELSE p.bin_id END,
+           CASE WHEN p.fill + o.n_tokens > {_BUILD_BUDGET}
+                THEN o.n_tokens ELSE p.fill + o.n_tokens END
+    FROM packed p
+    JOIN ordered o ON o.lang = p.lang AND o.rn = p.rn + 1
+)
+SELECT lang, doc_id, chunk_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
+@register(
+    "corpus_training_build",
+    _TRAINING_BUILD_ORACLE,
+    doc="capstone: chunk -> exact-dedup chunks -> greedy-pack survivors "
+    "into fixed-budget sequences per language, one lazy plan; composed "
+    "recursive-CTE oracle (north star, r4)",
+)
+def q_corpus_training_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = TA.chunk_documents(
+        docs.select("doc_id", "text"), chunk_tokens=64, stride=48
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("chunk_fingerprint").orderBy("doc_id", "chunk_id")
+    survivors = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", "doc_id", "chunk_id", "n_chunk_tokens")
+    )
+    # pack_sequences orders by one id column; (doc_id, chunk_id) packs
+    # into a single orderable key (chunk_id < 2^20 per doc by
+    # construction: docs are far shorter than 2^20 strides).
+    keyed = survivors.select(
+        "lang",
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")).alias("__key__"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    packed = TA.pack_sequences(
+        keyed, group_col="lang", id_col="__key__",
+        weight_col="n_tokens", budget=_BUILD_BUDGET,
+    )
+    return packed.select(
+        "lang",
+        (F.col("__key__") / F.lit(1 << 20)).cast("bigint").alias("doc_id"),
+        (F.col("__key__") % F.lit(1 << 20)).cast("bigint").alias("chunk_id"),
+        "n_tokens",
+        "bin_id",
+    )
