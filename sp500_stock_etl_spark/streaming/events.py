@@ -251,3 +251,49 @@ def running_user_totals_tws(events: DataFrame, ttl_ms: int | None = None) -> Dat
         outputMode="Update",
         timeMode="None",
     )
+
+
+def upsert_partition_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "event_date",
+) -> None:
+    """Idempotent warehouse sink for streams without a transactional
+    table format: each micro-batch overwrites exactly the partitions
+    it touches (dynamic partitionOverwriteMode inside foreachBatch) —
+    the streaming twin of the batch overwrite-by-partition reload
+    (io/writers.py, the reference's replace=True/PURGE semantics).
+
+    Effectively-once without sink transactions: a replayed batch
+    (failure before checkpoint commit, or a checkpoint wiped and the
+    whole history re-run) rewrites the same partitions to the same
+    content instead of appending duplicates. The guarantee needs the
+    batch->partition mapping to be deterministic, which file-stream
+    sources + event-time partitions give. Conf is save/restored around
+    each batch write."""
+
+    def _write(df: DataFrame, _batch_id: int) -> None:
+        spark = df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -400,3 +400,32 @@ def test_streaming_corpus_dedup_exactly_once(spark, tmp_path):
     first = run()
     assert first > 0, "identical probes must match their corpus originals"
     assert run() == first, "same checkpoint → nothing re-processed"
+
+
+def test_upsert_partition_sink_is_idempotent(spark, events_dir, sf_dir, tmp_path):
+    """foreachBatch overwrite-by-partition sink: re-running against the
+    same checkpoint appends nothing, and replaying the WHOLE history
+    (checkpoint wiped) rewrites partitions instead of duplicating —
+    the streaming twin of the batch idempotent reload."""
+    import shutil
+
+    out = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt_upsert")
+
+    def run():
+        stream = SE.read_event_stream(spark, events_dir).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        SE.upsert_partition_sink(stream, out, ckpt)
+        return spark.read.parquet(out).count()
+
+    want = _batch_events(spark, sf_dir).count()
+    n1 = run()
+    assert n1 == want
+
+    n2 = run()  # same checkpoint: nothing new to process
+    assert n2 == want
+
+    shutil.rmtree(ckpt)  # full replay: partitions overwrite, not append
+    n3 = run()
+    assert n3 == want
