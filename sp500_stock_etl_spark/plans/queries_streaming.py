@@ -642,3 +642,58 @@ def q_streaming_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.table(name)
+
+
+# Streaming OHLC twin (round-4 ext): candlestick bars built from the
+# event stream, COMPLETE mode == the batch resample exactly, so the
+# batch oracle checks the stream bitwise (min_by/max_by are
+# fully-declarative aggregates and run in streaming group-bys).
+_STREAM_OHLC_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_hour,
+       event_type,
+       first(value ORDER BY ts, event_id) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       last(value ORDER BY ts, event_id) AS close_v,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_ohlc_bars",
+    _STREAM_OHLC_ORACLE,
+    doc="hourly OHLC candlesticks from the event stream (complete mode == "
+    "batch resample; min_by/max_by in a streaming group-by) "
+    "(SURVEY §2.11 ext, r4)",
+)
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import dec as _dec
+
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    key = F.struct("ts", "event_id")
+    bars = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.date_trunc("hour", "ts").alias("bar_hour"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+            F.sum(_dec("value")).alias("volume"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+    )
+    out = _run_to_table(spark, bars, "complete")
+    return out.select(
+        "bar_hour",
+        "event_type",
+        "open_v",
+        "high_v",
+        "low_v",
+        F.col("close_v"),
+        F.col("volume").cast("double").alias("volume"),
+        "n_ticks",
+    )
