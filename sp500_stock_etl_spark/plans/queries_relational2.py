@@ -965,3 +965,216 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H batch 4 (round 4): the remaining shapes expressible on this
+# schema — Q2 (correlated min across a 4-table dimension chain), Q7
+# (nation-pair volume), Q8 (market share ratio), Q14 (promo revenue
+# share), Q16 (distinct-supplier counts with a NOT IN exclusion), Q20
+# (IN over a correlated HAVING threshold). The schema has no partsupp
+# table and no commit/receipt/shipmode columns, so Q2/Q16/Q20 use the
+# lineitem-derived part↔supplier link and Q9/Q12 are out of scope
+# (documented, not skipped silently). Money math follows the decimal
+# policy; ratio thresholds are integer cross-multiplied.
+# ---------------------------------------------------------------------------
+
+_TPCH_Q2_SQL = """
+WITH costs AS (
+    SELECT l_partkey, l_suppkey,
+           min(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE)
+               / CAST(l_quantity AS DOUBLE)) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, c.unit_cost
+FROM part p
+JOIN costs c ON c.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE' AND p.p_size < 10
+  AND c.unit_cost = (
+      SELECT min(c2.unit_cost)
+      FROM costs c2
+      JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    _TPCH_Q2_SQL,
+    doc="TPC-H Q2 shape: correlated min across a 4-table dimension chain "
+    "(unit cost derived from lineitem; schema has no partsupp) "
+    "(SURVEY §4.1)",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q2_SQL)
+
+
+_TPCH_Q7_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "tpch_q7_nation_volume",
+    _TPCH_Q7_SQL,
+    doc="TPC-H Q7 shape: bilateral nation-pair shipping volume by year "
+    "(SURVEY §4.1)",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q7_SQL)
+
+
+_TPCH_Q8_SQL = """
+WITH volumes AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS volume,
+           sn.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM volumes
+GROUP BY o_year
+"""
+
+
+@register(
+    "tpch_q8_market_share",
+    _TPCH_Q8_SQL,
+    doc="TPC-H Q8 shape: one nation's market share of a part-type market "
+    "by year (decimal num/den, one double division) (SURVEY §4.1)",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q8_SQL)
+
+
+_TPCH_Q14_SQL = """
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                 * (CAST(1 AS DECIMAL(18,4))
+                                    - CAST(l.l_discount AS DECIMAL(18,4)))
+                                 AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4))
+                          - CAST(l.l_discount AS DECIMAL(18,4)))
+                       AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+@register(
+    "tpch_q14_promo_share",
+    _TPCH_Q14_SQL,
+    doc="TPC-H Q14 shape: promo revenue share of a month (conditional "
+    "decimal sums, one double division) (SURVEY §4.1)",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q14_SQL)
+
+
+_TPCH_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    _TPCH_Q16_SQL,
+    doc="TPC-H Q16 shape: distinct-supplier counts per part attribute with "
+    "a NOT IN exclusion subquery (null-aware anti join) (SURVEY §4.1)",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q16_SQL)
+
+
+_TPCH_Q20_SQL = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(CAST(l.l_quantity AS BIGINT)) * 5 > (
+          SELECT sum(CAST(l2.l_quantity AS BIGINT))
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+  )
+"""
+
+
+@register(
+    "tpch_q20_excess_share_supplier",
+    _TPCH_Q20_SQL,
+    doc="TPC-H Q20 shape: IN over a grouped HAVING with a correlated "
+    "scalar-agg threshold (integer cross-multiplied 20% share; schema "
+    "has no partsupp availqty) (SURVEY §4.1)",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q20_SQL)
