@@ -1196,3 +1196,82 @@ def q_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Regex function suite (round-4 ext): extract / replace / count /
+# boolean-match over the documents corpus — the §2.10 surface the
+# string suite doesn't cover. Patterns stay in the RE2-portable subset
+# (no backrefs/lookaround) so Java regex and DuckDB RE2 agree.
+# ---------------------------------------------------------------------------
+
+_REGEX_SUITE_ORACLE = r"""
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)o([a-z]+)', 1) AS first_o_prefix,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head,
+       CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT) AS a_words,
+       CAST(regexp_matches(text, 'table|window') AS BOOLEAN) AS mentions_relop,
+       CAST(regexp_matches(text, '^[a-z]') AS BOOLEAN) AS starts_lower
+FROM (SELECT doc_id, substr(text, 1, 60) AS text FROM documents)
+WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "regex_functions_suite",
+    _REGEX_SUITE_ORACLE,
+    doc="regex surface: extract group / global replace / match count / "
+    "boolean rlike on RE2-portable patterns (SURVEY §2.10 ext, r4)",
+)
+def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.substring("text", 1, 60).alias("text"))
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)o([a-z]+)", 1).alias("first_o_prefix"),
+        F.regexp_replace("text", r"[aeiou]", "_").alias("devoweled_head"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+a[a-z]*"), 0))
+        .cast("bigint")
+        .alias("a_words"),
+        F.col("text").rlike("table|window").alias("mentions_relop"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregate suite (round-4 ext): bit_and / bit_or / bit_xor
+# rollups plus shift/mask scalars — exact integer ops, identical on
+# any engine.
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(bit_and(CAST(o_orderkey % 4096 AS BIGINT)) AS BIGINT) AS key_bits_and,
+       CAST(bit_or(CAST(o_orderkey % 4096 AS BIGINT)) AS BIGINT) AS key_bits_or,
+       CAST(bit_xor(CAST(o_orderkey % 4096 AS BIGINT)) AS BIGINT) AS key_bits_xor,
+       CAST(sum(CAST((CAST(o_custkey AS BIGINT) >> 3) & 15 AS BIGINT)) AS BIGINT)
+           AS shifted_nibble_sum
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "bitwise_agg_suite",
+    _BITWISE_ORACLE,
+    doc="bit_and/bit_or/bit_xor aggregates + shift/mask scalars — exact "
+    "integer surface (SURVEY §2.10 ext, r4)",
+)
+def q_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keybits = (F.col("o_orderkey") % 4096).cast("bigint")
+    nibble = F.shiftright(F.col("o_custkey").cast("bigint"), 3).bitwiseAND(15)
+    return orders.groupBy("o_orderpriority").agg(
+        F.bit_and(keybits).cast("bigint").alias("key_bits_and"),
+        F.bit_or(keybits).cast("bigint").alias("key_bits_or"),
+        F.bit_xor(keybits).cast("bigint").alias("key_bits_xor"),
+        F.sum(nibble.cast("bigint")).cast("bigint").alias("shifted_nibble_sum"),
+    )
