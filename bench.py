@@ -78,6 +78,9 @@ R4_QUERIES = [
     "token_heavy_hitters_sketch",
     "event_funnel_conversion",
     "cohort_retention_weekly",
+    "corpus_training_build",
+    "ohlc_hourly_resample",
+    "vwap_per_symbol_day",
 ]
 
 # One per operator family (BASELINE.md bench set).
