@@ -32,11 +32,15 @@ _N_MEDIA = 300
     # are oracle-checked by the three queries below
     doc="binary payload → decoded header facts + 8-bucket byte-histogram "
     "feature via Arrow-batched mapInPandas (north star; the histogram is "
-    "the rows-only part)",
+    "the rows-only part). The histogram is final-projected through "
+    "to_json so the external driver's canonicalizer (which cannot hash "
+    "list cells) sees a plain string column.",
 )
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthetic_media(spark, _N_MEDIA)
-    return MM.decode_media(media)
+    return MM.decode_media(media).withColumn(
+        "feature", F.to_json(F.col("feature"))
+    )
 
 
 _DECODE_DIMS_ORACLE = f"""

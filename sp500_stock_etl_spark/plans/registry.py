@@ -52,13 +52,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # Explicit driver-facing ordering. The verify driver hash-checks the first
 # 50 registry entries against their DuckDB oracles. The window ROTATES
 # each round (round-2 verdict item 1): a ~15-query core regression set
-# covering every family stays pinned; round 4 gives the remaining slots
-# to (a) everything that has never had a driver row — including this
-# round's five new queries — and (b) the STALEST greens (r1-only, then
-# r2-only), so every registry query's driver evidence stays fresh.
-# Round-3's 34 first-row queries keep their r3 rows and remain covered
-# every run by tests/test_oracle_parity.py (full-registry parametrize),
-# so rotation never un-verifies anything locally.
+# covering every family stays pinned; round 5 gives every other slot to
+# the 26 queries that landed AFTER the round-4 rotation and therefore
+# have never been driver-checked (round-4 verdict item 1: TPC-H batches
+# 3+4, the finance analytics, funnel/cohort/OHLC, connected components,
+# heavy hitters, int8 quantization, regex/bitwise suites, the
+# training-build capstone), plus the two queries whose raw array<>
+# outputs crashed the driver canonicalizer in r4 (now final-projected
+# to scalars / JSON strings — round-4 verdict item 2), plus this
+# round's new queries. Remaining slots: the stalest r2-only greens.
+# Rotation never un-verifies anything locally: every registry oracle is
+# re-checked on every pytest run by tests/test_oracle_parity.py
+# (full-registry parametrize).
 _PRIORITY: tuple[str, ...] = (
     # --- Core regression set (one per family) ---
     "flagship_window_metrics",  # reference flagship (windows W1-W3)
@@ -68,58 +73,56 @@ _PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_agg",  # warehouse bulk load + idempotent reload (K3)
     "topk_movers_per_day",  # global sort / top-k (O1-O3)
     "dedup_minhash_lsh",  # dedup family
-    "dedup_embedding_cosine",  # embedding near-dup (pair-dedup rework, r4)
-    "similarity_lsh_topk",  # ANN family (pair-dedup rework, r4)
+    "dedup_embedding_cosine",  # embedding near-dup
+    "similarity_lsh_topk",  # ANN family
     "text_quality_stats",  # text-analysis family
     "corpus_curation_pipeline",  # LLM-pipeline capstone
     "streaming_tumbling_counts",  # streaming family
     "multimodal_decode_dims",  # multimodal real-header decode
     "broadcast_star_join",  # join family
     "grouped_agg_pricing",  # grouped agg + rounding kernel
-    # --- Never driver-checked (round-4 additions + the last two
-    # --- stragglers; multimodal_decode_features and the running-totals
-    # --- TTL twin are rows-only by design) ---
+    # --- r4 driver ERRORS, now canonicalizer-safe: array_functions_suite
+    # --- projects the sorted prefix as scalar doubles (hash-checked);
+    # --- multimodal_decode_features serializes the histogram via
+    # --- to_json and keeps its declared rows-only check ---
     "array_functions_suite",
     "multimodal_decode_features",
-    "similarity_ivf_topk_nprobe2",
-    "weighted_avg_pricing_decimal",
-    "streaming_dedup_keys_ttl",
-    "streaming_tumbling_counts_rocksdb",
-    "streaming_running_user_totals_ttl",
-    # --- Stalest greens: r1-only rows (no driver row since round 1) ---
-    "cube_agg",
-    "semi_join_customers",
-    "anti_join_customers",
-    "ranking_top3_per_flag",
-    "rolling_avg_sma7",
-    "set_ops_cohorts",
-    "pivot_event_counts",
-    "correlated_subqueries",
-    "grouped_map_value_diff",
-    "cross_join_dims",
-    "unpivot_order_metrics",
-    "udtf_split_sentences",
-    "left_outer_enrichment",
-    "full_outer_reconciliation",
-    "null_safe_join",
-    # --- New round-4 operators (first driver rows) ---
-    "corpus_chunking",
-    "corpus_boilerplate_segments",
-    "corpus_sequence_packing",
-    "scd2_event_history",
-    # --- r2-only rows (no driver row since round 2; the four swapped
-    # --- out for the new operators — dedup_simhash, similarity_ivf_topk,
-    # --- text_lang_id, doc_fingerprint — keep their r2 rows and stay
-    # --- pytest-checked every run) ---
-    "dedup_exact",
-    "similarity_join_corpus",
-    "kmeans_embedding_clusters",
-    "streaming_sliding_sums",
-    "session_window_agg",
-    "streaming_static_enrich",
-    "streaming_dedup_keys",
-    "streaming_stream_stream_join",
-    "multimodal_metadata_agg",
+    # --- Never driver-checked (landed after the r4 window rotation) ---
+    "sma_crossover_signals",
+    "max_drawdown_per_symbol",
+    "vwap_per_symbol_day",
+    "abc_pareto_classification",
+    "basket_part_cooccurrence",
+    "regex_functions_suite",
+    "bitwise_agg_suite",
+    "feature_outlier_fences",
+    "event_funnel_conversion",
+    "cohort_retention_weekly",
+    "ohlc_hourly_resample",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q20_excess_share_supplier",
+    "tpch_q21_waiting_supplier",
+    "dedup_connected_components",
+    "token_heavy_hitters_sketch",  # rows-only by design (sketch)
+    "embedding_quantize_int8",
+    "corpus_training_build",
+    "streaming_ohlc_bars",
+    # --- New round-5 queries (first driver rows) ---
+    "tpch_q9_profit",
+    "tpch_q12_shipmode",
+    "streaming_ohlc_bars_append",
+    # --- Stalest greens: r2-only rows (no driver row since round 2) ---
+    "filtered_scan_projection",
+    "global_sort_topk",
+    "union_all_distinct",
+    "rollup_agg",
 )
 
 
