@@ -519,7 +519,9 @@ _attach_simjoin_oracle()
     None,  # oracle attached below (batch curation SQL, identical semantics)
     doc="streaming corpus curation: quality + lang-ID (stateless map-side) "
     "→ filter → exact dedup agg in COMPLETE mode == batch result, full "
-    "oracle parity (SURVEY §2.11 × north star capstone)",
+    "oracle parity (SURVEY §2.11 × north star capstone). Test-scale "
+    "parity DEVICE: a 24/7 deployment uses the watermarked append path "
+    "(streaming_dedup_keys_ttl) + the foreachBatch idempotent sink",
 )
 def q_streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import norm_text
@@ -667,7 +669,9 @@ GROUP BY 1, 2
     _STREAM_OHLC_ORACLE,
     doc="hourly OHLC candlesticks from the event stream (complete mode == "
     "batch resample; min_by/max_by in a streaming group-by) "
-    "(SURVEY §2.11 ext, r4)",
+    "(SURVEY §2.11 ext, r4). Test-scale parity DEVICE: complete mode + "
+    "memory sink holds all bars on the driver — the 24/7 shape is "
+    "streaming_ohlc_bars_append below",
 )
 def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import dec as _dec
@@ -694,6 +698,69 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "high_v",
         "low_v",
         F.col("close_v"),
+        F.col("volume").cast("double").alias("volume"),
+        "n_ticks",
+    )
+
+
+# Production-mode OHLC twin (round-4 verdict item 6): the same bars in
+# APPEND mode — only windows the 2-hour watermark has closed are ever
+# emitted, which is the shape that runs 24/7 (state is evicted as
+# windows close; nothing accumulates on the driver, unlike the
+# complete-mode parity device above). availableNow drains the file
+# source, then Spark's no-data batch advances the watermark to
+# max(ts) - 2h and flushes every closed window; the oracle is the
+# batch resample restricted to exactly those hours
+# (window_end <= max(ts) - interval 2h — on this corpus the watermark
+# never lands on an hour boundary, so <= and < coincide).
+_STREAM_OHLC_APPEND_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_hour,
+       event_type,
+       first(value ORDER BY ts, event_id) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       last(value ORDER BY ts, event_id) AS close_v,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_ohlc_bars_append",
+    _STREAM_OHLC_APPEND_ORACLE,
+    doc="hourly OHLC candlesticks in APPEND mode — the production shape: "
+    "watermark-closed windows only, state evicted as bars close; oracle "
+    "is the batch resample restricted to closed hours (SURVEY §2.11, r5)",
+)
+def q_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import dec as _dec
+
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    key = F.struct("ts", "event_id")
+    bars = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+            F.sum(_dec("value")).alias("volume"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+    )
+    out = _run_to_table(spark, bars, "append")
+    return out.select(
+        F.col("window.start").alias("bar_hour"),
+        "event_type",
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
         F.col("volume").cast("double").alias("volume"),
         "n_ticks",
     )
