@@ -308,12 +308,23 @@ def test_running_totals_transform_with_state(spark, sf_dir, events_dir, tmp_path
     provider) must produce the same final totals as the
     applyInPandasWithState operator and the batch aggregate.
 
-    Environment-gated: the TWS state protocol speaks protobuf between
-    the Python state client and the JVM state server; this container's
-    google.protobuf is broken, so the test (and the operator) skip
-    where the import fails rather than shipping a query that can only
-    crash."""
-    pytest.importorskip("google.protobuf.descriptor")
+    Environment-gated on a verified fact (round-5 probe): pyspark
+    4.1.2's transform_with_state_driver_worker speaks protobuf to the
+    JVM state server via pyspark.sql.streaming.proto (generated pb2
+    modules needing the google.protobuf RUNTIME). This container has
+    NO protobuf distribution at all — ``importlib.util.find_spec
+    ('google')`` is None, only typeshed stubs exist on disk, and the
+    sandbox has no network/index to install one — so the Python driver
+    worker crashes (StreamingQueryException SQLSTATE XXKST,
+    reproduced 2026-08-14). The probe skips on the exact missing
+    runtime module rather than shipping a query that can only crash;
+    on any cluster with protobuf installed the test runs."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="pyspark 4.1.2 TWS needs the google.protobuf runtime; "
+        "absent in this container (no network to install) — TWS driver "
+        "worker crashes with SQLSTATE XXKST without it",
+    )
     key = "spark.sql.streaming.stateStore.providerClass"
     try:
         prev = spark.conf.get(key)
