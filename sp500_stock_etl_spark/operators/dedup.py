@@ -611,4 +611,17 @@ def connected_components(
         labels = step.select("node", "comp")
         if changed == 0:
             break
+    else:
+        # Falling through with changed > 0 means some component's
+        # diameter exceeds max_iter and the labels are WRONG (split
+        # clusters) — on a production pair graph that is silent
+        # over-retention with no signal. Fail loudly instead, like
+        # misra_gries_heavy_hitters self-reports its undercount bound.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing): a component's "
+            "diameter exceeds max_iter, so returned labels would split "
+            "real clusters. Raise max_iter (rounds needed = graph "
+            "diameter) or pre-contract obvious duplicates."
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))

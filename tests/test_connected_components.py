@@ -33,3 +33,15 @@ def test_edge_order_and_direction_irrelevant(spark):
     a = _cc(spark, [(5, 4), (3, 4), (2, 3)])
     b = _cc(spark, [(2, 3), (4, 5), (4, 3)])
     assert a == b == {2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must fail loudly,
+    not return silently split clusters (round-4 advice)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3).collect()
