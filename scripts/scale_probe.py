@@ -133,6 +133,8 @@ def main() -> None:
 
     srp_banding_probe(spark, sf_dir, n)
     lsh_topk_runtime_probe(spark, sf_dir, n)
+    connected_components_probe(spark, sf_dir, n)
+    streaming_dedup_ttl_probe(spark, sf_dir, n)
 
 
 def lsh_topk_runtime_probe(spark, sf_dir: str, n: int) -> None:
@@ -247,6 +249,129 @@ def srp_banding_probe(spark, sf_dir: str, n: int) -> None:
             out[f"{label}_{scale}"] = {"r": r, "candidates": cand}
         f, x = out[f"{label}_1x"], out[f"{label}_nx"]
         out[f"{label}_growth"] = round(x["candidates"] / max(f["candidates"], 1), 1)
+    print(json.dumps(out), flush=True)
+
+
+def connected_components_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-4 verdict item 8, first half: the iterative
+    min-label-propagation operator at 1× vs N× EDGES (disjoint
+    fingerprint spaces per replica — component diameter constant, so
+    the round count is constant and cost is per-round join volume),
+    plus a DEPTH probe on a synthetic path graph (rounds ∝ diameter —
+    the documented cost model; the per-replica suffix keeps capacity
+    replicas from merging into one long chain)."""
+    from pyspark.sql import Window as W
+
+    from sp500_stock_etl_spark.functions.text import norm_text
+    from sp500_stock_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def edges_of(k: int) -> DataFrame:
+        # Each replica plants its own duplicate groups (exact copies of
+        # every 3rd / 6th doc, like the registry query) inside a
+        # disjoint id+text space, so k× replicas = k× edges at the
+        # same per-component diameter.
+        copies = []
+        for i in range(k):
+            rep = docs.select(
+                (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" replica{i}")).alias("text"),
+            )
+            copies.append(rep)
+            copies.append(
+                rep.where(F.col("doc_id") % 3 == 0).select(
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+                )
+            )
+            copies.append(
+                rep.where(F.col("doc_id") % 6 == 0).select(
+                    (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+                )
+            )
+        base = reduce(lambda a, b: a.unionByName(b), copies)
+        fp = base.select(
+            "doc_id", F.md5(norm_text(F.col("text"))).alias("f")
+        )
+        w = W.partitionBy("f").orderBy("doc_id")
+        return (
+            fp.withColumn("nxt", F.lead("doc_id").over(w))
+            .where(F.col("nxt").isNotNull())
+            .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+        )
+
+    out = {"probe": "connected_components", "sf_dir": sf_dir, "n": n}
+    for tag, k in (("1x", 1), ("nx", n)):
+        t = time.time()
+        cnt = connected_components(edges_of(k)).count()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+        out[f"nodes_{tag}"] = cnt
+    out["ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+
+    # Depth: a path graph of length L needs ~L propagation rounds (the
+    # min label walks one hop per round). Cost should scale with
+    # rounds, not explode — and past max_iter the operator now raises
+    # instead of returning split clusters.
+    for depth in (10, 10 * n):
+        path = spark.range(depth).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        t = time.time()
+        connected_components(path, max_iter=depth + 2).count()
+        out[f"sec_depth_{depth}"] = round(time.time() - t, 2)
+    out["depth_ratio"] = round(
+        out[f"sec_depth_{10 * n}"] / max(out["sec_depth_10"], 0.01), 2
+    )
+    print(json.dumps(out), flush=True)
+
+
+def streaming_dedup_ttl_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-4 verdict item 8, second half: the bounded-state
+    streaming dedup (dropDuplicatesWithinWatermark on hour-bucketed
+    keys) at 1× vs N× KEY CARDINALITY (user_id space replicated
+    disjointly). Wall should track rows/keys ~linearly — the state
+    store holds only keys inside the watermark horizon either way, so
+    no super-linear state blowup appears."""
+    import shutil
+    import tempfile
+
+    from sp500_stock_etl_spark.streaming import events as SE
+
+    ev = load_table(spark, sf_dir, "events")
+    out = {"probe": "streaming_dedup_keys_ttl", "sf_dir": sf_dir, "n": n}
+    for tag, k in (("1x", 1), ("nx", n)):
+        copies = []
+        for i in range(k):
+            copies.append(
+                ev.withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * 100_000_000)
+                ).withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+                )
+            )
+        staged = tempfile.mkdtemp(prefix="sg_ttl_probe_")
+        reduce(lambda a, b: a.unionByName(b), copies).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        stream = SE.read_event_stream(spark, staged)
+        deduped = (
+            stream.withColumn("hour_start", F.date_trunc("hour", "ts"))
+            .withWatermark("hour_start", "2 hours")
+            .dropDuplicatesWithinWatermark(
+                ["user_id", "event_type", "hour_start"]
+            )
+            .select("user_id", "event_type", "hour_start")
+        )
+        name = f"ttl_probe_{tag}"
+        t = time.time()
+        SE.run_available_now(
+            deduped, tempfile.mkdtemp(prefix="sg_ckpt_"), name, "append"
+        )
+        rows = spark.table(name).count()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+        out[f"rows_{tag}"] = rows
+        shutil.rmtree(staged, ignore_errors=True)
+    out["ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
     print(json.dumps(out), flush=True)
 
 
