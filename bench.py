@@ -76,6 +76,8 @@ R5_QUERIES = [
     "tpch_q9_profit",
     "tpch_q12_shipmode",
     "streaming_ohlc_bars_append",
+    "text_repetition_stats",
+    "corpus_decontamination_bloom",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan

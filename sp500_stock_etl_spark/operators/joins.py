@@ -80,3 +80,93 @@ def asof_join(
         }
     )
     return filled.where(F.col(_SIDE) == 1).drop(_SIDE, time_col)
+
+
+def bloom_semi_prefilter(
+    probe: DataFrame,
+    probe_col: str,
+    build: DataFrame,
+    build_col: str,
+    n_hashes: int = 5,
+    n_bits: int = 1 << 20,
+) -> DataFrame:
+    """Catalyst-only Bloom semi-join prefilter — the membership test
+    for when the build side is too large to broadcast EXACTLY but its
+    bit signature is not.
+
+    Build side: each value explodes into ``n_hashes`` bit positions
+    (``pmod(xxhash64(v, seed_i), n_bits)``), positions fold into
+    64-bit words via ``bit_or`` (one tiny shuffle on word index — at
+    most ``n_bits/64`` groups regardless of build cardinality), and
+    the words collect into ONE map row that broadcasts at
+    ``n_bits/8`` bytes worst-case, independent of build row count.
+    Probe side: a row survives iff all of its value's k bits are set
+    (``element_at`` on a missing word is NULL, NULL-rejecting the
+    row — an unset word means not-contained, which is correct).
+
+    Guarantees: NO false negatives (every true member's bits were all
+    set by the build pass), so ``bloom_semi_prefilter(...)`` followed
+    by an exact confirm join returns exactly the semi-join result;
+    false positives only cost confirm-join work. Everything is
+    deterministic JVM-side expression code — no Python, no UDF.
+
+    At 100 TB: replaces broadcasting an eval-set of billions of
+    n-grams (impossible) or shuffling the full training corpus on
+    gram (the expensive default) with a fixed-size bitmap broadcast +
+    map-side filter; only the surviving sliver reaches the confirm
+    join. This is the same play Spark's own runtime row-level
+    filtering makes, expressed as an explicit operator.
+    """
+    from functools import reduce as _reduce
+
+    n_words = n_bits // 64
+
+    # 1<<j for bit j as a literal lookup (shiftleft() takes only a
+    # Python int for the shift amount); j=63 is the sign bit, whose
+    # long value is negative in two's complement — bit_or/bitwiseAND
+    # are bit-pattern ops, so that is fine.
+    _pow2 = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("bigint")
+            for j in range(64)
+        ]
+    )
+
+    def _pos(col, i: int):
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+
+    def _word(p):
+        return (p / F.lit(64)).cast("bigint")
+
+    def _bit(p):
+        return F.element_at(_pow2, (p % 64).cast("int") + 1)
+
+    positions = build.select(
+        F.explode(
+            F.array(*[_pos(F.col(build_col), i) for i in range(n_hashes)])
+        ).alias("p")
+    )
+    words = (
+        positions.select(_word(F.col("p")).alias("w"), _bit(F.col("p")).alias("b"))
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+            "__bloom"
+        )
+    )
+    assert n_words * 64 == n_bits, "n_bits must be a multiple of 64"
+
+    checks = []
+    for i in range(n_hashes):
+        p = _pos(F.col(probe_col), i)
+        checks.append(
+            F.element_at(F.col("__bloom"), _word(p)).bitwiseAND(_bit(p))
+            != F.lit(0)
+        )
+    return (
+        probe.join(F.broadcast(bitmap))
+        .where(_reduce(lambda a, b: a & b, checks))
+        .drop("__bloom")
+    )

@@ -1739,3 +1739,146 @@ def q_corpus_training_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "bin_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (round-5 ext): the Gopher/MassiveText repetition
+# rule — the fraction of a document's token trigrams that are
+# duplicates. Boilerplate-stuffed and looped generations score high;
+# the companion keep-flag applies the published <=0.30 duplicate-
+# trigram threshold. Entirely map-side higher-order array expressions
+# (no explode, no shuffle): the trigram list never leaves its row.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH tokd AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+),
+tri AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[CAST(i AS INT)],
+                                   toks[CAST(i AS INT) + 1],
+                                   toks[CAST(i AS INT) + 2]))
+                ELSE [] END AS grams
+    FROM tokd
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(grams) AS BIGINT) AS n_trigrams,
+       CAST(len(grams) - len(list_distinct(grams)) AS BIGINT)
+           AS n_dup_trigrams,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac,
+       CASE WHEN len(grams) > 0
+            THEN (CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                  / CAST(len(grams) AS DOUBLE)) <= 0.30
+            ELSE TRUE END AS passes_repetition_rule
+FROM tri
+"""
+
+
+@register(
+    "text_repetition_stats",
+    _REPETITION_ORACLE,
+    doc="Gopher-style repetition rule: duplicate-trigram fraction per doc "
+    "+ <=0.30 keep flag; pure map-side array expressions, zero shuffle "
+    "(north star, r5)",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i.cast("int")),
+                F.element_at(F.col("toks"), i.cast("int") + 1),
+                F.element_at(F.col("toks"), i.cast("int") + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", n.alias("n_tokens"), grams.alias("grams"))
+    n_tri = F.size("grams")
+    n_dup = n_tri - F.size(F.array_distinct("grams"))
+    frac = F.when(
+        n_tri > 0, n_dup.cast("double") / n_tri.cast("double")
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        n_tri.cast("bigint").alias("n_trigrams"),
+        n_dup.cast("bigint").alias("n_dup_trigrams"),
+        frac.alias("dup_trigram_frac"),
+        F.when(n_tri > 0, frac <= 0.30).otherwise(F.lit(True)).alias(
+            "passes_repetition_rule"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (round-5 ext): the same planted-
+# contamination setup as corpus_decontamination, but the eval-gram
+# membership test goes through a Catalyst-built Bloom filter
+# (operators/joins.bloom_semi_prefilter) BEFORE the exact confirm
+# join. Same final answer (Bloom has no false negatives), same
+# oracle; what changes is the 100 TB posture — the broadcast is a
+# fixed-size bitmap (n_bits/8 bytes) instead of the distinct-gram
+# set, so the pattern survives an eval suite too large to broadcast
+# exactly. False positives only cost confirm-join work.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_decontamination_bloom",
+    _DECONTAMINATION_ORACLE,
+    doc="decontamination via Catalyst-built Bloom prefilter (fixed-size "
+    "bitmap broadcast, map-side membership test, no false negatives) + "
+    "exact confirm join — bitwise-identical result to the broadcast "
+    "semi-join, proven by sharing its oracle (north star, r5)",
+)
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import bloom_semi_prefilter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), tokens(F.col("text")).alias("toks")
+    )
+    eval_grams = (
+        D.with_shingles(
+            docs.where(F.col("doc_id") % 50 == 0), "doc_id", "text", _DECON_NGRAM
+        )
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    leak = F.when(
+        (F.col("doc_id") % 9 == 0) & F.col("eval_id").isNotNull(),
+        F.concat(F.lit(" "), F.array_join(F.slice("toks", 1, 12), " ")),
+    ).otherwise(F.lit(""))
+    train_raw = (
+        docs.where(F.col("doc_id") % 50 != 0)
+        .join(
+            F.broadcast(eval_docs),
+            (F.col("doc_id") % 10) * 50 == F.col("eval_id"),
+            "left",
+        )
+        .select("doc_id", F.concat("text", leak).alias("text"))
+    )
+    train = D.with_shingles(train_raw, "doc_id", "text", _DECON_NGRAM).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    survivors = bloom_semi_prefilter(train, "gram", eval_grams, "gram")
+    return (
+        survivors.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
