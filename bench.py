@@ -78,6 +78,7 @@ R5_QUERIES = [
     "streaming_ohlc_bars_append",
     "text_repetition_stats",
     "corpus_decontamination_bloom",
+    "corpus_unigram_stats",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan

@@ -1882,3 +1882,95 @@ def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus unigram statistics (round-5 ext): the two-pass global-
+# statistic shape every corpus-level quality scorer needs — pass 1
+# aggregates a corpus-wide token-frequency table (shuffle on token,
+# output ~vocabulary-sized); pass 2 broadcasts it back over the
+# corpus to score each document (OOV rate vs the top-V vocabulary,
+# mean corpus frequency of the doc's tokens — a rare-token-heavy doc
+# scores low, the unigram proxy for perplexity filtering). All
+# arithmetic stays in exact BIGINTs until the two terminal divisions,
+# so the oracle matches bitwise; vocabulary ties break on
+# (count DESC, token ASC) identically in both engines.
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP = 16
+
+_UNIGRAM_ORACLE = f"""
+WITH tokd AS (
+    SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+),
+freq AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tokd GROUP BY tok
+),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+vocab AS (
+    SELECT tok, c,
+           row_number() OVER (ORDER BY c DESC, tok) <= {_VOCAB_TOP}
+               AS in_vocab
+    FROM freq
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_oov,
+       CAST(sum(CASE WHEN v.in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS oov_rate,
+       CAST(sum(v.c) AS BIGINT) AS sum_freq,
+       CAST(sum(v.c) AS DOUBLE)
+           / (CAST(count(*) AS BIGINT) * (SELECT t FROM total))
+           AS mean_token_freq
+FROM tokd d JOIN vocab v ON v.tok = d.tok
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "corpus_unigram_stats",
+    _UNIGRAM_ORACLE,
+    doc="two-pass corpus statistic: global token-frequency table "
+    "(vocabulary-sized) broadcast back over the corpus — per-doc OOV "
+    f"rate vs the top-{_VOCAB_TOP} vocabulary and mean token corpus "
+    "frequency (unigram perplexity proxy); exact BIGINT arithmetic "
+    "until the terminal divisions (north star, r5)",
+)
+def q_corpus_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = exploded.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vocab = freq.withColumn(
+        "in_vocab",
+        F.row_number().over(W.orderBy(F.col("c").desc(), F.col("tok")))
+        <= _VOCAB_TOP,
+    )
+    total = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    n_oov = F.sum(F.when(F.col("in_vocab"), 0).otherwise(1)).cast("bigint")
+    return (
+        exploded.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            (
+                n_oov.cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("oov_rate"),
+            F.sum("c").cast("bigint").alias("sum_freq"),
+            (
+                F.sum("c").cast("double")
+                / (
+                    F.count(F.lit(1)).cast("bigint") * F.first("t")
+                ).cast("double")
+            ).alias("mean_token_freq"),
+        )
+    )
