@@ -1974,3 +1974,130 @@ def q_corpus_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_token_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate REMOVAL with ordered reassembly (round-5 ext): the step
+# after detection (corpus_boilerplate_segments stops at flagging) —
+# drop every 32-token segment recurring in >= 3 distinct documents and
+# rebuild each document's cleaned text in original segment order, the
+# C4/RefinedWeb line-dedup rewrite applied to token segments. A fixed
+# 32-token banner is planted at the head of every doc_id%4==0 document
+# (both engines build the identical input) so the rule provably fires.
+#
+# Scale shape: the recurring-segment set is BY DEFINITION the small
+# minority of distinct segments (boilerplate = high doc-frequency), so
+# it broadcasts; classification is then a map-side left join, and the
+# only full-corpus shuffle is the doc_id reassembly groupBy — segment
+# text never shuffles by hash. The doc-frequency pass itself shuffles
+# md5 digests only. If the recurring set ever outgrew the broadcast
+# threshold, the fallback is the plain shuffle join (same result, one
+# extra corpus shuffle); the oracle is agnostic.
+# ---------------------------------------------------------------------------
+
+_BOILER_BANNER = " ".join(f"boiler{i % 7}" for i in range(32))
+
+_BOILER_REWRITE_ORACLE = f"""
+WITH src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN '{_BOILER_BANNER} ' || text ELSE text END AS text
+    FROM documents
+),
+tokd AS (
+    SELECT doc_id, string_split({sql_norm_text('text')}, ' ') AS toks
+    FROM src
+    WHERE length({sql_norm_text('text')}) > 0
+),
+chunked AS (
+    SELECT doc_id,
+           CAST(s / 32 AS BIGINT) AS chunk_id,
+           list_slice(toks, s + 1, s + 32) AS chunk
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, 32)) AS s
+        FROM tokd
+    )
+),
+segs AS (
+    SELECT doc_id, chunk_id,
+           array_to_string(chunk, ' ') AS seg_text,
+           md5(array_to_string(chunk, ' ')) AS seg_hash,
+           len(chunk) AS n_seg_tokens
+    FROM chunked
+),
+freq AS (
+    SELECT seg_hash, count(DISTINCT doc_id) AS f FROM segs GROUP BY seg_hash
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN q.f >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       md5(coalesce(
+           string_agg(CASE WHEN q.f < 3 THEN s.seg_text END, ' '
+                      ORDER BY s.chunk_id),
+           '')) AS clean_fingerprint,
+       CAST(coalesce(
+           sum(CASE WHEN q.f < 3 THEN s.n_seg_tokens END), 0) AS BIGINT)
+           AS clean_n_tokens
+FROM segs s JOIN freq q USING (seg_hash)
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "corpus_boilerplate_rewrite",
+    _BOILER_REWRITE_ORACLE,
+    doc="boilerplate REMOVAL: drop segments recurring in >=3 docs and "
+    "reassemble each doc's cleaned text in segment order (C4/RefinedWeb "
+    "rewrite step); recurring set broadcast, classification map-side, "
+    "one reassembly shuffle (north star, r5)",
+)
+def q_corpus_boilerplate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_BOILER_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    segs = TA.chunk_documents(src, chunk_tokens=32, stride=32).select(
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_text").alias("seg_text"),
+        F.col("chunk_fingerprint").alias("seg_hash"),
+        F.col("n_chunk_tokens").alias("n_seg_tokens"),
+    )
+    # Doc-frequency pass ships md5 digests only; the >=3 survivors are
+    # the broadcastable boilerplate set (see block comment).
+    boiler = (
+        segs.groupBy("seg_hash")
+        .agg(F.count_distinct("doc_id").alias("f"))
+        .where(F.col("f") >= 3)
+        .select("seg_hash")
+        .withColumn("is_boiler", F.lit(True))
+    )
+    flagged = segs.join(F.broadcast(boiler), "seg_hash", "left")
+    kept = F.col("is_boiler").isNull()
+    kept_seg = F.when(kept, F.struct("chunk_id", "seg_text"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_seg)),
+                    lambda x: x.seg_text,
+                ),
+                " ",
+            )
+        ).alias("clean_fingerprint"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("n_seg_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("clean_n_tokens"),
+    )
