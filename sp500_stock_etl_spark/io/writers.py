@@ -63,21 +63,36 @@ def write_partitioned_table(df: DataFrame, path: str, partition_col: str = "trad
 
 
 def write_bucketed_table(
-    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
 ) -> None:
     """Co-located join layout (SURVEY.md §7.4): hash-bucketed, sorted
-    managed table. Two tables bucketed the same way join with NO
-    exchange on either side (verified in tests/test_scale_plans.py) —
-    at 100 TB this is the difference between a fact-fact join that
-    reshuffles both inputs and one that streams bucket-to-bucket.
+    table. Two tables bucketed the same way join with NO exchange on
+    either side (verified in tests/test_scale_plans.py) — at 100 TB
+    this is the difference between a fact-fact join that reshuffles
+    both inputs and one that streams bucket-to-bucket.
+
+    The table name is dropped first: a session that inherits another
+    session's warehouse files but not its catalog would otherwise die
+    with LOCATION_ALREADY_EXISTS on the managed path. Callers that
+    need cross-session idempotence pass an explicit fresh ``path``
+    (external table) — DROP on a managed table removes its location,
+    but an orphaned location with no catalog entry can only be
+    avoided, not dropped, from here.
     """
-    (
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
         df.write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def compact_parquet(

@@ -322,3 +322,66 @@ def q_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("close").cast("decimal(18,2)")).cast("double").alias("sum_close"),
         F.sum("volume").alias("sum_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located fact-fact join (round-5 ext): both facts written
+# as hash-bucketed, per-bucket-sorted managed tables on the join key
+# (io/writers.write_bucketed_table), then joined bucket-to-bucket.
+# With matching bucket counts Catalyst elides BOTH exchanges — the
+# plan-level guarantee is pinned in tests/test_scale_plans.py::
+# test_bucketed_join_has_no_shuffle; this query adds the driver-facing
+# correctness row: the oracle joins the ORIGINAL parquet, so any loss
+# in the bucketed write→read cycle (hash placement, per-bucket sort,
+# schema) fails parity. At 100 TB this layout turns the biggest
+# recurring shuffle (fact-fact on orderkey) into a streaming
+# bucket-wise merge; the merge hint keeps the sf0.01 test honest by
+# blocking the broadcast fallback.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "bucketed_fact_join",
+    _BUCKETED_ORACLE,
+    doc="co-located fact-fact join over hash-bucketed sorted tables "
+    "(SURVEY §7.4 layout); zero-exchange join plan-pinned in "
+    "test_scale_plans, oracle checks the bucketed write/read cycle "
+    "against the original parquet",
+)
+def q_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.writers import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="sg_bkt_")
+    write_bucketed_table(
+        li, "sg_bkt_lineitem", "l_orderkey", n_buckets=8, path=base + "/li"
+    )
+    write_bucketed_table(
+        od, "sg_bkt_orders", "o_orderkey", n_buckets=8, path=base + "/od"
+    )
+    joined = (
+        spark.table("sg_bkt_lineitem")
+        .hint("merge")
+        .join(
+            spark.table("sg_bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+    )
