@@ -764,3 +764,86 @@ def q_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("volume").cast("double").alias("volume"),
         "n_ticks",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join (round-5 ext): the attribution shape
+# the inner join can't express — every purchase emits, null-padded
+# when no click followed within the hour. The outer row for an
+# unmatched purchase can only be emitted once the watermark proves no
+# matching click can still arrive (watermark > p_ts + 1h); purchases
+# inside the final watermark horizon therefore never leave the state
+# store under availableNow. To keep the result deterministic and
+# independent of that boundary, both the stream output and the oracle
+# restrict to purchases with ts <= max(ts) - 4h — one hour INSIDE the
+# provable-emission frontier (max_ts - 2h watermark - 1h band), so no
+# row near the eviction edge can flap either way. State budget is the
+# same as the inner join: both sides buffer only inside the watermark
+# horizon.
+# ---------------------------------------------------------------------------
+
+_STREAM_STREAM_LEFT_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts > p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+  AND p.ts <= (SELECT max(ts) - INTERVAL 4 HOUR FROM events)
+"""
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    _STREAM_STREAM_LEFT_ORACLE,
+    doc="watermarked stream-stream LEFT OUTER interval join (every "
+    "purchase emits; null click after the watermark proves no match "
+    "can arrive); result restricted 1h inside the emission frontier "
+    "so the availableNow run equals the batch left join "
+    "(SURVEY §2.11 ext)",
+)
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events_dir(sf_dir)
+    purchases = (
+        SE.read_event_stream(spark, staged)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        SE.read_event_stream(spark, staged)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_ts")
+    out = _run_to_table(spark, joined, "append")
+    # Static cutoff = max event ts - 4h, computed in-plan (broadcast
+    # scalar), NOT collected on the driver.
+    from ..io.readers import load_table
+
+    cutoff = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 4 HOUR")).alias("cutoff")
+    )
+    return (
+        out.join(F.broadcast(cutoff))
+        .where(F.col("p_ts") <= F.col("cutoff"))
+        .select("purchase_id", "click_id")
+    )
