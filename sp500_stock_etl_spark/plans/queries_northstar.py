@@ -2101,3 +2101,93 @@ def q_corpus_boilerplate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clean_n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (round-5 ext): the keyword-extraction
+# / topic-tagging pass of a curation pipeline. Two global statistics
+# (document count, per-token document frequency) broadcast back over
+# the per-doc term frequencies; per-doc top-3 by a rank window.
+# idf is integer-scaled (N*1000 div df) so scores stay in exact
+# BIGINTs — ln() is deliberately avoided because libm parity across
+# engines is not a contract worth betting a hash on. Ties break
+# (score DESC, token ASC) identically in both engines. Scale: tf
+# shuffles once on (doc_id, tok); df is vocabulary-sized → broadcast;
+# the rank window re-uses the doc_id partitioning of the tf output.
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPN = 3
+
+_TFIDF_ORACLE = f"""
+WITH tokd AS (
+    SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+    FROM tokd GROUP BY doc_id, tok
+),
+df AS (
+    SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tokd GROUP BY tok
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           tf.tf * ((SELECT n_docs FROM n) * 1000 // df.df) AS score
+    FROM tf JOIN df USING (tok)
+),
+ranked AS (
+    SELECT doc_id, tok, score,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok
+           ) AS rnk
+    FROM scored
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE rnk <= {_TFIDF_TOPN}
+"""
+
+
+@register(
+    "corpus_tfidf_topterms",
+    _TFIDF_ORACLE,
+    doc=f"TF-IDF top-{_TFIDF_TOPN} terms per doc: integer-scaled idf "
+    "(N*1000 div df — exact BIGINT scores, no libm parity bet), "
+    "vocabulary-sized df broadcast, one (doc_id,tok) shuffle "
+    "(north star, r5)",
+)
+def q_corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tokd.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tokd.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.expr("(n_docs * 1000) div df")).alias("score"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= _TFIDF_TOPN)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "tok",
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
