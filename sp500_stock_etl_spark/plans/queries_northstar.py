@@ -2191,3 +2191,107 @@ def q_corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("bigint").alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-prune (round-5 ext,
+# after Abbas et al. 2023, arXiv:2303.09540): restrict pairwise
+# cosine comparison to members of the same semantic cell and drop
+# every member with a higher id than some near-identical neighbor
+# (cos >= tau). The cell is the embeddings' coarse `label` (the same
+# deterministic cell the IVF index probes), so the quadratic work is
+# per-cell, not corpus-wide: with k ~ sqrt(N) balanced cells the
+# total comparison count is N^1.5, and each cell's pair set stays on
+# one partition (shuffle key = label). Near-identical variants are
+# planted (last 4 of 64 dims zeroed, id +40M, same cell) because the
+# synthetic embeddings have no organic near-dups (within-cell max
+# cosine 0.47); tau=0.9 catches exactly the planted ones. Verdict per
+# vector: keep + diagnostics, the SemDeDup decision surface.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.9
+_SEMDEDUP_OFFSET = 40_000_000
+
+_SEMDEDUP_BASE_SQL = f"""
+base AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_SEMDEDUP_OFFSET}, label,
+           list_transform(generate_series(1, len(embedding)),
+                          i -> CASE WHEN i <= len(embedding) - 4
+                                    THEN CAST(embedding[i] AS DOUBLE)
+                                    ELSE 0.0 END)
+    FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_SEMDEDUP_BASE_SQL},
+pairs AS (
+    SELECT b.vec_id AS vid, {_sql_cosine('a.v', 'b.v')} AS c
+    FROM base a JOIN base b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.v', 'b.v')} >= {_SEMDEDUP_TAU}
+),
+agg AS (
+    SELECT vid, CAST(count(*) AS BIGINT) AS n_dups,
+           max(c) AS max_dup_cosine
+    FROM pairs GROUP BY vid
+)
+SELECT e.vec_id, e.label,
+       coalesce(a.n_dups, 0) AS n_dups,
+       a.max_dup_cosine AS max_dup_cosine,
+       (a.vid IS NULL) AS keep
+FROM base e LEFT JOIN agg a ON a.vid = e.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    _SEMDEDUP_ORACLE,
+    doc="SemDeDup: within-cell pairwise cosine prune (keep lowest id "
+    "per near-dup set, tau=0.9); quadratic work confined per cell, "
+    "planted last-4-dims-zeroed variants are the positives "
+    "(north star, r5)",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    base = emb.select("vec_id", "label", to_d.alias("v"))
+    d = F.size(F.col("v"))
+    variant = F.transform(
+        F.col("v"),
+        lambda v, i: F.when(i < d - 4, v).otherwise(F.lit(0.0)),
+    )
+    var = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _SEMDEDUP_OFFSET).alias("vec_id"),
+        "label",
+        variant.alias("v"),
+    )
+    full = base.unionByName(var)
+    a = full.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("v").alias("av")
+    )
+    b = full.select(
+        F.col("vec_id").alias("vid"), "label", F.col("v").alias("bv")
+    )
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("a_id") < F.col("vid"))
+        .select("vid", S.cosine(F.col("av"), F.col("bv")).alias("c"))
+        .where(F.col("c") >= _SEMDEDUP_TAU)
+    )
+    agg = pairs.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        F.max("c").alias("max_dup_cosine"),
+    )
+    return full.join(
+        agg, full.vec_id == agg.vid, "left"
+    ).select(
+        "vec_id",
+        "label",
+        F.coalesce("n_dups", F.lit(0).cast("bigint")).alias("n_dups"),
+        "max_dup_cosine",
+        F.col("vid").isNull().alias("keep"),
+    )
