@@ -138,3 +138,22 @@ def stock_data_from_lineitem(lineitem: DataFrame) -> DataFrame:
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
     )
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan's current
+    parallelism is below the session's core count.
+
+    A CPU-heavy narrow stage (per-doc shingling/hashing) inherits the
+    scan's split count; a small single-row-group parquet file yields
+    ONE task no matter how many cores exist, so the whole stage runs
+    sequentially — a small-file artifact of test scale. The guard
+    makes this scale-safe: at 100 TB the scan already produces far
+    more splits than cores, the condition is false, and NO shuffle is
+    added; at test scale the shuffled payload is the (tiny) file
+    itself. Callers place this between the scan and the expensive
+    narrow compute.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

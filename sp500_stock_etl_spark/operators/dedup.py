@@ -54,15 +54,31 @@ def with_shingles(
     df: DataFrame, id_col: str, text_col: str, ngram: int = 3
 ) -> DataFrame:
     """(id, shingles: array<string>) — distinct word n-grams, map-side.
+    Documents with fewer than ``ngram`` tokens are dropped (their
+    shingle set is empty by definition).
 
-    Tokens are materialized as a column FIRST: passing the tokenizer
-    expression tree into the shingle lambda would re-run the regex
-    normalize+split for every element_at — O(tokens²) regex work per
-    document (observed 15s → 1s on 6k docs)."""
+    Two expression-blowup traps are defused here, both with the same
+    mechanism — Catalyst substitutes a column's FULL defining
+    expression when it moves predicates/filters through projections,
+    so an expensive computed column must never be what gets filtered
+    or re-derived:
+
+    1. Tokens are materialized as a column FIRST: passing the
+       tokenizer expression tree into the shingle lambda would re-run
+       the regex normalize+split for every element_at — O(tokens²)
+       regex work per document (observed 15 s → 1 s on 6k docs).
+    2. The emptiness filter is applied to the CHEAP token count here,
+       not to ``size(shingles)`` by callers: a filter on the shingle
+       array gets pushed below the projection with ``word_shingles``
+       (and the tokenizer inside it) substituted wholesale — the same
+       O(tokens²) regex blowup through the PushDownPredicates rule
+       (observed 12 s → 1.5 s on 11k docs at sf0.1). The sibling trap
+       via InferFiltersFromGenerate on explode(shingles) is excluded
+       session-wide (session._RUNTIME_CONF)."""
     tokd = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks__")
     )
-    return tokd.select(
+    return tokd.where(F.size("__toks__") >= ngram).select(
         "doc_id", word_shingles(F.col("__toks__"), ngram).alias("shingles")
     )
 
@@ -100,11 +116,13 @@ def minhash_signature(
             for i in range(num_hashes)
         ]
     )
+    # No size(shingles)>0 filter here: with_shingles guarantees
+    # non-empty, and filtering a computed array re-derives it through
+    # predicate pushdown (see with_shingles docstring).
     return (
         shingled.withColumn("__h__", base_hashes)
         .withColumn("sig", sig)
         .drop("__h__")
-        .where(F.size("shingles") > 0)
     )
 
 
@@ -495,9 +513,7 @@ def prefix_jaccard_pairs(
             f"{threshold!r}"
         )
 
-    shingled = track_persist(
-        with_shingles(df, id_col, text_col, ngram).where(F.size("shingles") > 0)
-    )
+    shingled = track_persist(with_shingles(df, id_col, text_col, ngram))
     ex = shingled.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),

@@ -98,11 +98,17 @@ def bloom_semi_prefilter(
     (``pmod(xxhash64(v, seed_i), n_bits)``), positions fold into
     64-bit words via ``bit_or`` (one tiny shuffle on word index — at
     most ``n_bits/64`` groups regardless of build cardinality), and
-    the words collect into ONE map row that broadcasts at
-    ``n_bits/8`` bytes worst-case, independent of build row count.
+    the words densify into ONE ``array<bigint>`` row of exactly
+    ``n_bits/64`` words (missing words 0) that broadcasts at
+    ``n_bits/8`` bytes, independent of build row count. The dense
+    array matters: Spark's ``element_at`` on a MapType is a LINEAR
+    scan of the map, which made the map-shaped first cut O(n_words)
+    per probe hash — 30+ s at sf0.1; array indexing is O(1) and the
+    same query is ~1 s. The one-time densify pays n_words map lookups
+    at build, not per probe row.
     Probe side: a row survives iff all of its value's k bits are set
-    (``element_at`` on a missing word is NULL, NULL-rejecting the
-    row — an unset word means not-contained, which is correct).
+    (a missing word reads 0, so every bit test fails — not-contained,
+    which is correct).
 
     Guarantees: NO false negatives (every true member's bits were all
     set by the build pass), so ``bloom_semi_prefilter(...)`` followed
@@ -151,9 +157,22 @@ def bloom_semi_prefilter(
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
     )
-    bitmap = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
-            "__bloom"
+    # Densify via a word-index left join, NOT a map-probe fill: a
+    # sequence/transform fill over a map literal is n_words linear map
+    # scans (~270M comparisons at 2^20 bits — measured ~12 s, single
+    # thread); the join + sorted collect is O(n_words log n_words)
+    # with trivial constants.
+    idx = build.sparkSession.range(n_words).select(
+        F.col("id").cast("bigint").alias("w")
+    )
+    bitmap = (
+        idx.join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "bits"))),
+                lambda x: x["bits"],
+            ).alias("__bloom")
         )
     )
     assert n_words * 64 == n_bits, "n_bits must be a multiple of 64"
@@ -162,7 +181,9 @@ def bloom_semi_prefilter(
     for i in range(n_hashes):
         p = _pos(F.col(probe_col), i)
         checks.append(
-            F.element_at(F.col("__bloom"), _word(p)).bitwiseAND(_bit(p))
+            F.element_at(F.col("__bloom"), _word(p).cast("int") + 1).bitwiseAND(
+                _bit(p)
+            )
             != F.lit(0)
         )
     return (

@@ -55,6 +55,19 @@ _RUNTIME_CONF = {
     # raw int64 and convert in the loader (io/readers.py) — integer
     # division, since double math loses precision at 1e18.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate infers `size(e)>0 AND isnotnull(e)`
+    # under every explode(e); filter-pushdown then substitutes e's
+    # FULL expression tree through the projections, so an exploded
+    # computed array (word shingles: tokens() inlined into every
+    # element_at) gets re-evaluated as O(tokens^2) regex work in a
+    # Filter below the Generate. Measured on the shingle-explode
+    # path: 64 s -> 1.5 s at sf0.1 (corpus_decontamination_bloom).
+    # The rule only ever skips empty generator inputs — a no-op for
+    # our corpora — and excluding it is optimization-neutral for
+    # correctness (verified: full oracle-parity suite green).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
