@@ -65,17 +65,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-checked on every pytest run by tests/test_oracle_parity.py
 # (full-registry parametrize).
 _PRIORITY: tuple[str, ...] = (
-    # --- Core regression set (one per family) ---
+    # --- Core regression set (one per family; trimmed to 11 mid-r5
+    # --- to make room for the 8 new round-5 queries' first driver
+    # --- rows: qa_aggregate / orc_roundtrip_agg / dedup_minhash_lsh /
+    # --- text_quality_stats rotate out on their r4 greens, with their
+    # --- families still represented below) ---
     "flagship_window_metrics",  # reference flagship (windows W1-W3)
-    "qa_aggregate",  # reference QA aggregate (A1-A5)
     "symbol_validation",  # reference validity predicates (P1-P8)
     "csv_roundtrip_agg",  # Snowflake-semantics CSV scan + QUOTE_ALL write
-    "orc_roundtrip_agg",  # warehouse bulk load + idempotent reload (K3)
     "topk_movers_per_day",  # global sort / top-k (O1-O3)
-    "dedup_minhash_lsh",  # dedup family
     "dedup_embedding_cosine",  # embedding near-dup
     "similarity_lsh_topk",  # ANN family
-    "text_quality_stats",  # text-analysis family
     "corpus_curation_pipeline",  # LLM-pipeline capstone
     "streaming_tumbling_counts",  # streaming family
     "multimodal_decode_dims",  # multimodal real-header decode
@@ -118,11 +118,14 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q9_profit",
     "tpch_q12_shipmode",
     "streaming_ohlc_bars_append",
-    # --- Stalest greens: r2-only rows (no driver row since round 2) ---
-    "filtered_scan_projection",
-    "global_sort_topk",
-    "union_all_distinct",
-    "rollup_agg",
+    "text_repetition_stats",
+    "corpus_decontamination_bloom",
+    "corpus_unigram_stats",
+    "corpus_boilerplate_rewrite",
+    "bucketed_fact_join",
+    "streaming_stream_stream_left_join",
+    "corpus_tfidf_topterms",
+    "dedup_semantic_clusters",
 )
 
 
