@@ -79,6 +79,14 @@ R5_QUERIES = [
     "text_repetition_stats",
     "corpus_decontamination_bloom",
     "corpus_unigram_stats",
+    # --- mid-round-5 additions ---
+    "corpus_boilerplate_rewrite",
+    "bucketed_fact_join",
+    "streaming_stream_stream_left_join",
+    "corpus_tfidf_topterms",
+    "dedup_semantic_clusters",
+    "dedup_prefix_jaccard",  # promoted: carries the r5 pushdown-blowup fix
+    "xml_roundtrip_agg",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan

@@ -385,3 +385,57 @@ def q_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip (round-5 ext): Spark 4's built-in XML source (the
+# spark-xml package absorbed into spark-sql) — the remaining
+# interchange format after CSV/JSONL/ORC/parquet. Write a projected
+# slice as row-tagged XML, read it back schema-first, aggregate; the
+# oracle runs on the ORIGINAL parquet so any loss in the XML cycle
+# (escaping, numeric round-trip, null handling) fails parity. Doubles
+# survive because Spark serializes them with full precision and the
+# schema-first read parses them back exactly.
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT n_regionkey,
+       count(*) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register(
+    "xml_roundtrip_agg",
+    _XML_ORACLE,
+    doc="XML write→schema-first read→agg round-trip (SURVEY §2.1 "
+    "format ext, Spark 4 built-in XML source); oracle on the original "
+    "parquet so lossy cycles fail",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    path = tempfile.mkdtemp(prefix="sg_xml_") + "/nation_xml"
+    na.write.mode("overwrite").option("rowTag", "nation").format("xml").save(
+        path
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_regionkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )
