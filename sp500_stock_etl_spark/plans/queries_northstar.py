@@ -28,7 +28,7 @@ from ..functions.text import (
     sql_word_shingles,
     tokens,
 )
-from ..io.readers import load_table
+from ..io.readers import ensure_parallelism, load_table
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text_analysis as TA
@@ -1093,7 +1093,9 @@ WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE)
     "exactness is hash-checked (north star)",
 )
 def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _docs_with_neardups(spark, sf_dir)
+    # ensure_parallelism: the shingle+index build is the CPU stage and
+    # the test corpus is a single-row-group file (no-op at real scale).
+    base = ensure_parallelism(_docs_with_neardups(spark, sf_dir))
     return D.prefix_jaccard_pairs(
         base, "doc_id", "text", ngram=_NGRAM, threshold=_PJ_THRESHOLD
     )
@@ -1873,9 +1875,12 @@ def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.concat("text", leak).alias("text"))
     )
-    train = D.with_shingles(train_raw, "doc_id", "text", _DECON_NGRAM).select(
-        "doc_id", F.explode("shingles").alias("gram")
-    )
+    # Shingling+hashing is the CPU stage; a single-row-group test file
+    # pins it to one task (readers.ensure_parallelism is a no-op
+    # whenever the scan already yields >= cores splits).
+    train = D.with_shingles(
+        ensure_parallelism(train_raw), "doc_id", "text", _DECON_NGRAM
+    ).select("doc_id", F.explode("shingles").alias("gram"))
     survivors = bloom_semi_prefilter(train, "gram", eval_grams, "gram")
     return (
         survivors.join(F.broadcast(eval_grams), "gram")
