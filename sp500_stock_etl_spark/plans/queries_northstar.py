@@ -2300,3 +2300,116 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_dup_cosine",
         F.col("vid").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-K per-stratum sample (round-5 ext): the distributed analogue
+# of reservoir sampling, made deterministic — rank every doc inside
+# its stratum by the engine-shared md5 hash of its id (a fixed random
+# permutation) and keep the first K. Same guarantees as a reservoir
+# (uniform without replacement, exact K per stratum) but
+# reproducible, mergeable, and one window over the stratum
+# partitioning. At 100 TB per-stratum TakeOrdered beats a global
+# sort: only K rows per stratum survive the shuffle.
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 20
+
+_RESERVOIR_ORACLE = f"""
+WITH ranked AS (
+    SELECT lang, doc_id, n_chars,
+           {sql_hash32("CAST(doc_id AS VARCHAR)", "sample")} AS h,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_hash32("CAST(doc_id AS VARCHAR)", "sample")},
+                        doc_id
+           ) AS rnk
+    FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_RESERVOIR_K}
+"""
+
+
+@register(
+    "corpus_reservoir_sample",
+    _RESERVOIR_ORACLE,
+    doc=f"exact-{_RESERVOIR_K}-per-stratum deterministic sample "
+    "(reservoir semantics via hash-rank window; uniform without "
+    "replacement, reproducible across engines) (north star, r5)",
+)
+def q_corpus_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = hash32(F.col("doc_id").cast("string"), "sample")
+    rnk = F.row_number().over(
+        W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    )
+    return (
+        docs.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= _RESERVOIR_K)
+        .select("lang", "doc_id", "n_chars", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split (round-5 ext): deterministic hash-mod
+# assignment (80/10/10 on the shared md5 hash — stable under corpus
+# growth: a doc's split never changes when other docs arrive, unlike
+# rank-based splits) + per-(split, lang) token accounting. Pure
+# map-side assignment; one aggregation shuffle.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+    SELECT doc_id, lang,
+           len(string_split({sql_norm_text('text')}, ' ')) AS n_toks,
+           {sql_hash32("CAST(doc_id AS VARCHAR)", "split")} % 100 AS bucket
+    FROM documents
+),
+labeled AS (
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           n_toks
+    FROM assigned
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM labeled
+GROUP BY split, lang
+"""
+
+
+@register(
+    "corpus_train_val_test_split",
+    _SPLIT_ORACLE,
+    doc="deterministic 80/10/10 train/val/test hash split (assignment "
+    "stable under corpus growth) + per-(split,lang) token accounting "
+    "(north star, r5)",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bucket = hash32(F.col("doc_id").cast("string"), "split") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(tokens(F.col("text"))).alias("n_toks"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
