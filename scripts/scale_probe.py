@@ -135,6 +135,7 @@ def main() -> None:
     lsh_topk_runtime_probe(spark, sf_dir, n)
     connected_components_probe(spark, sf_dir, n)
     streaming_dedup_ttl_probe(spark, sf_dir, n)
+    bloom_prefilter_probe(spark, sf_dir, n)
 
 
 def lsh_topk_runtime_probe(spark, sf_dir: str, n: int) -> None:
@@ -377,3 +378,33 @@ def streaming_dedup_ttl_probe(spark, sf_dir: str, n: int) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def bloom_prefilter_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-5 probe: the Bloom-prefiltered decontamination path after
+    the expression-blowup fix. Probe side (the training corpus) grows
+    n x while the eval gram set — and therefore the broadcast bitmap —
+    stays FIXED, which is exactly the production shape: probe cost
+    must track corpus volume linearly, bitmap cost not at all."""
+    from sp500_stock_etl_spark.operators.dedup import with_shingles
+    from sp500_stock_etl_spark.operators.joins import bloom_semi_prefilter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_grams = (
+        with_shingles(docs.where(F.col("doc_id") % 50 == 0), "doc_id", "text", 8)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    out = {"probe": "bloom_prefilter_decontamination", "sf_dir": sf_dir, "n": n}
+    for tag, k in (("1x", 1), ("nx", n)):
+        corpus = replicate(docs, k, ["doc_id"]) if k > 1 else docs
+        grams = with_shingles(corpus, "doc_id", "text", 8).select(
+            "doc_id", F.explode("shingles").alias("gram")
+        )
+        surv = bloom_semi_prefilter(grams, "gram", eval_grams, "gram")
+        t = time.time()
+        rows = surv.count()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+        out[f"rows_{tag}"] = rows
+    out["ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    print(json.dumps(out), flush=True)
