@@ -178,3 +178,15 @@ def test_packing_plan_single_arrow_group_pass(spark, sf_dir):
     # node once in the tree and once in the details.
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_ensure_parallelism_is_guarded(spark, sf_dir):
+    from sp500_stock_etl_spark.io.readers import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Small single-row-group file -> repartitions up to the target.
+    up = ensure_parallelism(docs, min_partitions=4)
+    assert up.rdd.getNumPartitions() == 4
+    # Already at/above target -> returns the SAME plan, no shuffle.
+    wide = docs.repartition(8)
+    assert ensure_parallelism(wide, min_partitions=4) is wide
