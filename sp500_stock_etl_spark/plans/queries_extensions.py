@@ -1275,3 +1275,97 @@ def q_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(keybits).cast("bigint").alias("key_bits_xor"),
         F.sum(nibble.cast("bigint")).cast("bigint").alias("shifted_nibble_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration on the co-purchase graph (round-5 ext): the
+# classic distributed graph-join discipline test. Edges = part pairs
+# co-occurring in >= 2 orders (the basket graph, 3.4k edges / 61
+# triangles at sf0.01 — organic positives). The Spark side runs the
+# DEGREE-ORDERED node-iterator: orient every edge from its
+# (degree, id)-smaller endpoint, build wedges only from each node's
+# out-edges, close them with a third oriented-edge join. Orientation
+# bounds every out-degree by O(sqrt(E)) on skewed graphs, so wedge
+# fan-out tracks arboricity, not max degree — the difference between
+# a plan that survives a power-law graph and one that dies on its
+# hottest node. Each triangle is found exactly once (its vertices are
+# totally ordered by (deg, id)); emitted as plain-id-sorted (u, v, w)
+# to match the naive three-way self-join the oracle runs.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_SUPPORT = 2
+
+_TRIANGLE_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a JOIN items b USING (l_orderkey)
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_TRIANGLE_SUPPORT}
+)
+SELECT e1.u AS u, e1.v AS v, e2.v AS w
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.v
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@register(
+    "triangle_count_basket",
+    _TRIANGLE_ORACLE,
+    doc="triangle enumeration via degree-ordered node-iterator "
+    "(out-degree bounded by O(sqrt E) under orientation — survives "
+    "power-law graphs); oracle is the naive 3-way self-join "
+    "(SURVEY §2.9 ext, r5)",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pu"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pv"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pu") < F.col("pv"))
+        .groupBy("pu", "pv")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _TRIANGLE_SUPPORT)
+        .select("pu", "pv")
+    )
+    deg = (
+        edges.select(F.col("pu").alias("node"))
+        .unionAll(edges.select(F.col("pv").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("pu"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("pv"), F.col("deg").alias("dv"))
+    with_deg = edges.join(du, "pu").join(dv, "pv")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("pu") < F.col("pv"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("pu")).otherwise(F.col("pv")).alias("src"),
+        F.when(u_first, F.col("pv")).otherwise(F.col("pu")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("dst_deg").alias("xd")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("dst_deg").alias("yd")
+    )
+    # Wedge (src -> x, src -> y) with x before y in the orientation
+    # order, closed by the oriented edge x -> y.
+    wedges = e1.join(e2, "src").where(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(e3, ["x", "y"])
+    ids = F.array_sort(F.array("src", "x", "y"))
+    return tri.select(
+        F.element_at(ids, 1).alias("u"),
+        F.element_at(ids, 2).alias("v"),
+        F.element_at(ids, 3).alias("w"),
+    )
