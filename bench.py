@@ -87,6 +87,9 @@ R5_QUERIES = [
     "dedup_semantic_clusters",
     "dedup_prefix_jaccard",  # promoted: carries the r5 pushdown-blowup fix
     "xml_roundtrip_agg",
+    "corpus_reservoir_sample",
+    "corpus_train_val_test_split",
+    "triangle_count_basket",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan
