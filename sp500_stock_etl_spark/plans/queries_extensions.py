@@ -1330,42 +1330,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pu", "pv")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= _TRIANGLE_SUPPORT)
-        .select("pu", "pv")
+        .select(F.col("pu").alias("u"), F.col("pv").alias("v"))
     )
-    deg = (
-        edges.select(F.col("pu").alias("node"))
-        .unionAll(edges.select(F.col("pv").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("pu"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("pv"), F.col("deg").alias("dv"))
-    with_deg = edges.join(du, "pu").join(dv, "pv")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("pu") < F.col("pv"))
-    )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("pu")).otherwise(F.col("pv")).alias("src"),
-        F.when(u_first, F.col("pv")).otherwise(F.col("pu")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-    )
-    e1 = oriented.select(
-        F.col("src"), F.col("dst").alias("x"), F.col("dst_deg").alias("xd")
-    )
-    e2 = oriented.select(
-        F.col("src"), F.col("dst").alias("y"), F.col("dst_deg").alias("yd")
-    )
-    # Wedge (src -> x, src -> y) with x before y in the orientation
-    # order, closed by the oriented edge x -> y.
-    wedges = e1.join(e2, "src").where(
-        (F.col("xd") < F.col("yd"))
-        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
-    )
-    e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    tri = wedges.join(e3, ["x", "y"])
-    ids = F.array_sort(F.array("src", "x", "y"))
-    return tri.select(
-        F.element_at(ids, 1).alias("u"),
-        F.element_at(ids, 2).alias("v"),
-        F.element_at(ids, 3).alias("w"),
-    )
+    from ..operators.graph import enumerate_triangles
+
+    return enumerate_triangles(edges)
