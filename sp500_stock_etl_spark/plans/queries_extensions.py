@@ -1335,3 +1335,80 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import enumerate_triangles
 
     return enumerate_triangles(edges)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (round-5 ext): blocking + fuzzy-score matching —
+# the classic record-linkage shape. Dirty duplicates are planted
+# deterministically (custkey%20==0 → copy at key+1M with one name
+# character replaced, Levenshtein distance exactly 1); blocking on
+# (nationkey, mktsegment) bounds the candidate space to per-block
+# quadratics (the standard ER trade: quadratic only within blocks,
+# and block keys chosen so dirty copies stay co-blocked); scoring is
+# integer Levenshtein <= 1, identical in Spark and DuckDB. Organic
+# near-matches (synthetic names differing in one digit) are part of
+# the expected result — fuzzy matching SHOULD surface them. At 100 TB
+# the plan is one shuffle on the block key + per-block join, never an
+# all-pairs cross.
+# ---------------------------------------------------------------------------
+
+_ER_OFFSET = 1_000_000
+
+_ER_ORACLE = f"""
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    UNION ALL
+    SELECT c_custkey + {_ER_OFFSET},
+           substr(c_name, 1, 9) || 'x' || substr(c_name, 11),
+           c_nationkey, c_mktsegment
+    FROM customer WHERE c_custkey % 20 = 0
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM base a JOIN base b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register(
+    "entity_resolution_customers",
+    _ER_ORACLE,
+    doc="entity resolution: (nation, segment) blocking + integer "
+    "Levenshtein<=1 scoring; planted one-edit dirty copies and organic "
+    "one-digit near-matches both surface (SURVEY §2.9 ext, r5)",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    dirty = cust.where(F.col("c_custkey") % 20 == 0).select(
+        (F.col("c_custkey") + _ER_OFFSET).alias("c_custkey"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.lit("x"), F.expr("substr(c_name, 11)")
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    base = cust.unionByName(dirty)
+    a = base.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = base.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(dist <= 1)
+        .select("key_a", "key_b", dist.cast("int").alias("dist"))
+    )
