@@ -439,3 +439,73 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution scan (round-5 ext): a parquet dataset whose files
+# were written under two schema versions — v1 (order day + price),
+# v2 adds a discount column — read with mergeSchema, so v1 rows
+# surface NULL discounts. This is the §2.1 robustness case every
+# long-lived warehouse table hits; the aggregate proves both cohorts
+# scan correctly (counts per cohort, discount sum only from v2). The
+# oracle rebuilds the identical union from the original parquet, so a
+# wrong merge (dropped column, misaligned nulls, failed upcast)
+# breaks the hash. At 100 TB mergeSchema's footer-sampling cost is
+# the documented trade; production tables pin the superset schema in
+# the catalog instead (schema-first read path, io/readers.py).
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+WITH v1 AS (
+    SELECT l_orderkey, CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(NULL AS DOUBLE) AS discount
+    FROM lineitem WHERE l_orderkey % 2 = 0
+),
+v2 AS (
+    SELECT l_orderkey, CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(l_discount AS DOUBLE) AS discount
+    FROM lineitem WHERE l_orderkey % 2 = 1
+),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT (l_orderkey % 2 = 1) AS is_v2,
+       count(*) AS n_rows,
+       CAST(count(discount) AS BIGINT) AS n_discounted,
+       CAST(sum(CAST(coalesce(discount, 0) AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_discount,
+       CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY 1
+"""
+
+
+@register(
+    "schema_evolution_scan",
+    _EVOLUTION_ORACLE,
+    doc="mergeSchema over a two-generation parquet dataset (v2 adds a "
+    "column; v1 rows surface NULLs) — §2.1 robustness; oracle rebuilds "
+    "the union from the original parquet",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="sg_evo_") + "/lineitem_evo"
+    v1 = li.where(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    v2 = li.where(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    v1.write.mode("overwrite").parquet(base + "/gen=1")
+    v2.write.mode("overwrite").parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return merged.groupBy((F.col("l_orderkey") % 2 == 1).alias("is_v2")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("discount").cast("bigint").alias("n_discounted"),
+        F.sum(dec(F.coalesce(F.col("discount"), F.lit(0.0))))
+        .cast("double")
+        .alias("sum_discount"),
+        F.sum(dec("price")).cast("double").alias("sum_price"),
+    )
