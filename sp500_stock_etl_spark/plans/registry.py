@@ -65,22 +65,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # re-checked on every pytest run by tests/test_oracle_parity.py
 # (full-registry parametrize).
 _PRIORITY: tuple[str, ...] = (
-    # --- Core regression set (one per family; trimmed to 11 mid-r5
-    # --- to make room for the 8 new round-5 queries' first driver
-    # --- rows: qa_aggregate / orc_roundtrip_agg / dedup_minhash_lsh /
-    # --- text_quality_stats rotate out on their r4 greens, with their
-    # --- families still represented below) ---
+    # --- Core regression set (trimmed to 5 late in r5 so every query
+    # --- born this round gets its first driver row — the lesson of
+    # --- the r4 verdict applied to our own additions. Rotated out on
+    # --- their r4 greens (families still represented in-window):
+    # --- qa_aggregate, orc_roundtrip_agg, dedup_minhash_lsh,
+    # --- text_quality_stats, symbol_validation, csv_roundtrip_agg,
+    # --- topk_movers_per_day, dedup_embedding_cosine,
+    # --- broadcast_star_join, grouped_agg_pricing. Every registry
+    # --- oracle is still re-verified on every local pytest run. ---
     "flagship_window_metrics",  # reference flagship (windows W1-W3)
-    "symbol_validation",  # reference validity predicates (P1-P8)
-    "csv_roundtrip_agg",  # Snowflake-semantics CSV scan + QUOTE_ALL write
-    "topk_movers_per_day",  # global sort / top-k (O1-O3)
-    "dedup_embedding_cosine",  # embedding near-dup
     "similarity_lsh_topk",  # ANN family
     "corpus_curation_pipeline",  # LLM-pipeline capstone
     "streaming_tumbling_counts",  # streaming family
     "multimodal_decode_dims",  # multimodal real-header decode
-    "broadcast_star_join",  # join family
-    "grouped_agg_pricing",  # grouped agg + rounding kernel
     # --- r4 driver ERRORS, now canonicalizer-safe: array_functions_suite
     # --- projects the sorted prefix as scalar doubles (hash-checked);
     # --- multimodal_decode_features serializes the histogram via
@@ -126,6 +124,12 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stream_stream_left_join",
     "corpus_tfidf_topterms",
     "dedup_semantic_clusters",
+    "xml_roundtrip_agg",
+    "corpus_reservoir_sample",
+    "corpus_train_val_test_split",
+    "triangle_count_basket",
+    "entity_resolution_customers",
+    "schema_evolution_scan",
 )
 
 
