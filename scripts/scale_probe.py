@@ -313,6 +313,10 @@ def connected_components_probe(spark, sf_dir: str, n: int) -> None:
     # min label walks one hop per round). Cost should scale with
     # rounds, not explode — and past max_iter the operator now raises
     # instead of returning split clusters.
+    from sp500_stock_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
     for depth in (10, 10 * n):
         path = spark.range(depth).select(
             F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
@@ -320,8 +324,18 @@ def connected_components_probe(spark, sf_dir: str, n: int) -> None:
         t = time.time()
         connected_components(path, max_iter=depth + 2).count()
         out[f"sec_depth_{depth}"] = round(time.time() - t, 2)
+        # The deep-graph variant: O(log^2) star-contraction rounds —
+        # should be near-FLAT in depth where propagation is linear.
+        t = time.time()
+        connected_components_star(path, max_iter=30).count()
+        out[f"sec_star_depth_{depth}"] = round(time.time() - t, 2)
     out["depth_ratio"] = round(
         out[f"sec_depth_{10 * n}"] / max(out["sec_depth_10"], 0.01), 2
+    )
+    out["star_depth_ratio"] = round(
+        out[f"sec_star_depth_{10 * n}"]
+        / max(out["sec_star_depth_10"], 0.01),
+        2,
     )
     print(json.dumps(out), flush=True)
 
