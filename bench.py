@@ -90,6 +90,9 @@ R5_QUERIES = [
     "corpus_reservoir_sample",
     "corpus_train_val_test_split",
     "triangle_count_basket",
+    "entity_resolution_customers",
+    "schema_evolution_scan",
+    "dedup_connected_components_star",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan

@@ -1581,6 +1581,40 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(edges)
 
 
+@register(
+    "dedup_connected_components_star",
+    _CC_ORACLE,  # same fixpoint, different algorithm — shared oracle
+    doc="same cluster resolution via alternating large-star/small-star "
+    "contraction (O(log^2) rounds — the deep-graph variant); sharing "
+    "the propagation query's exact oracle cross-checks the two "
+    "algorithms against each other (north star, r5)",
+)
+def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + _CC_OFFSET_B).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + _CC_OFFSET_C).alias("doc_id"), "text"
+            )
+        )
+    )
+    fp = base.select("doc_id", F.md5(norm_text(F.col("text"))).alias("f"))
+    w = W.partitionBy("f").orderBy("doc_id")
+    edges = (
+        fp.withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return D.connected_components_star(edges)
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters via Misra-Gries (round-4 ext): the mergeable-sketch
 # twin of token_frequency_topn. Estimates depend on the physical
