@@ -1412,3 +1412,78 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 1)
         .select("key_a", "key_b", dist.cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (round-5 ext): interleave the low 16 bits of two
+# join/filter dimensions into one Morton key, bucket rows by its high
+# bits, and report per-bucket ranges of BOTH dimensions. The point is
+# the data-skipping property the per-bucket min/max rows make visible:
+# because the curve preserves locality in both dimensions at once, a
+# range predicate on EITHER column prunes most buckets by their
+# min/max footer stats — the multi-column clustering trick
+# (Delta/Iceberg OPTIMIZE ZORDER) that single-column sort can't give.
+# At 100 TB this is a write-time layout choice: sort by zkey before
+# writing and parquet row-group stats do the pruning. All bit math is
+# exact integer shifts/masks generated from one Python loop for both
+# engines.
+# ---------------------------------------------------------------------------
+
+
+def _z_spark(a, b):
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z
+
+
+def _z_sql(a: str, b: str) -> str:
+    parts = []
+    for i in range(16):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(parts)
+
+
+_ZORDER_ORACLE = f"""
+WITH keyed AS (
+    SELECT l_partkey % 65536 AS pa, l_suppkey % 65536 AS sb,
+           {_z_sql("l_partkey % 65536", "l_suppkey % 65536")} AS zkey
+    FROM lineitem
+)
+SELECT CAST(zkey >> 22 AS BIGINT) AS zbucket,
+       count(*) AS n_rows,
+       CAST(min(pa) AS BIGINT) AS min_part, CAST(max(pa) AS BIGINT) AS max_part,
+       CAST(min(sb) AS BIGINT) AS min_supp, CAST(max(sb) AS BIGINT) AS max_supp
+FROM keyed
+GROUP BY 1
+"""
+
+
+@register(
+    "zorder_layout_stats",
+    _ZORDER_ORACLE,
+    doc="Z-order (Morton) layout key over (partkey, suppkey): per-bucket "
+    "min/max of BOTH dimensions shows the multi-column skipping "
+    "property a single-column sort cannot give (SURVEY §7.4 ext, r5)",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 65536).alias("pa"),
+        (F.col("l_suppkey") % 65536).alias("sb"),
+    )
+    keyed = li.withColumn("zkey", _z_spark(F.col("pa"), F.col("sb")))
+    return keyed.groupBy(
+        F.shiftright("zkey", 22).cast("bigint").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("pa").cast("bigint").alias("min_part"),
+        F.max("pa").cast("bigint").alias("max_part"),
+        F.min("sb").cast("bigint").alias("min_supp"),
+        F.max("sb").cast("bigint").alias("max_supp"),
+    )
