@@ -1452,14 +1452,14 @@ def _z_sql(a: str, b: str) -> str:
 
 _ZORDER_ORACLE = f"""
 WITH keyed AS (
-    SELECT l_partkey % 65536 AS pa, l_suppkey % 65536 AS sb,
-           {_z_sql("l_partkey % 65536", "l_suppkey % 65536")} AS zkey
+    SELECT l_partkey % 65536 AS pa, l_orderkey % 65536 AS sb,
+           {_z_sql("l_partkey % 65536", "l_orderkey % 65536")} AS zkey
     FROM lineitem
 )
-SELECT CAST(zkey >> 22 AS BIGINT) AS zbucket,
+SELECT CAST(zkey >> 16 AS BIGINT) AS zbucket,
        count(*) AS n_rows,
        CAST(min(pa) AS BIGINT) AS min_part, CAST(max(pa) AS BIGINT) AS max_part,
-       CAST(min(sb) AS BIGINT) AS min_supp, CAST(max(sb) AS BIGINT) AS max_supp
+       CAST(min(sb) AS BIGINT) AS min_ord, CAST(max(sb) AS BIGINT) AS max_ord
 FROM keyed
 GROUP BY 1
 """
@@ -1468,22 +1468,22 @@ GROUP BY 1
 @register(
     "zorder_layout_stats",
     _ZORDER_ORACLE,
-    doc="Z-order (Morton) layout key over (partkey, suppkey): per-bucket "
+    doc="Z-order (Morton) layout key over (partkey, orderkey): per-bucket "
     "min/max of BOTH dimensions shows the multi-column skipping "
     "property a single-column sort cannot give (SURVEY §7.4 ext, r5)",
 )
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_partkey") % 65536).alias("pa"),
-        (F.col("l_suppkey") % 65536).alias("sb"),
+        (F.col("l_orderkey") % 65536).alias("sb"),
     )
     keyed = li.withColumn("zkey", _z_spark(F.col("pa"), F.col("sb")))
     return keyed.groupBy(
-        F.shiftright("zkey", 22).cast("bigint").alias("zbucket")
+        F.shiftright("zkey", 16).cast("bigint").alias("zbucket")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("pa").cast("bigint").alias("min_part"),
         F.max("pa").cast("bigint").alias("max_part"),
-        F.min("sb").cast("bigint").alias("min_supp"),
-        F.max("sb").cast("bigint").alias("max_supp"),
+        F.min("sb").cast("bigint").alias("min_ord"),
+        F.max("sb").cast("bigint").alias("max_ord"),
     )
