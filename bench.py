@@ -93,6 +93,7 @@ R5_QUERIES = [
     "entity_resolution_customers",
     "schema_evolution_scan",
     "dedup_connected_components_star",
+    "zorder_layout_stats",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan
