@@ -94,6 +94,7 @@ R5_QUERIES = [
     "schema_evolution_scan",
     "dedup_connected_components_star",
     "zorder_layout_stats",
+    "corpus_bpe_merges",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan

@@ -337,3 +337,86 @@ def misra_gries_heavy_hitters(
         "est_freq",
         F.col("total_err").cast("bigint").alias("max_undercount"),
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Learn the top-``k`` BPE merges over the corpus — tokenizer
+    VOCABULARY TRAINING, the one LLM-pipeline step that is iterative
+    by nature (each merge changes the symbol sequences the next pair
+    count sees). Standard algorithm (Sennrich et al. 2016): start from
+    character symbols over the word vocabulary (weighted by word
+    frequency), repeatedly (1) count adjacent symbol pairs corpus-wide,
+    (2) pick the most frequent (ties: lexicographic (left, right) —
+    fully deterministic), (3) greedily merge that pair left-to-right
+    in every word.
+
+    Scale shape: the heavy state (vocabulary as symbol arrays) NEVER
+    leaves the cluster — each round is one pair-count shuffle
+    (vocabulary-sized keys) and the driver receives exactly ONE row
+    (the winning pair), the same driver-budget as k-means centroids.
+    The merge rewrite is a pure Catalyst ``aggregate`` fold; the label
+    frame is localCheckpoint-ed per round (lineage truncation — see
+    connected_components). Rounds = k by construction.
+
+    Output: (rank, left, right, pair_count) — the merge table, exact
+    against a sequential reference implementation
+    (tests/test_bpe_merges.py); intrinsically order-deterministic, so
+    it gets the rows-only driver check like the other
+    partitioning-independent-but-SQL-inexpressible ops.
+    """
+    spark = docs.sparkSession
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(chars.alias("syms"), "c")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(k):
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        if not top or top[0]["n"] <= 0:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((rank, l, r, n))
+        merged = l + r
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (s == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(fold.alias("syms"), "c").localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )

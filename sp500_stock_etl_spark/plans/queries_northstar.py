@@ -2468,3 +2468,30 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (round-5 ext): tokenizer VOCABULARY TRAINING —
+# the inherently iterative LLM-pipeline step (each merge changes what
+# the next pair count sees). Distributed shape: per round one
+# vocabulary-keyed pair-count shuffle + ONE collected row (the
+# winning pair, the kmeans-centroid driver budget); symbol arrays
+# never leave the cluster; greedy left-to-right merge is a Catalyst
+# aggregate fold. Deterministic by construction (ties: count DESC,
+# (left,right) ASC) but not SQL-expressible (iterated global argmax
+# + rewrite), so it carries the rows-only driver check; exactness is
+# pinned against a sequential Sennrich-style reference in
+# tests/test_bpe_merges.py, overlap and tie cases included.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_bpe_merges",
+    None,  # iterative argmax+rewrite: exact-vs-reference pytest, rows-only
+    doc="BPE tokenizer-vocabulary training: top-8 merges over the corpus "
+    "(iterative pair-count + greedy in-plan merge; driver sees one row "
+    "per round) (north star, r5)",
+)
+def q_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TA.bpe_learn_merges(docs, "text", k=8)

@@ -1,0 +1,69 @@
+"""BPE merge learning (operators/text_analysis.bpe_learn_merges) must
+be EXACTLY the sequential Sennrich-style algorithm: the distributed
+pair count + greedy left-to-right merge per round reproduces a pure
+Python reference bit for bit, including tie-breaks ((count DESC,
+left, right)) and overlap semantics ('aaa' + merge (a,a) -> [aa, a],
+never [a, aa])."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from sp500_stock_etl_spark.functions.text import norm_text  # noqa: F401
+from sp500_stock_etl_spark.operators.text_analysis import bpe_learn_merges
+
+
+def _reference_bpe(texts: list[str], k: int):
+    vocab = Counter()
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    out = []
+    for rank in range(k):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, n))
+        for w, syms in words.items():
+            acc = []
+            for s in syms:
+                if acc and acc[-1] == l and s == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(s)
+            words[w] = acc
+    return out
+
+
+def _check(spark, texts, k):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_learn_merges(df, k=k).collect()]
+    assert got == _reference_bpe(texts, k)
+
+
+def test_bpe_matches_reference_simple(spark):
+    _check(spark, ["the cat sat on the mat", "the cat ate the rat"], 6)
+
+
+def test_bpe_overlap_and_ties(spark):
+    # 'aaaa' exercises greedy overlap; 'bc bd cd' forces count ties
+    # that only the (left, right) lexicographic rule resolves.
+    _check(spark, ["aaaa aaa aa", "bc bd cd bc bd cd"], 8)
+
+
+def test_bpe_on_documents(spark, sf_dir):
+    from sp500_stock_etl_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    texts = [r.text for r in docs.select("text").collect()]
+    df = docs.select("doc_id", "text")
+    got = [tuple(r) for r in bpe_learn_merges(df, k=5).collect()]
+    assert got == _reference_bpe(texts, 5)
