@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..caching import track_persist
 from ..functions.text import BPE_PATTERN, STOPWORDS, norm_text, tokens
 
 
@@ -358,9 +359,13 @@ def bpe_learn_merges(
     leaves the cluster — each round is one pair-count shuffle
     (vocabulary-sized keys) and the driver receives exactly ONE row
     (the winning pair), the same driver-budget as k-means centroids.
-    The merge rewrite is a pure Catalyst ``aggregate`` fold; the label
-    frame is localCheckpoint-ed per round (lineage truncation — see
-    connected_components). Rounds = k by construction.
+    The merge rewrite is a pure Catalyst ``aggregate`` fold; each
+    round's vocabulary is a tracked persist (caching.track_persist —
+    released with the query's other caches), NOT a localCheckpoint:
+    with k ~ 10 rounds the fold-on-fold lineage stays shallow enough
+    for Catalyst, and checkpoint RDDs would live outside the cache
+    registry (the lingering-storage class the caching tests guard).
+    Rounds = k by construction.
 
     Output: (rank, left, right, pair_count) — the merge table, exact
     against a sequential reference implementation
@@ -379,8 +384,8 @@ def bpe_learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .select(chars.alias("syms"), "c")
-        .localCheckpoint()
     )
+    vocab = track_persist(vocab)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(k):
         pairs = (
@@ -416,7 +421,7 @@ def bpe_learn_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        vocab = vocab.select(fold.alias("syms"), "c").localCheckpoint()
+        vocab = track_persist(vocab.select(fold.alias("syms"), "c"))
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )

@@ -37,4 +37,7 @@ def test_rows_only_queries_are_documented_exceptions():
         "streaming_running_user_totals_ttl",
         "multimodal_decode_features",
         "token_heavy_hitters_sketch",
+        # r5: iterative global-argmax + rewrite (BPE training) — exact
+        # vs a sequential reference in tests/test_bpe_merges.py.
+        "corpus_bpe_merges",
     }, rows_only
