@@ -136,6 +136,7 @@ def main() -> None:
     connected_components_probe(spark, sf_dir, n)
     streaming_dedup_ttl_probe(spark, sf_dir, n)
     bloom_prefilter_probe(spark, sf_dir, n)
+    bucketed_join_probe(spark, sf_dir)
 
 
 def lsh_topk_runtime_probe(spark, sf_dir: str, n: int) -> None:
@@ -422,3 +423,48 @@ def bloom_prefilter_probe(spark, sf_dir: str, n: int) -> None:
         out[f"rows_{tag}"] = rows
     out["ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
     print(json.dumps(out), flush=True)
+
+
+def bucketed_join_probe(spark, sf_dir: str) -> None:
+    """Round-5 probe: steady-state read-side cost of the fact-fact
+    join over plain parquet (both sides shuffle + sort into the SMJ)
+    vs the SAME join over pre-bucketed sorted tables (zero exchanges —
+    tests/test_scale_plans.py pins the plan shape). The write cost is
+    excluded on purpose: a warehouse pays bucketing once per load and
+    re-joins many times, so the read-side delta is the number that
+    compounds at 100 TB."""
+    import tempfile
+
+    from sp500_stock_etl_spark.io.writers import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="sg_bkt_probe_")
+    write_bucketed_table(li, "sg_probe_li", "l_orderkey", 8, base + "/li")
+    write_bucketed_table(od, "sg_probe_od", "o_orderkey", 8, base + "/od")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        bkt = spark.table("sg_probe_li").join(
+            spark.table("sg_probe_od"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        out = {"probe": "bucketed_vs_shuffle_join", "sf_dir": sf_dir}
+        for tag, df in (("shuffle", plain), ("bucketed", bkt)):
+            df.count()  # warm file listing / page cache
+            t = time.time()
+            for _ in range(3):
+                df.count()
+            out[f"sec3_{tag}"] = round(time.time() - t, 2)
+        out["speedup"] = round(
+            out["sec3_shuffle"] / max(out["sec3_bucketed"], 0.01), 2
+        )
+        print(json.dumps(out), flush=True)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS sg_probe_li")
+        spark.sql("DROP TABLE IF EXISTS sg_probe_od")
