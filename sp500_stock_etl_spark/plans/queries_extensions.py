@@ -1487,3 +1487,56 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sb").cast("bigint").alias("min_ord"),
         F.max("sb").cast("bigint").alias("max_ord"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with TOLERANCE (round-5 ext): pandas merge_asof's
+# tolerance semantics — the latest at-or-before match counts only if
+# it is within the window (here 2h); staler matches null out. A pure
+# projection atop the same union-tag-window operator (one exchange,
+# no range cross-join): the nearest match is found first, then aged
+# out, which is exactly how merge_asof(tolerance=...) defines it —
+# NOT "latest match inside the window" recomputed among older rows.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+SELECT p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       CASE WHEN s.ts >= p.ts - INTERVAL 2 HOUR
+            THEN strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') END
+           AS matched_signup_ts,
+       CAST(s.ts IS NOT NULL AND s.ts < p.ts - INTERVAL 2 HOUR
+            AS BOOLEAN) AS match_too_old
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+    ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@register(
+    "asof_join_tolerance",
+    _ASOF_TOL_ORACLE,
+    doc="as-of join with merge_asof tolerance semantics (nearest "
+    "at-or-before match, nulled when older than 2h) "
+    "(SURVEY §2.9 custom-op ext, r5)",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases, signups, ["user_id"], "ts", "ts", right_payload=["ts"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    in_window = F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    return joined.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.when(in_window, F.date_format("matched_ts", fmt)).alias(
+            "matched_signup_ts"
+        ),
+        (F.col("matched_ts").isNotNull() & ~in_window)
+        .alias("match_too_old"),
+    )
