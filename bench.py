@@ -95,6 +95,7 @@ R5_QUERIES = [
     "dedup_connected_components_star",
     "zorder_layout_stats",
     "corpus_bpe_merges",
+    "asof_join_tolerance",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan
