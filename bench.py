@@ -96,6 +96,7 @@ R5_QUERIES = [
     "zorder_layout_stats",
     "corpus_bpe_merges",
     "asof_join_tolerance",
+    "asof_join_forward",
 ]
 
 # One per operator family (BASELINE.md bench set). Fixed 47-plan

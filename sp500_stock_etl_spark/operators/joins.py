@@ -34,26 +34,36 @@ def asof_join(
     right_time: str,
     right_payload: Sequence[str],
     payload_prefix: str = "matched_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Point-in-time join: for each left row, attach the payload of the
-    latest right row with ``right_time <= left_time`` on the same key.
+    """Point-in-time join: for each left row, attach the payload of
+    the latest right row with ``right_time <= left_time`` on the same
+    key (``direction="backward"``, the default), or of the EARLIEST
+    right row with ``right_time >= left_time``
+    (``direction="forward"`` — merge_asof's forward direction).
 
-    Implementation: tag both sides, union by key, and carry the last
-    non-null payload forward with ``last(..., ignorenulls=True)`` over
-    ``(PARTITION BY key ORDER BY time, side)``. Right rows sort before
-    left rows at equal times, so the match is inclusive.
+    Implementation: tag both sides, union by key, and carry the
+    nearest non-null payload across with ``last(...)`` over a
+    preceding frame (backward) / ``first(...)`` over a following
+    frame (forward), ordered by ``(time, side)`` with the RIGHT side
+    sorting toward the left side at equal times, so matches are
+    inclusive in both directions.
 
     Scale: ONE hash exchange on the key columns and a per-partition
     sort — no range cross-join, no per-key collect. Equivalent DuckDB
-    oracle: ``ASOF LEFT JOIN ... ON l.key = r.key AND l.t >= r.t``.
+    oracle: ``ASOF LEFT JOIN ... ON l.key = r.key AND l.t >= r.t``
+    (backward) / ``AND l.t <= r.t`` (forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     key_cols = list(key_cols)
     time_col = "__asof_time__"
+    l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
 
     l_tag = left.select(
         *key_cols,
         F.col(left_time).alias(time_col),
-        F.lit(1).alias(_SIDE),
+        F.lit(l_side).alias(_SIDE),
         *[c for c in left.columns if c not in key_cols and c != left_time],
         F.col(left_time),
         *[F.lit(None).cast(right.schema[p].dataType).alias(f"{payload_prefix}{p}") for p in right_payload],
@@ -61,25 +71,27 @@ def asof_join(
     r_tag = right.select(
         *key_cols,
         F.col(right_time).alias(time_col),
-        F.lit(0).alias(_SIDE),
+        F.lit(r_side).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in key_cols and c != left_time],
         F.lit(None).cast(left.schema[left_time].dataType).alias(left_time),
         *[F.col(p).alias(f"{payload_prefix}{p}") for p in right_payload],
     )
 
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(time_col, _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*key_cols).orderBy(time_col, _SIDE)
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = l_tag.unionByName(r_tag).withColumns(
         {
-            f"{payload_prefix}{p}": F.last(f"{payload_prefix}{p}", ignorenulls=True).over(w)
+            f"{payload_prefix}{p}": fill(f"{payload_prefix}{p}")
             for p in right_payload
         }
     )
-    return filled.where(F.col(_SIDE) == 1).drop(_SIDE, time_col)
+    return filled.where(F.col(_SIDE) == l_side).drop(_SIDE, time_col)
 
 
 def bloom_semi_prefilter(

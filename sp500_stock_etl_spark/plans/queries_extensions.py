@@ -1540,3 +1540,53 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("matched_ts").isNotNull() & ~in_window)
         .alias("match_too_old"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join (round-5 ext): for each signup, the EARLIEST
+# purchase at-or-after it by the same user (merge_asof
+# direction='forward') — time-to-first-conversion, the mirror of the
+# backward attribution lookup. Same union-tag-window operator, frame
+# flipped to (CURRENT ROW, UNBOUNDED FOLLOWING) with first().
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+SELECT s.event_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON s.user_id = p.user_id AND s.ts <= p.ts
+"""
+
+
+@register(
+    "asof_join_forward",
+    _ASOF_FWD_ORACLE,
+    doc="forward as-of join (earliest at-or-after match — "
+    "time-to-first-conversion); same one-shuffle union-tag-window "
+    "operator, following frame (SURVEY §2.9 custom-op ext, r5)",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    joined = asof_join(
+        signups,
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        right_payload=["ts"],
+        direction="forward",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("signup_ts"),
+        F.date_format("matched_ts", fmt).alias("first_purchase_ts"),
+    )
