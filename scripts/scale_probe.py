@@ -391,10 +391,6 @@ def streaming_dedup_ttl_probe(spark, sf_dir: str, n: int) -> None:
     print(json.dumps(out), flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def bloom_prefilter_probe(spark, sf_dir: str, n: int) -> None:
     """Round-5 probe: the Bloom-prefiltered decontamination path after
     the expression-blowup fix. Probe side (the training corpus) grows
@@ -446,6 +442,12 @@ def bucketed_join_probe(spark, sf_dir: str) -> None:
     base = tempfile.mkdtemp(prefix="sg_bkt_probe_")
     write_bucketed_table(li, "sg_probe_li", "l_orderkey", 8, base + "/li")
     write_bucketed_table(od, "sg_probe_od", "o_orderkey", 8, base + "/od")
+    # Restore the session's explicit value afterwards, not the build
+    # default (unset would lose any caller-configured threshold).
+    try:
+        prev_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    except Exception:
+        prev_abt = None
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plain = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -465,6 +467,13 @@ def bucketed_join_probe(spark, sf_dir: str) -> None:
         )
         print(json.dumps(out), flush=True)
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        if prev_abt is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abt)
         spark.sql("DROP TABLE IF EXISTS sg_probe_li")
         spark.sql("DROP TABLE IF EXISTS sg_probe_od")
+
+
+if __name__ == "__main__":
+    main()

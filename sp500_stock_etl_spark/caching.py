@@ -46,6 +46,40 @@ def track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def unpersist_local_checkpoint(df: DataFrame) -> bool:
+    """Free the RDD blocks behind an eagerly ``localCheckpoint()``-ed
+    frame. ``DataFrame.unpersist()`` goes through the SQL cache manager
+    and never touches the checkpoint RDD, so iterative operators that
+    re-checkpoint every round (connected components) would otherwise
+    accumulate one round's worth of executor storage per iteration
+    (round-5 advice). Reflection into the ``LogicalRDD`` plan node is
+    the only handle PySpark exposes; blocking=False so release is
+    async. The frame must NEVER be read again after this call — the
+    blocks are gone (callers release only the PREVIOUS round's frame,
+    after the next round is materialized and compared).
+    """
+    try:
+        lp = df._jdf.queryExecution().logical()
+        if lp.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        lp.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Register an eagerly localCheckpoint-ed frame (typically the
+    FINAL frame an iterative operator returns — the in-loop rounds are
+    released inline) so ``release_caches()`` frees its blocks once the
+    caller's action has completed."""
+    frames = getattr(_TL, "ckpt_frames", None)
+    if frames is None:
+        frames = _TL.ckpt_frames = []
+    frames.append(df)
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every frame the calling thread tracked; returns how
     many were released.
@@ -64,4 +98,8 @@ def release_caches() -> int:
         except Exception:
             # Session already stopped — nothing to release.
             pass
+    ckpts = getattr(_TL, "ckpt_frames", None) or []
+    while ckpts:
+        if unpersist_local_checkpoint(ckpts.pop()):
+            n += 1
     return n

@@ -29,7 +29,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..caching import track_persist
+from ..caching import (
+    track_local_checkpoint,
+    track_persist,
+    unpersist_local_checkpoint,
+)
 from ..functions.text import hash32, norm_text, tokens, word_shingles
 
 
@@ -606,6 +610,10 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
+    prev_ckpt = labels  # previous round's checkpoint blocks (r5 advice:
+    # each round's localCheckpoint lives OUTSIDE the track_persist
+    # registry; without an explicit release, executor storage grows by
+    # one label-frame per iteration)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -624,6 +632,9 @@ def connected_components(
             .localCheckpoint()  # eager: truncates lineage, materializes once
         )
         changed = step.where(F.col("comp") != F.col("old_comp")).count()
+        unpersist_local_checkpoint(prev_ckpt)  # step is materialized;
+        # the previous round's blocks are dead weight from here on
+        prev_ckpt = step
         labels = step.select("node", "comp")
         if changed == 0:
             break
@@ -640,6 +651,9 @@ def connected_components(
             "real clusters. Raise max_iter (rounds needed = graph "
             "diameter) or pre-contract obvious duplicates."
         )
+    # The final checkpoint backs the returned frame; released with the
+    # query's other caches once the caller's action completes.
+    track_local_checkpoint(prev_ckpt)
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -737,6 +751,11 @@ def connected_components_star(
             e_new.count() == e.count()
             and e_new.exceptAll(e).limit(1).count() == 0
         )
+        # The convergence comparison above is the LAST read of the old
+        # round's edges — release its checkpoint blocks now (r5 advice:
+        # these live outside the track_persist registry and otherwise
+        # accumulate one edge-frame per round and per repeated call).
+        unpersist_local_checkpoint(e)
         e = e_new
         if unchanged:
             converged = True
@@ -752,6 +771,9 @@ def connected_components_star(
             "Raise max_iter (rounds needed ~ log^2 of the largest "
             "component) or pre-contract obvious duplicates."
         )
+    # The converged edge frame backs the returned labels; released
+    # with the query's other caches once the caller's action completes.
+    track_local_checkpoint(e)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     lab = sym.groupBy("u").agg(F.min("v").alias("nm")).select(
         F.col("u").alias("node"),

@@ -1660,7 +1660,8 @@ coded AS (
            ) AS q_embedding
     FROM scaled
 )
-SELECT vec_id, scale, q_embedding,
+SELECT vec_id, scale,
+       array_to_string(q_embedding, ',') AS q_codes,
        list_max(
            list_transform(
                generate_series(1, len(embedding)),
@@ -1677,11 +1678,21 @@ FROM coded
     _QUANTIZE_ORACLE,
     doc="symmetric per-vector int8 quantization of embeddings with "
     "self-reported reconstruction error — lossy transform, exact oracle "
-    "(north star, r4)",
+    "(north star, r4; r6: codes final-projected to a joined string so "
+    "the driver canonicalizer never sees a top-level array — the r4/r5 "
+    "crash class, now swept registry-wide by tests/test_schema_audit.py)",
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.quantize_embeddings_int8(emb)
+    out = S.quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("q_embedding", lambda c: c.cast("string")), ","
+        ).alias("q_codes"),
+        "max_abs_err",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -51,85 +51,79 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Explicit driver-facing ordering. The verify driver hash-checks the first
 # 50 registry entries against their DuckDB oracles. The window ROTATES
-# each round (round-2 verdict item 1): a ~15-query core regression set
-# covering every family stays pinned; round 5 gives every other slot to
-# the 26 queries that landed AFTER the round-4 rotation and therefore
-# have never been driver-checked (round-4 verdict item 1: TPC-H batches
-# 3+4, the finance analytics, funnel/cohort/OHLC, connected components,
-# heavy hitters, int8 quantization, regex/bitwise suites, the
-# training-build capstone), plus the two queries whose raw array<>
-# outputs crashed the driver canonicalizer in r4 (now final-projected
-# to scalars / JSON strings — round-4 verdict item 2), plus this
-# round's new queries. Remaining slots: the stalest r2-only greens.
-# Rotation never un-verifies anything locally: every registry oracle is
-# re-checked on every pytest run by tests/test_oracle_parity.py
-# (full-registry parametrize).
+# each round (round-2 verdict item 1). Round-6 policy (round-5 verdict
+# items 1-2): (a) the one never-green repair and the five queries that
+# landed after the final r5 rotation head the window; (b) a small core
+# regression set covering every family stays pinned; (c) queries BORN
+# this round are inserted here the moment they are registered —
+# displacing a stale fill from the tail — so "added after rotation"
+# debt cannot recur; (d) remaining slots go to the stalest r2-only
+# greens. Rotation never un-verifies anything locally: every registry
+# oracle is re-checked on every pytest run by
+# tests/test_oracle_parity.py (full-registry parametrize), and output
+# schemas are swept by tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- Core regression set (trimmed to 5 late in r5 so every query
-    # --- born this round gets its first driver row — the lesson of
-    # --- the r4 verdict applied to our own additions. Rotated out on
-    # --- their r4 greens (families still represented in-window):
-    # --- qa_aggregate, orc_roundtrip_agg, dedup_minhash_lsh,
-    # --- text_quality_stats, symbol_validation, csv_roundtrip_agg,
-    # --- topk_movers_per_day, dedup_embedding_cosine,
-    # --- broadcast_star_join, grouped_agg_pricing. Every registry
-    # --- oracle is still re-verified on every local pytest run. ---
+    # --- r5 driver ERROR, repaired this round: q_embedding is now
+    # --- final-projected through array_join so the canonicalizer
+    # --- never sees a top-level array (the r4/r5 crash class, closed
+    # --- registry-wide by tests/test_schema_audit.py) ---
+    "embedding_quantize_int8",
+    # --- Never driver-checked (landed after the final r5 rotation) ---
+    "zorder_layout_stats",
+    "corpus_bpe_merges",
+    "asof_join_tolerance",
+    "asof_join_forward",
+    "dedup_connected_components_star",
+    # --- Core regression set (one per family; the append-mode OHLC
+    # --- twin replaces the complete-mode device per r5 verdict item 8;
+    # --- entity_resolution_customers re-checks under its r6
+    # --- high-cardinality blocking rework) ---
     "flagship_window_metrics",  # reference flagship (windows W1-W3)
     "similarity_lsh_topk",  # ANN family
     "corpus_curation_pipeline",  # LLM-pipeline capstone
-    "streaming_tumbling_counts",  # streaming family
+    "streaming_ohlc_bars_append",  # streaming family (append-mode core)
     "multimodal_decode_dims",  # multimodal real-header decode
-    # --- r4 driver ERRORS, now canonicalizer-safe: array_functions_suite
-    # --- projects the sorted prefix as scalar doubles (hash-checked);
-    # --- multimodal_decode_features serializes the histogram via
-    # --- to_json and keeps its declared rows-only check ---
-    "array_functions_suite",
-    "multimodal_decode_features",
-    # --- Never driver-checked (landed after the r4 window rotation) ---
-    "sma_crossover_signals",
-    "max_drawdown_per_symbol",
-    "vwap_per_symbol_day",
-    "abc_pareto_classification",
-    "basket_part_cooccurrence",
-    "regex_functions_suite",
-    "bitwise_agg_suite",
-    "feature_outlier_fences",
-    "event_funnel_conversion",
-    "cohort_retention_weekly",
-    "ohlc_hourly_resample",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q20_excess_share_supplier",
-    "tpch_q21_waiting_supplier",
-    "dedup_connected_components",
-    "token_heavy_hitters_sketch",  # rows-only by design (sketch)
-    "embedding_quantize_int8",
-    "corpus_training_build",
-    "streaming_ohlc_bars",
-    # --- New round-5 queries (first driver rows) ---
-    "tpch_q9_profit",
-    "tpch_q12_shipmode",
-    "streaming_ohlc_bars_append",
-    "text_repetition_stats",
-    "corpus_decontamination_bloom",
-    "corpus_unigram_stats",
-    "corpus_boilerplate_rewrite",
-    "bucketed_fact_join",
-    "streaming_stream_stream_left_join",
-    "corpus_tfidf_topterms",
-    "dedup_semantic_clusters",
-    "xml_roundtrip_agg",
-    "corpus_reservoir_sample",
-    "corpus_train_val_test_split",
-    "triangle_count_basket",
-    "entity_resolution_customers",
-    "schema_evolution_scan",
+    "dedup_minhash_lsh",  # near-dup family
+    "qa_aggregate",  # reference QA aggregate
+    "entity_resolution_customers",  # r6 blocking rework re-check
+    # --- New round-6 queries (first driver rows; inserted at birth) ---
+    "zorder_pruning_demo",
+    "corpus_bpe_encode",
+    "sessionize_statefun_batch",
+    "pivot_wide_metrics",
+    "unpivot_long_metrics",
+    "tpch_q22_global_sales_opp",
+    "percentile_bands_suite",
+    "json_functions_suite",
+    "datasketch_kll_quantiles",
+    "interval_overlap_agg",
+    "cube_agg_pricing",
+    "dedup_minhash_lsh_cached",
+    "window_deduped_latest_snapshot",
+    "corpus_anchor_text_graph",
+    "corpus_domain_mix_report",
+    "embedding_pq_codebooks",
+    # --- Stalest greens (last driver row r2) ---
+    "filtered_scan_projection",
+    "global_sort_topk",
+    "union_all_distinct",
+    "rollup_agg",
+    "fact_fact_join",
+    "date_parts_agg",
+    "json_props_agg",
+    "hourly_event_agg",
+    "range_window_trailing_spend",
+    "sql_api_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "grouping_sets_agg",
+    "batch_sessionization",
+    "gap_fill_forward",
+    "token_frequency_topn",
+    "jsonl_source_agg",
+    "hierarchical_rollup_daily",
+    "map_entries_agg",
+    "dedup_simhash",
+    "text_lang_id",
 )
 
 

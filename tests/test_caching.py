@@ -76,3 +76,30 @@ def test_registry_wrapper_releases_previous_query_caches(spark):
     qs["qa_aggregate"].spark_fn(spark, SF_DIR)
     assert _n_persistent(spark) == 0
     release_caches()
+
+
+def test_connected_components_checkpoints_released(spark):
+    """Iterative CC localCheckpoints a frame per round; every round's
+    blocks except the final frame's must be released inline, and the
+    final frame's on release_caches() (round-5 advice: these RDDs live
+    outside the SQL cache manager, so DataFrame.unpersist never frees
+    them — repeated calls accumulated executor storage)."""
+    from sp500_stock_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    release_caches()
+    base = _n_persistent(spark)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102)],
+        "src long, dst long",
+    )
+    for fn in (connected_components, connected_components_star):
+        for _ in range(2):  # repeated calls must not accumulate
+            fn(edges, max_iter=30).count()
+            release_caches()
+        assert _n_persistent(spark) <= base, (
+            f"{fn.__name__} leaked checkpoint RDDs: "
+            f"{_n_persistent(spark)} persistent vs baseline {base}"
+        )
