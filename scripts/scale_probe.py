@@ -137,6 +137,9 @@ def main() -> None:
     streaming_dedup_ttl_probe(spark, sf_dir, n)
     bloom_prefilter_probe(spark, sf_dir, n)
     bucketed_join_probe(spark, sf_dir)
+    entity_resolution_probe(spark, sf_dir, n)
+    semantic_dedup_probe(spark, sf_dir, n)
+    triangle_probe(spark, sf_dir, n)
 
 
 def lsh_topk_runtime_probe(spark, sf_dir: str, n: int) -> None:
@@ -473,6 +476,163 @@ def bucketed_join_probe(spark, sf_dir: str) -> None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abt)
         spark.sql("DROP TABLE IF EXISTS sg_probe_li")
         spark.sql("DROP TABLE IF EXISTS sg_probe_od")
+
+
+def entity_resolution_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-6 probe (round-5 verdict item 4): candidate-pair volume
+    of the deletion-neighborhood ER blocking at 1x vs Nx corpus.
+    Replicas get DISTINCT names regenerated from their shifted keys
+    (replicating identical names would plant n^2 true duplicates and
+    measure the data, not the blocking). The claim under test: with
+    near-unique variant keys, candidate pairs grow ~linearly with the
+    corpus — the r5 (nation, segment)-only blocking grew them
+    quadratically (~125 distinct blocks)."""
+    from sp500_stock_etl_spark.plans.queries_extensions import (
+        er_candidate_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+
+    def corpus(k: int) -> DataFrame:
+        # md5-derived name digits: sequential digits would make every
+        # cross-replica key pair a genuine distance-1 match (names
+        # differing only in the leading replica digit), planting n^2
+        # TRUE duplicates and measuring the data instead of the
+        # blocking. With random hex digits the only systematic
+        # duplicates are the planted one-edit copies (~corpus/20).
+        c = (replicate(cust, k, ["c_custkey"]) if k > 1 else cust).withColumn(
+            "c_name",
+            F.concat(
+                F.lit("Customer#"),
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 9),
+            ),
+        )
+        dirty = c.where(F.col("c_custkey") % 20 == 0).select(
+            (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+            "c_nationkey",
+            "c_mktsegment",
+            F.concat(
+                F.substring("c_name", 1, 9),
+                F.lit("x"),
+                F.expr("substr(c_name, 11)"),
+            ).alias("c_name"),
+        )
+        return c.unionByName(dirty)
+
+    out = {"probe": "entity_resolution_candidates", "sf_dir": sf_dir, "n": n}
+    for tag, k in (("1x", 1), ("nx", n)):
+        t = time.time()
+        pairs = er_candidate_pairs(corpus(k)).count()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+        out[f"pairs_{tag}"] = pairs
+    out["pair_ratio"] = round(out["pairs_nx"] / max(out["pairs_1x"], 1), 2)
+    out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    print(json.dumps(out), flush=True)
+
+
+def semantic_dedup_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-6 probe (round-5 verdict item 7): SemDeDup's per-cell
+    quadratic under the k ~ sqrt(N) cell policy. Nx vectors are spread
+    over ~sqrt(N)x cells (label shifted by replica % ceil(sqrt(n))),
+    so cell SIZE grows sqrt(N)x and total pair work N^1.5 — the
+    documented scale claim for dedup_semantic_clusters. Wall-clock at
+    Nx should track the N^1.5 pair model (printed as `model_ratio`),
+    not N^2."""
+    import math
+
+    from sp500_stock_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("v")
+    )
+    groups = max(1, math.isqrt(n))
+
+    def cells(k: int) -> DataFrame:
+        copies = []
+        for i in range(k):
+            copies.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * 100_000_000)).alias("vec_id"),
+                    # replica -> one of ~sqrt(n) label spaces
+                    (F.col("label") + F.lit((i % groups) * 1_000_000)).alias(
+                        "label"
+                    ),
+                    "v",
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), copies)
+
+    def score(src: DataFrame) -> DataFrame:
+        normed = src.withColumn("__n__", S.norm(F.col("v"))).select(
+            "vec_id",
+            "label",
+            F.transform(F.col("v"), lambda x: x / F.col("__n__")).alias("nv"),
+        )
+        a = normed.select(
+            F.col("vec_id").alias("a_id"), "label", F.col("nv").alias("av")
+        )
+        b = normed.select(
+            F.col("vec_id").alias("vid"), "label", F.col("nv").alias("bv")
+        )
+        return (
+            a.join(b, "label")
+            .where(F.col("a_id") < F.col("vid"))
+            .select("vid", S.dot(F.col("av"), F.col("bv")).alias("c"))
+            .where(F.col("c") >= 0.9)
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("n_dups"))
+        )
+
+    out = {
+        "probe": "semantic_dedup_cells",
+        "sf_dir": sf_dir,
+        "n": n,
+        "cell_groups_nx": groups,
+        # pair-work model: cells x size^2 => (g) * (n/g)^2 = n^2/g ~ n^1.5
+        "model_ratio": round(n * n / groups, 1),
+    }
+    for tag, k in (("1x", 1), ("nx", n)):
+        t = time.time()
+        score(cells(k)).write.format("noop").mode("overwrite").save()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+    out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    print(json.dumps(out), flush=True)
+
+
+def triangle_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-6 probe (round-5 verdict item 7): degree-ordered triangle
+    enumeration at 1x vs Nx orders. Replicas shift BOTH orderkey and
+    partkey, so the graph becomes n disjoint copies — edges and
+    triangles grow exactly linearly, and the claim under test is that
+    wall-clock follows (the orientation bounds wedge fan-out at
+    O(sqrt E) per node regardless of copies)."""
+    from sp500_stock_etl_spark.operators.graph import enumerate_triangles
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = {"probe": "triangle_enumeration", "sf_dir": sf_dir, "n": n}
+    for tag, k in (("1x", 1), ("nx", n)):
+        src = (
+            replicate(li, k, ["l_orderkey", "l_partkey"]) if k > 1 else li
+        )
+        items = src.distinct()
+        a = items.select("l_orderkey", F.col("l_partkey").alias("pu"))
+        b = items.select("l_orderkey", F.col("l_partkey").alias("pv"))
+        edges = (
+            a.join(b, "l_orderkey")
+            .where(F.col("pu") < F.col("pv"))
+            .groupBy("pu", "pv")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .where(F.col("s") >= 2)
+            .select(F.col("pu").alias("u"), F.col("pv").alias("v"))
+        )
+        t = time.time()
+        tri = enumerate_triangles(edges).count()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+        out[f"triangles_{tag}"] = tri
+    out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
