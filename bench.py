@@ -149,21 +149,17 @@ BENCH_QUERIES = [
 # `value` stays comparable round-over-round; folded at r7. Names not
 # yet registered are skipped so the harness runs mid-build.
 R6_QUERIES = [
-    "zorder_pruning_demo",
-    "corpus_bpe_encode",
-    "sessionize_statefun_batch",
-    "pivot_wide_metrics",
-    "unpivot_long_metrics",
-    "tpch_q22_global_sales_opp",
-    "percentile_bands_suite",
-    "json_functions_suite",
-    "datasketch_kll_quantiles",
-    "interval_overlap_agg",
-    "cube_agg_pricing",
-    "dedup_minhash_lsh_cached",
+    "asof_join_nearest",
     "window_deduped_latest_snapshot",
-    "corpus_anchor_text_graph",
+    "merge_upsert_customers",
+    "feature_histogram_bins",
     "corpus_domain_mix_report",
+    "corpus_url_canonical_dedup",
+    "interval_overlap_agg",
+    "corpus_bigram_lm",
+    "zorder_pruning_demo",
+    "corpus_pagerank",
+    "corpus_bpe_encode",
     "embedding_pq_codebooks",
 ]
 

@@ -38,22 +38,34 @@ def asof_join(
 ) -> DataFrame:
     """Point-in-time join: for each left row, attach the payload of
     the latest right row with ``right_time <= left_time`` on the same
-    key (``direction="backward"``, the default), or of the EARLIEST
+    key (``direction="backward"``, the default), of the EARLIEST
     right row with ``right_time >= left_time``
-    (``direction="forward"`` — merge_asof's forward direction).
+    (``direction="forward"`` — merge_asof's forward direction), or of
+    whichever of those two is CLOSER in time
+    (``direction="nearest"`` — merge_asof's nearest; equal distances
+    resolve to the backward match, and an exact-time match is a
+    zero-distance backward match so it always wins).
 
     Implementation: tag both sides, union by key, and carry the
     nearest non-null payload across with ``last(...)`` over a
     preceding frame (backward) / ``first(...)`` over a following
     frame (forward), ordered by ``(time, side)`` with the RIGHT side
     sorting toward the left side at equal times, so matches are
-    inclusive in both directions.
+    inclusive in both directions. ``nearest`` computes BOTH fills
+    over the SAME sorted partition — still one exchange + one sort —
+    and picks per row by time distance.
 
     Scale: ONE hash exchange on the key columns and a per-partition
     sort — no range cross-join, no per-key collect. Equivalent DuckDB
     oracle: ``ASOF LEFT JOIN ... ON l.key = r.key AND l.t >= r.t``
-    (backward) / ``AND l.t <= r.t`` (forward).
+    (backward) / ``AND l.t <= r.t`` (forward); nearest = both ASOF
+    joins + a CASE on the distances.
     """
+    if direction == "nearest":
+        return _asof_join_nearest(
+            left, right, key_cols, left_time, right_time,
+            right_payload, payload_prefix,
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown asof direction {direction!r}")
     key_cols = list(key_cols)
@@ -92,6 +104,98 @@ def asof_join(
         }
     )
     return filled.where(F.col(_SIDE) == l_side).drop(_SIDE, time_col)
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_payload: Sequence[str],
+    payload_prefix: str,
+) -> DataFrame:
+    """``asof_join(direction="nearest")``: both directional fills over
+    one sorted partition, then a per-row pick by |Δt| (tie → the
+    backward match). Sides sort (right=0, left=1) at equal times, so
+    the preceding-frame fill sees equal-time right rows (inclusive
+    backward) and the following frame sees strictly-later ones —
+    correct, because an equal-time match has distance zero and the
+    backward pick always takes it."""
+    key_cols = list(key_cols)
+    time_col = "__asof_time__"
+    l_side, r_side = 1, 0
+    rt = right.schema[right_time].dataType
+
+    l_tag = left.select(
+        *key_cols,
+        F.col(left_time).alias(time_col),
+        F.lit(l_side).alias(_SIDE),
+        *[c for c in left.columns if c not in key_cols and c != left_time],
+        F.col(left_time),
+        F.lit(None).cast(rt).alias("__rt__"),
+        *[
+            F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}__")
+            for p in right_payload
+        ],
+    )
+    r_tag = right.select(
+        *key_cols,
+        F.col(right_time).alias(time_col),
+        F.lit(r_side).alias(_SIDE),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in key_cols and c != left_time
+        ],
+        F.lit(None).cast(left.schema[left_time].dataType).alias(left_time),
+        F.col(right_time).alias("__rt__"),
+        *[F.col(p).alias(f"__p_{p}__") for p in right_payload],
+    )
+
+    base = Window.partitionBy(*key_cols).orderBy(time_col, _SIDE)
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    fills = {"__bwd_rt__": F.last("__rt__", ignorenulls=True).over(wb),
+             "__fwd_rt__": F.first("__rt__", ignorenulls=True).over(wf)}
+    for p in right_payload:
+        fills[f"__bwd_{p}__"] = F.last(f"__p_{p}__", ignorenulls=True).over(wb)
+        fills[f"__fwd_{p}__"] = F.first(f"__p_{p}__", ignorenulls=True).over(wf)
+    filled = l_tag.unionByName(r_tag).withColumns(fills)
+
+    t = F.col(time_col)
+    # Exact distances: integer microseconds for timestamps (double
+    # epoch-seconds would round near the 2^53 boundary and the
+    # nearest-pick must agree bit-for-bit with the oracle's CASE),
+    # plain numeric difference otherwise.
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(rt, TimestampType):
+        num = F.unix_micros
+    else:
+        num = lambda c: c.cast("double")  # noqa: E731
+    dist_b = num(t) - num(F.col("__bwd_rt__"))
+    dist_f = num(F.col("__fwd_rt__")) - num(t)
+    use_fwd = F.col("__fwd_rt__").isNotNull() & (
+        F.col("__bwd_rt__").isNull() | (dist_f < dist_b)
+    )
+    out_cols = {
+        f"{payload_prefix}{p}": F.when(use_fwd, F.col(f"__fwd_{p}__")).otherwise(
+            F.col(f"__bwd_{p}__")
+        )
+        for p in right_payload
+    }
+    drop = (
+        [_SIDE, time_col, "__rt__", "__bwd_rt__", "__fwd_rt__"]
+        + [f"__p_{p}__" for p in right_payload]
+        + [f"__bwd_{p}__" for p in right_payload]
+        + [f"__fwd_{p}__" for p in right_payload]
+    )
+    return (
+        filled.where(F.col(_SIDE) == l_side)
+        .withColumns(out_cols)
+        .drop(*drop)
+    )
 
 
 def bloom_semi_prefilter(

@@ -526,3 +526,66 @@ def quantize_embeddings_int8(
             recon_err.alias("max_abs_err"),
         )
     )
+
+
+def pq_codebooks_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector
+    into ``m`` subspaces, learn a ``k``-centroid codebook per
+    subspace (deterministic-init Lloyd's, same policy as
+    ``clustering.kmeans_lloyd``), then encode every vector as m small
+    codes — m·log2(k) bits instead of dims·32, the storage tier below
+    the int8 path (``quantize_embeddings_int8``).
+
+    Scale shape: training runs m independent small k-means jobs
+    (driver holds k×(dims/m) floats per codebook — same budget as
+    k-means centroids); ENCODING is ONE scan with all m argmins as
+    literal-centroid expressions — zero joins, zero shuffles, pure
+    map-side. Ties in the argmin resolve to the lowest code
+    (array_position finds the first match), so codes are
+    deterministic.
+
+    Output: (id, code_0..code_{m-1}, recon_sq_err). Iterative +
+    collect-based like k-means, hence rows-only driver check;
+    invariants (codes in range, training reduces quantization error,
+    determinism) pinned in tests/test_clustering.py.
+    """
+    from .clustering import assign_clusters, sq_dist, update_centroids
+
+    sub = dims // m
+    to_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        subdf = emb.select(
+            F.col(id_col), F.slice(to_d, s * sub + 1, sub).alias("sv")
+        )
+        first = subdf.orderBy(id_col).limit(k).select("sv").collect()
+        cents = [list(r[0]) for r in first]
+        for _ in range(iters):
+            assigned = assign_clusters(subdf, cents, "sv")
+            updated = update_centroids(assigned, k, sub, "sv")
+            cents = [
+                u if u is not None else cents[i]
+                for i, u in enumerate(updated)
+            ]
+        codebooks.append(cents)
+
+    cols = [F.col(id_col)]
+    err = None
+    for s in range(m):
+        sv = F.slice(to_d, s * sub + 1, sub)
+        arr = F.array(*[sq_dist(sv, c) for c in codebooks[s]])
+        best = F.array_min(arr)
+        cols.append(
+            (F.array_position(arr, best) - 1).cast("int").alias(f"code_{s}")
+        )
+        err = best if err is None else err + best
+    return emb.select(*cols, err.alias("recon_sq_err"))

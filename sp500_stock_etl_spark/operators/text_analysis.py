@@ -425,3 +425,64 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a LEARNED merge table to encode the corpus — the apply
+    half of the BPE loop (``bpe_learn_merges`` is the training half;
+    round-5 verdict item 9 asked for this closing step). Standard
+    Sennrich apply: each word starts as character symbols, then every
+    merge is replayed in rank order with the same greedy left-to-right
+    fold the trainer used, so train→encode round-trips exactly.
+
+    Pure Catalyst: the merge table is a PYTHON-side list (k rows — it
+    was collected during training, the documented one-row-per-round
+    driver budget), each merge becomes one ``aggregate`` fold nested
+    inside a ``transform`` over the doc's tokens; k merges nest k
+    folds linearly (each references the previous once — no expression
+    blowup, cf. the with_shingles writeup). Zero shuffles: encoding
+    is map-side only.
+
+    Output: (doc_id, n_tokens, n_symbols, sym_fp) where sym_fp is the
+    md5 of the full symbol sequence (tokens joined with U+001F, the
+    unit separator, so symbol boundaries can't alias). Exact against
+    a sequential reference encoder in tests/test_bpe_merges.py.
+    """
+    toks = tokens(F.col(text_col))
+    chars = lambda w: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+    syms = F.transform(toks, chars)
+    def make_fold(left: str, right: str):
+        merged = left + right
+
+        def fold(a):
+            return F.aggregate(
+                a,
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+
+        return fold
+
+    for left, right in merges:
+        syms = F.transform(syms, make_fold(left, right))
+    flat = F.flatten(syms)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(flat).alias("n_symbols"),
+        F.md5(F.array_join(flat, "\x1f")).alias("sym_fp"),
+    )

@@ -1,0 +1,877 @@
+"""Round-6 query extensions: the as-of `nearest` direction, warehouse
+upsert/latest-snapshot staples, URL canonicalization dedup, corpus
+reporting (domain mix, bigram LM), integer-exact PageRank over a
+deterministic in-plan link graph, the Z-order pruning demonstration
+(round-5 verdict item 9), and interval-overlap aggregation.
+
+Same contract as every other plans module: each query is registered
+with a DuckDB oracle built from the SAME parameters, all terminal
+columns aliased identically on both sides, arithmetic either integer
+or pinned-order double so hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import hash32, sql_hash32, sql_tokens, tokens
+from ..io.readers import load_table
+from ..operators.joins import asof_join
+from .registry import register
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# ---------------------------------------------------------------------------
+# As-of join, direction="nearest" (completes the merge_asof family:
+# backward r3, tolerance + forward r5). For each signup, the purchase
+# CLOSEST in time on either side; equal distances resolve backward.
+# One exchange + one sort — both directional fills ride the same
+# window partition (operators/joins.py::_asof_join_nearest).
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+b AS (
+    SELECT s.event_id, s.ts, p.ts AS bt
+    FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts >= p.ts
+),
+f AS (
+    SELECT s.event_id, p.ts AS ft
+    FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts
+)
+SELECT b.event_id,
+       strftime(b.ts, '{_TS_FMT_DUCK}') AS signup_ts,
+       strftime(
+           CASE WHEN f.ft IS NOT NULL AND (b.bt IS NULL
+                     OR epoch_us(f.ft) - epoch_us(b.ts)
+                        < epoch_us(b.ts) - epoch_us(b.bt))
+                THEN f.ft ELSE b.bt END,
+           '{_TS_FMT_DUCK}') AS nearest_purchase_ts
+FROM b JOIN f USING (event_id)
+"""
+
+
+@register(
+    "asof_join_nearest",
+    _ASOF_NEAREST_ORACLE,
+    doc="nearest as-of join (merge_asof direction=nearest; tie -> "
+    "backward, exact integer-microsecond distances); one shuffle, two "
+    "window fills over the same sorted partition (SURVEY §2.9 "
+    "custom-op ext, r6)",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    joined = asof_join(
+        signups,
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        right_payload=["ts"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("signup_ts"),
+        F.date_format("matched_ts", _TS_FMT_SPARK).alias(
+            "nearest_purchase_ts"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-snapshot dedup — THE most common warehouse maintenance op:
+# keep only the newest row per natural key from an append-only feed.
+# One window over the key partitioning; at 100 TB this is the
+# standard pattern for compacting CDC/event feeds into current-state
+# tables (same shuffle shape as the SCD2 query, but keep-one).
+# ---------------------------------------------------------------------------
+
+_LATEST_SNAPSHOT_ORACLE = f"""
+SELECT user_id, event_type,
+       strftime(ts, '{_TS_FMT_DUCK}') AS latest_ts,
+       event_id, value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+@register(
+    "window_deduped_latest_snapshot",
+    _LATEST_SNAPSHOT_ORACLE,
+    doc="latest-row-per-key snapshot compaction (CDC/event feed -> "
+    "current state): one row_number window, deterministic "
+    "(ts, event_id) tiebreak (SURVEY §2.9 warehouse ext, r6)",
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", _TS_FMT_SPARK).alias("latest_ts"),
+            "event_id",
+            "value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE/upsert (SCD1): apply an update+insert feed to a base table —
+# updates win over base rows, inserts append. Spark has no MERGE INTO
+# without a table format; the engine-level equivalent is one
+# union + keep-newest-per-key window (single shuffle on the key,
+# scales like latest-snapshot above). Feed is derived in-plan:
+# every 10th customer gets +100.00 acctbal, and a disjoint +2M key
+# range is inserted.
+# ---------------------------------------------------------------------------
+
+_MERGE_OFFSET = 2_000_000
+
+_MERGE_ORACLE = f"""
+WITH updates AS (
+    SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+           'updated' AS src
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + {_MERGE_OFFSET}, 'New Account ' || c_custkey,
+           0.0 AS c_acctbal, 'inserted' AS src
+    FROM customer WHERE c_custkey % 25 = 0
+),
+unioned AS (
+    SELECT c_custkey, c_name, c_acctbal, 'base' AS src, 0 AS prio
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, src, 1 AS prio FROM updates
+)
+SELECT c_custkey, c_name, c_acctbal, src
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY prio DESC) AS rn
+    FROM unioned
+) WHERE rn = 1
+"""
+
+
+@register(
+    "merge_upsert_customers",
+    _MERGE_ORACLE,
+    doc="MERGE/upsert (SCD1) as one union + keep-highest-priority "
+    "window — updates override, inserts append; single key shuffle "
+    "(SURVEY §2.9 warehouse ext, r6)",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("updated").alias("src"),
+    )
+    inserts = cust.where(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + _MERGE_OFFSET).alias("c_custkey"),
+        F.concat(F.lit("New Account "), F.col("c_custkey")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("inserted").alias("src"),
+    )
+    unioned = (
+        cust.withColumn("src", F.lit("base"))
+        .withColumn("prio", F.lit(0))
+        .unionByName(
+            updates.unionByName(inserts).withColumn("prio", F.lit(1))
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("prio").desc())
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "c_name", "c_acctbal", "src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature histogram — fixed-width binning for numeric profiling (the
+# map-side half of every feature-distribution report). Bin id is an
+# integer floor-div, so the whole plan is one groupBy on a derived
+# int; sums restricted to integer-valued columns so the aggregate is
+# order-independent (doubles would hash-diverge between engines).
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 5000
+
+_HIST_ORACLE = f"""
+SELECT CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) AS bin_id,
+       count(*) AS n_rows,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register(
+    "feature_histogram_bins",
+    _HIST_ORACLE,
+    doc="fixed-width numeric histogram (feature profiling): bin id by "
+    "integer floor-div, one groupBy, integer-exact aggregates "
+    "(SURVEY §2.10 profiling ext, r6)",
+)
+def q_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / _HIST_WIDTH)
+            .cast("bigint")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus domain-mix report — the curation dashboard number: per
+# (source, lang) doc counts, char/token totals, and corpus share in
+# integer ppm (total broadcast back via a 1-row cross join, never a
+# window over the whole corpus). Every figure integer-exact.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_MIX_ORACLE = f"""
+WITH per AS (
+    SELECT source, lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(len({sql_tokens('text')})) AS total_tokens
+    FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_docs) AS n FROM per)
+SELECT per.source, per.lang, per.n_docs,
+       CAST(per.total_chars AS BIGINT) AS total_chars,
+       CAST(per.total_tokens AS BIGINT) AS total_tokens,
+       CAST(per.n_docs * 1000000 // tot.n AS BIGINT) AS share_ppm
+FROM per, tot
+"""
+
+
+@register(
+    "corpus_domain_mix_report",
+    _DOMAIN_MIX_ORACLE,
+    doc="per-(source, lang) corpus mix report: doc counts, char/token "
+    "totals, integer-ppm share (broadcast 1-row total, no "
+    "whole-corpus window) (LLM-pipeline reporting ext, r6)",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias(
+            "total_tokens"
+        ),
+    )
+    tot = per.agg(F.sum("n_docs").alias("n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.expr("(n_docs * 1000000) div n").cast("bigint").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup — the Common-Crawl-style first dedup
+# pass: normalize scheme/host case, strip www./default port/index
+# suffix/trailing slash/utm_* tracking params, then keep one doc per
+# canonical URL. Messy URLs are planted in-plan from (doc_id, source)
+# so both engines canonicalize the identical input; every transform
+# is an RE2 regex that Spark and DuckDB evaluate identically. At
+# 100 TB: pure map-side rewrites + ONE groupBy on the canonical key.
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+    concat(
+        CASE WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'https' END, '://',
+        CASE WHEN doc_id % 4 = 0 THEN 'www.'
+             WHEN doc_id % 4 = 1 THEN 'WWW.' ELSE '' END,
+        source, '.example.org',
+        CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+        '/p/', CAST(doc_id % 400 AS STRING),
+        CASE WHEN doc_id % 6 = 0 THEN '/index.html' ELSE '' END,
+        '?utm_campaign=c', CAST(doc_id % 7 AS STRING),
+        '&item=', CAST(doc_id % 400 AS STRING), '&utm_source=feed')
+"""
+
+_URL_CANON_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+parts AS (
+    SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+            '^www\\.', ''), ':443$', '') AS host,
+        regexp_replace(regexp_replace(
+            regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+            '/index\\.html$', ''), '/+$', '') AS path,
+        regexp_replace(regexp_replace(
+            regexp_extract(url, '\\?([^#]*)', 1),
+            '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS q
+    FROM raw
+),
+canon AS (
+    SELECT doc_id,
+           concat(scheme, '://', host, path,
+                  CASE WHEN q <> '' THEN concat('?', q) ELSE '' END)
+               AS canonical_url
+    FROM parts
+)
+SELECT canonical_url, count(*) AS n_variants,
+       min(doc_id) AS keeper_doc_id
+FROM canon GROUP BY 1
+"""
+
+
+@register(
+    "corpus_url_canonical_dedup",
+    _URL_CANON_ORACLE,
+    doc="URL canonicalization (lowercase scheme/host, strip www. / "
+    ":443 / index.html / trailing slash / utm_* params) + keep-min "
+    "dedup per canonical key; map-side RE2 rewrites, one groupBy "
+    "(LLM-pipeline ext, r6)",
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.expr(_URL_SQL)
+    raw = docs.withColumn("url", url)
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":443$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            r"/index\.html$",
+            "",
+        ),
+        r"/+$",
+        "",
+    )
+    q = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", r"\?([^#]*)", 1), r"(^|&)utm_[^&]*", ""
+        ),
+        r"^&",
+        "",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap aggregation: join two interval sets (view sessions
+# [ts, ts+10min) x same-day maintenance windows [02:00, 04:00)) on an
+# EQUI key (the calendar date) and aggregate the exact overlap
+# duration. The standard trick for interval joins whose windows nest
+# inside a partition key: the equi-join bounds fan-out, the overlap
+# arithmetic is exact integer microseconds, and no range cross-join
+# ever materializes. Sessions crossing midnight count only against
+# their start-date window (documented semantics, same in the oracle).
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+WITH sessions AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts + INTERVAL 10 MINUTE) AS e_us
+    FROM events WHERE event_type = 'view'
+),
+win AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 2 HOUR) AS w_s,
+           epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 4 HOUR) AS w_e
+    FROM events WHERE event_type = 'purchase'
+),
+ov AS (
+    SELECT s.user_id,
+           greatest(0, least(s.e_us, w.w_e) - greatest(s.s_us, w.w_s))
+               AS ov_us
+    FROM sessions s JOIN win w USING (d)
+)
+SELECT user_id,
+       count(*) FILTER (WHERE ov_us > 0) AS n_overlapping,
+       CAST(sum(ov_us) // 1000000 AS BIGINT) AS total_overlap_seconds
+FROM ov GROUP BY user_id
+"""
+
+
+@register(
+    "interval_overlap_agg",
+    _INTERVAL_ORACLE,
+    doc="interval-overlap aggregation (sessions x maintenance "
+    "windows): equi-join on the date partition key + exact "
+    "integer-microsecond overlap arithmetic — no range cross-join "
+    "(SURVEY §2.9 interval ext, r6)",
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.unix_micros("ts").alias("s_us"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias(
+            "e_us"
+        ),
+    )
+    day = F.date_trunc("DAY", "ts")
+    win = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.to_date("ts").alias("d"),
+            F.unix_micros(day + F.expr("INTERVAL 2 HOURS")).alias("w_s"),
+            F.unix_micros(day + F.expr("INTERVAL 4 HOURS")).alias("w_e"),
+        )
+        .distinct()
+    )
+    ov = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least("e_us", "w_e") - F.greatest("s_us", "w_s"),
+    )
+    return (
+        sessions.join(win, "d")
+        .select("user_id", ov.alias("ov_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("ov_us") > 0).alias("n_overlapping"),
+            F.expr("sum(ov_us) div 1000000").cast("bigint").alias(
+                "total_overlap_seconds"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts — the n-gram LM building block: map-
+# side bigram expansion (transform over the token array, no
+# self-join), count per (w1, w2), integer-ppm conditional probability
+# against the w1 total, top-3 continuations per w1. At 100 TB this is
+# one shuffle on the bigram and one on w1 — the classic two-pass LM
+# count job.
+# ---------------------------------------------------------------------------
+
+_LM_MIN_TOTAL = 50
+
+_BIGRAM_ORACLE = f"""
+WITH tokd AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+    FROM tokd WHERE len(toks) >= 2
+),
+pairs AS (
+    SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c
+    FROM bg GROUP BY 1, 2
+),
+tot AS (
+    SELECT w1, sum(c) AS total FROM pairs GROUP BY 1
+),
+ranked AS (
+    SELECT p.w1, p.w2, p.c, t.total,
+           row_number() OVER (
+               PARTITION BY p.w1 ORDER BY p.c DESC, p.w2) AS rnk
+    FROM pairs p JOIN tot t USING (w1)
+    WHERE t.total >= {_LM_MIN_TOTAL}
+)
+SELECT w1, w2, CAST(c AS BIGINT) AS c,
+       CAST(total AS BIGINT) AS w1_total,
+       CAST(c * 1000000 // total AS BIGINT) AS prob_ppm,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "corpus_bigram_lm",
+    _BIGRAM_ORACLE,
+    doc="bigram LM counts: map-side bigram expansion, (w1,w2) count + "
+    "w1 totals, integer-ppm conditional probability, top-3 "
+    "continuations per w1 (LLM-pipeline ext, r6)",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = tokens(F.col("text"))
+    bg = (
+        docs.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tot = pairs.groupBy("w1").agg(F.sum("c").alias("total"))
+    w = Window.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2"))
+    return (
+        pairs.join(tot, "w1")
+        .where(F.col("total") >= _LM_MIN_TOTAL)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c"),
+            F.col("total").cast("bigint").alias("w1_total"),
+            F.expr("c * 1000000 div total").cast("bigint").alias("prob_ppm"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order pruning DEMONSTRATION (round-5 verdict item 9: make
+# zorder_layout_stats' claim quantitative). Same rows laid out two
+# ways — Morton-key buckets vs single-column (pa) range buckets, 64
+# buckets each — then two range predicates evaluated against each
+# bucket's min/max footer stats, exactly the way parquet row-group
+# skipping works. The demo emits, per (layout, predicate): buckets
+# scanned and rows read. Z-order prunes on BOTH dimensions (the
+# sb-only predicate still skips ~3/4 of buckets); the pa-sorted
+# layout cannot prune an sb predicate at all — that asymmetry is the
+# whole argument for multi-column clustering at 100 TB.
+# ---------------------------------------------------------------------------
+
+from .queries_extensions import _z_spark, _z_sql  # noqa: E402
+
+_PRED_BOX = (32, 63, 96, 127)  # pa in [32,63] AND sb in [96,127]
+_PRED_SB = (None, None, 96, 127)  # sb-only
+
+
+def _zorder_demo_sql() -> str:
+    stats = """
+keyed AS (
+    SELECT l_partkey % 256 AS pa, l_orderkey % 256 AS sb,
+           ({z}) AS zkey
+    FROM lineitem
+),
+zstats AS (
+    SELECT zkey // 1024 AS b, count(*) AS n,
+           min(pa) AS min_pa, max(pa) AS max_pa,
+           min(sb) AS min_sb, max(sb) AS max_sb
+    FROM keyed GROUP BY 1
+),
+lstats AS (
+    SELECT pa // 4 AS b, count(*) AS n,
+           min(pa) AS min_pa, max(pa) AS max_pa,
+           min(sb) AS min_sb, max(sb) AS max_sb
+    FROM keyed GROUP BY 1
+)
+""".format(z=_z_sql("l_partkey % 256", "l_orderkey % 256"))
+    selects = []
+    for layout, tbl in (("zorder", "zstats"), ("linear_pa", "lstats")):
+        for pname, (plo, phi, slo, shi) in (
+            ("box", _PRED_BOX),
+            ("sb_only", _PRED_SB),
+        ):
+            conds = []
+            if plo is not None:
+                conds.append(f"(max_pa >= {plo} AND min_pa <= {phi})")
+            conds.append(f"(max_sb >= {slo} AND min_sb <= {shi})")
+            scanned = " AND ".join(conds)
+            selects.append(
+                f"SELECT '{layout}' AS layout, '{pname}' AS predicate,\n"
+                f"       count(*) AS n_buckets,\n"
+                f"       count(*) FILTER (WHERE {scanned}) AS n_scanned,\n"
+                f"       CAST(coalesce(sum(n) FILTER (WHERE {scanned}), 0)"
+                f" AS BIGINT) AS rows_scanned\n"
+                f"FROM {tbl}"
+            )
+    return "WITH " + stats + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_ZORDER_DEMO_ORACLE = _zorder_demo_sql()
+
+
+@register(
+    "zorder_pruning_demo",
+    _ZORDER_DEMO_ORACLE,
+    doc="quantified Z-order pruning: buckets/rows scanned for a 2-D "
+    "box predicate AND a single-dimension predicate under Morton vs "
+    "single-column layout — the sb-only case is where linear layout "
+    "reads everything and Z-order still skips ~3/4 (SURVEY §7.4 "
+    "layout ext, r6)",
+)
+def q_zorder_pruning_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pa"),
+        (F.col("l_orderkey") % 256).alias("sb"),
+    )
+    keyed = li.withColumn("zkey", _z_spark(F.col("pa"), F.col("sb")))
+
+    def stats(bucket):
+        return keyed.groupBy(bucket.alias("b")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pa").alias("min_pa"),
+            F.max("pa").alias("max_pa"),
+            F.min("sb").alias("min_sb"),
+            F.max("sb").alias("max_sb"),
+        )
+
+    zstats = stats(F.expr("zkey div 1024"))
+    lstats = stats(F.expr("pa div 4"))
+
+    outs = []
+    for layout, st in (("zorder", zstats), ("linear_pa", lstats)):
+        for pname, (plo, phi, slo, shi) in (
+            ("box", _PRED_BOX),
+            ("sb_only", _PRED_SB),
+        ):
+            cond = (F.col("max_sb") >= slo) & (F.col("min_sb") <= shi)
+            if plo is not None:
+                cond = (
+                    cond
+                    & (F.col("max_pa") >= plo)
+                    & (F.col("min_pa") <= phi)
+                )
+            outs.append(
+                st.agg(
+                    F.count(F.lit(1)).alias("n_buckets"),
+                    F.count_if(cond).alias("n_scanned"),
+                    F.coalesce(
+                        F.sum(F.when(cond, F.col("n"))), F.lit(0)
+                    )
+                    .cast("bigint")
+                    .alias("rows_scanned"),
+                ).select(
+                    F.lit(layout).alias("layout"),
+                    F.lit(pname).alias("predicate"),
+                    "n_buckets",
+                    "n_scanned",
+                    "rows_scanned",
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PageRank, integer-scaled (3 fixed iterations, d = 0.85 as 85/100
+# integer arithmetic) — the link-graph quality signal every web-corpus
+# curation pipeline computes. All math is bigint (per-edge
+# floor-divided contributions, bigint sums), so the result is exact
+# and order-independent in BOTH engines — no float-summation
+# divergence, and the oracle is the same three iterations unrolled as
+# CTE stages. The link graph is built in-plan from hash32(doc_id)
+# (test-data scaffolding; at 100 TB the edges arrive as a table and
+# the per-iteration plan — join on u, groupBy v, one bigint sum — is
+# unchanged). Dangling mass is dropped, not redistributed
+# (documented; same in the oracle). doc_id is contiguous 0..N-1 in
+# the testdata, which the hash-mod target construction relies on.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000
+_PR_BASE = 150_000_000_000  # (1 - 0.85) * SCALE
+_PR_ITERS = 3
+_PR_FANOUT = 3
+
+
+def _pagerank_sql() -> str:
+    hashes = ", ".join(
+        f"{sql_hash32('CAST(doc_id AS STRING)', f'pr{k}')} AS h{k}"
+        for k in range(_PR_FANOUT)
+    )
+    targets = "\n    UNION ALL\n".join(
+        f"    SELECT u, h{k} % n AS v FROM hashed"
+        for k in range(_PR_FANOUT)
+    )
+    stages = [f"s0 AS (SELECT doc_id, CAST({_PR_SCALE} AS BIGINT) AS score FROM nodes)"]
+    for i in range(_PR_ITERS):
+        stages.append(
+            f"""s{i + 1} AS (
+    SELECT nodes.doc_id,
+           CAST({_PR_BASE} + coalesce(c.s, 0) AS BIGINT) AS score
+    FROM nodes LEFT JOIN (
+        SELECT e.v AS doc_id,
+               sum((s.score * 85) // (100 * d.deg)) AS s
+        FROM edges e
+        JOIN s{i} s ON s.doc_id = e.u
+        JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    ) c USING (doc_id))"""
+        )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+hashed AS (
+    SELECT doc_id AS u, n, {hashes} FROM documents CROSS JOIN nn
+),
+edges AS (
+    SELECT DISTINCT u, v FROM (
+{targets}
+    ) WHERE u <> v
+),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+{",".join(stages)}
+SELECT doc_id, score AS pr_scaled FROM s{_PR_ITERS}
+"""
+
+
+_PAGERANK_ORACLE = _pagerank_sql()
+
+
+@register(
+    "corpus_pagerank",
+    _PAGERANK_ORACLE,
+    doc="integer-exact PageRank (3 iterations, d=85/100, bigint "
+    "floor-div contributions — no float-sum divergence): per "
+    "iteration one join on u + one groupBy v; oracle is the same "
+    "iterations unrolled as CTEs (LLM-pipeline graph ext, r6)",
+)
+def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    hashed = docs.crossJoin(F.broadcast(nn)).select(
+        F.col("doc_id").alias("u"),
+        *[
+            (
+                hash32(F.col("doc_id").cast("string"), f"pr{k}")
+                % F.col("n")
+            ).alias(f"h{k}")
+            for k in range(_PR_FANOUT)
+        ],
+    )
+    edges = None
+    for k in range(_PR_FANOUT):
+        part = hashed.select("u", F.col(f"h{k}").alias("v"))
+        edges = part if edges is None else edges.unionByName(part)
+    edges = edges.where(F.col("u") != F.col("v")).distinct()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = docs
+    scores = nodes.select(
+        "doc_id", F.lit(_PR_SCALE).cast("bigint").alias("score")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(scores, edges.u == scores.doc_id)
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("doc_id"),
+                F.expr("(score * 85) div (100 * deg)").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        scores = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (F.lit(_PR_BASE) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("bigint")
+            .alias("score"),
+        )
+    return scores.select("doc_id", F.col("score").alias("pr_scaled"))
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (apply) — closes the tokenizer loop opened by
+# corpus_bpe_merges (train). Learn the top-8 merges, then encode the
+# whole corpus with them map-side. Iterative training + collected
+# merge table → rows-only driver check; encode exactness vs a
+# sequential reference encoder is pinned in tests/test_bpe_merges.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_bpe_encode",
+    None,  # train half is iterative/collected: rows-only + exact pytest
+    doc="BPE apply: learn top-8 merges then encode the corpus with "
+    "them (map-side fold replay, zero shuffles in the encode path); "
+    "train->encode round-trip exact vs sequential reference "
+    "(LLM-pipeline tokenizer ext, r6)",
+)
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r["left"], r["right"])
+        for r in TA.bpe_learn_merges(docs, "text", k=8).collect()
+    ]
+    return TA.bpe_encode(docs, merges, "text")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the storage tier below int8 quantization:
+# m=4 codebooks of k=8 centroids over 16-dim subspaces → 12 bits per
+# vector. Training = 4 small deterministic Lloyd's jobs; encoding =
+# one scan with literal-centroid argmins (no joins). Iterative +
+# collect-based like k-means → rows-only; invariants in
+# tests/test_clustering.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_pq_codebooks",
+    None,  # iterative kmeans-family: rows-only + invariant pytest
+    doc="product quantization (4x16-dim subspaces, 8 centroids each): "
+    "deterministic per-subspace Lloyd's + single-scan literal-centroid "
+    "encode; codes+recon error per vector (ANN storage ext, r6)",
+)
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_codebooks_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codebooks_encode(emb)

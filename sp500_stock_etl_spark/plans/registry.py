@@ -87,22 +87,18 @@ _PRIORITY: tuple[str, ...] = (
     "qa_aggregate",  # reference QA aggregate
     "entity_resolution_customers",  # r6 blocking rework re-check
     # --- New round-6 queries (first driver rows; inserted at birth) ---
-    "zorder_pruning_demo",
-    "corpus_bpe_encode",
-    "sessionize_statefun_batch",
-    "pivot_wide_metrics",
-    "unpivot_long_metrics",
-    "tpch_q22_global_sales_opp",
-    "percentile_bands_suite",
-    "json_functions_suite",
-    "datasketch_kll_quantiles",
-    "interval_overlap_agg",
-    "cube_agg_pricing",
-    "dedup_minhash_lsh_cached",
+    "asof_join_nearest",
     "window_deduped_latest_snapshot",
-    "corpus_anchor_text_graph",
+    "merge_upsert_customers",
+    "feature_histogram_bins",
     "corpus_domain_mix_report",
-    "embedding_pq_codebooks",
+    "corpus_url_canonical_dedup",
+    "interval_overlap_agg",
+    "corpus_bigram_lm",
+    "zorder_pruning_demo",
+    "corpus_pagerank",
+    "corpus_bpe_encode",  # rows-only by design (iterative train half)
+    "embedding_pq_codebooks",  # rows-only by design (kmeans family)
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
@@ -124,6 +120,11 @@ _PRIORITY: tuple[str, ...] = (
     "map_entries_agg",
     "dedup_simhash",
     "text_lang_id",
+    "doc_fingerprint",
+    "similarity_ivf_topk",
+    # --- Stalest r3 greens ---
+    "asof_join_events",
+    "skew_salted_join",
 )
 
 
@@ -138,6 +139,7 @@ def all_queries() -> dict[str, Query]:
     from . import queries_streaming  # noqa: F401
     from . import queries_multimodal  # noqa: F401
     from . import queries_quality  # noqa: F401
+    from . import queries_r6  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in _PRIORITY:

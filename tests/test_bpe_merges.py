@@ -67,3 +67,64 @@ def test_bpe_on_documents(spark, sf_dir):
     df = docs.select("doc_id", "text")
     got = [tuple(r) for r in bpe_learn_merges(df, k=5).collect()]
     assert got == _reference_bpe(texts, 5)
+
+
+def _reference_encode(texts: list[str], merges: list[tuple[str, str]]):
+    """Sequential Sennrich APPLY: char symbols per token, each merge
+    replayed in rank order with the same greedy left-to-right fold."""
+    import hashlib
+
+    out = []
+    for doc_id, t in enumerate(texts):
+        toks = [w for w in " ".join(t.lower().split()).split(" ") if w]
+        syms_per_tok = [list(w) for w in toks]
+        for l, r in merges:
+            nxt = []
+            for syms in syms_per_tok:
+                acc = []
+                for s in syms:
+                    if acc and acc[-1] == l and s == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(s)
+                nxt.append(acc)
+            syms_per_tok = nxt
+        flat = [s for syms in syms_per_tok for s in syms]
+        fp = hashlib.md5("\x1f".join(flat).encode("utf-8")).hexdigest()
+        out.append((doc_id, len(toks), len(flat), fp))
+    return out
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Train on a corpus, encode the same corpus: the distributed
+    fold-replay must equal the sequential reference encoder row for
+    row (counts AND the symbol-sequence fingerprint)."""
+    from sp500_stock_etl_spark.operators.text_analysis import bpe_encode
+
+    texts = ["the cat sat on the mat", "the cat ate the rat", "aaaa aaa aa"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"]) for r in bpe_learn_merges(df, k=6).collect()
+    ]
+    got = sorted(
+        tuple(r) for r in bpe_encode(df, merges).collect()
+    )
+    assert got == sorted(_reference_encode(texts, merges))
+
+
+def test_bpe_encode_on_documents(spark, sf_dir):
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.operators.text_analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(60)
+    texts = [r.text for r in docs.select("text").collect()]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"]) for r in bpe_learn_merges(df, k=5).collect()
+    ]
+    got = sorted(tuple(r) for r in bpe_encode(df, merges).collect())
+    assert got == sorted(_reference_encode(texts, merges))

@@ -47,3 +47,42 @@ def test_assignments_self_consistent_and_deterministic(spark, sf_correct):
     out2 = C.kmeans_lloyd(emb, id_col="vec_id", k=8, iters=3)
     rows2 = {r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in out2.collect()}
     assert rows1 == rows2
+
+
+def test_pq_codebooks_invariants(spark, sf_dir):
+    """Product quantization: codes in [0, k), reconstruction error
+    strictly better than the untrained (init-only) codebooks in
+    aggregate, and bit-for-bit deterministic across runs."""
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.operators.similarity import (
+        pq_codebooks_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_codebooks_encode(emb, m=4, k=8, iters=2)
+    rows = {r["vec_id"]: tuple(r) for r in out.collect()}
+    assert len(rows) == emb.count()
+    for r in rows.values():
+        for c in r[1:5]:
+            assert 0 <= c < 8
+        assert r[5] >= 0.0
+
+    # Determinism: an independent build produces identical codes.
+    again = {
+        r["vec_id"]: tuple(r)
+        for r in pq_codebooks_encode(emb, m=4, k=8, iters=2).collect()
+    }
+    assert rows == again
+
+    # Training helps: total squared error after 2 Lloyd rounds is
+    # lower than with the init-only (iters=0) codebooks.
+    from pyspark.sql import functions as F
+
+    def total_err(iters):
+        return (
+            pq_codebooks_encode(emb, m=4, k=8, iters=iters)
+            .agg(F.sum(F.col("recon_sq_err").cast("decimal(28,10)")))
+            .collect()[0][0]
+        )
+
+    assert total_err(2) < total_err(0)

@@ -40,4 +40,11 @@ def test_rows_only_queries_are_documented_exceptions():
         # r5: iterative global-argmax + rewrite (BPE training) — exact
         # vs a sequential reference in tests/test_bpe_merges.py.
         "corpus_bpe_merges",
+        # r6: BPE apply (train half is iterative/collected) — encode
+        # exact vs a sequential reference in tests/test_bpe_merges.py.
+        "corpus_bpe_encode",
+        # r6: product quantization (kmeans family: iterative Lloyd's
+        # with collected codebooks) — invariants in
+        # tests/test_clustering.py::test_pq_codebooks_invariants.
+        "embedding_pq_codebooks",
     }, rows_only
