@@ -81,6 +81,17 @@ AUDITED = [
     "zorder_layout_stats",
     "asof_join_tolerance",
     "asof_join_forward",
+    # round 6
+    "asof_join_nearest",
+    "window_deduped_latest_snapshot",
+    "merge_upsert_customers",
+    "feature_histogram_bins",
+    "corpus_domain_mix_report",
+    "corpus_url_canonical_dedup",
+    "interval_overlap_agg",
+    "corpus_bigram_lm",
+    "zorder_pruning_demo",
+    "corpus_pagerank",
 ]
 
 

@@ -544,39 +544,88 @@ def pq_codebooks_encode(
     codes — m·log2(k) bits instead of dims·32, the storage tier below
     the int8 path (``quantize_embeddings_int8``).
 
-    Scale shape: training runs m independent small k-means jobs
-    (driver holds k×(dims/m) floats per codebook — same budget as
-    k-means centroids); ENCODING is ONE scan with all m argmins as
-    literal-centroid expressions — zero joins, zero shuffles, pure
-    map-side. Ties in the argmin resolve to the lowest code
-    (array_position finds the first match), so codes are
-    deterministic.
+    Scale shape: all m subspaces train TOGETHER — per Lloyd round the
+    corpus is scanned ONCE, exploded map-side into (subspace, subvec)
+    rows, assigned with per-subspace literal-centroid argmins, and
+    reduced by one groupBy(subspace, cluster) carrying m·k·(dims/m+1)
+    doubles of partials (a naive per-subspace loop re-scans the
+    corpus m times per round — 4× the I/O at 100 TB). The driver
+    holds m·k centroids — same budget as k-means. ENCODING is ONE
+    scan with all m argmins as literal-centroid expressions — zero
+    joins, zero shuffles, pure map-side. Ties in the argmin resolve
+    to the lowest code (array_position finds the first match), so
+    codes are deterministic.
 
     Output: (id, code_0..code_{m-1}, recon_sq_err). Iterative +
     collect-based like k-means, hence rows-only driver check;
     invariants (codes in range, training reduces quantization error,
     determinism) pinned in tests/test_clustering.py.
     """
-    from .clustering import assign_clusters, sq_dist, update_centroids
+    from pyspark.sql.window import Window
+
+    from .clustering import sq_dist
 
     sub = dims // m
     to_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
 
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
-        subdf = emb.select(
-            F.col(id_col), F.slice(to_d, s * sub + 1, sub).alias("sv")
+    # (id, s, sv): every subspace of every vector, one map-side explode.
+    sub_rows = emb.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(to_d, s * sub + 1, sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.s", "e.sv")
+
+    # Deterministic init: the k lowest ids' subvectors per subspace —
+    # ONE job for all m codebooks (per-subspace TopK window).
+    w = Window.partitionBy("s").orderBy(id_col)
+    init_rows = (
+        sub_rows.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("s", "rn", "sv")
+        .collect()
+    )
+    codebooks: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in init_rows:
+        codebooks[r["s"]][r["rn"] - 1] = list(r["sv"])
+
+    def assign_expr(cbs):
+        """cluster id for a (s, sv) row: per-subspace argmin chained
+        through one CASE on s."""
+        expr = None
+        for s in range(m):
+            arr = F.array(*[sq_dist(F.col("sv"), c) for c in cbs[s]])
+            code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+            expr = (
+                F.when(F.col("s") == s, code)
+                if expr is None
+                else expr.when(F.col("s") == s, code)
+            )
+        return expr
+
+    for _ in range(iters):
+        assigned = sub_rows.withColumn("cluster", assign_expr(codebooks))
+        sums = [
+            F.sum(F.element_at(F.col("sv"), i + 1)).alias(f"d{i}")
+            for i in range(sub)
+        ]
+        rows = (
+            assigned.groupBy("s", "cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
         )
-        first = subdf.orderBy(id_col).limit(k).select("sv").collect()
-        cents = [list(r[0]) for r in first]
-        for _ in range(iters):
-            assigned = assign_clusters(subdf, cents, "sv")
-            updated = update_centroids(assigned, k, sub, "sv")
-            cents = [
-                u if u is not None else cents[i]
-                for i, u in enumerate(updated)
+        for r in rows:
+            codebooks[r["s"]][r["cluster"]] = [
+                r[f"d{i}"] / r["n"] for i in range(sub)
             ]
-        codebooks.append(cents)
 
     cols = [F.col(id_col)]
     err = None

@@ -439,24 +439,31 @@ def bpe_encode(
     merge is replayed in rank order with the same greedy left-to-right
     fold the trainer used, so train→encode round-trips exactly.
 
-    Pure Catalyst: the merge table is a PYTHON-side list (k rows — it
-    was collected during training, the documented one-row-per-round
-    driver budget), each merge becomes one ``aggregate`` fold nested
-    inside a ``transform`` over the doc's tokens; k merges nest k
-    folds linearly (each references the previous once — no expression
-    blowup, cf. the with_shingles writeup). Zero shuffles: encoding
-    is map-side only.
+    Scale shape — encode the VOCABULARY, not the corpus: a word's BPE
+    encoding depends only on the word, so the k fold replays run over
+    DISTINCT words (orders of magnitude fewer than token occurrences
+    — 270k tokens vs ~100 distinct words in the testdata, and Zipf
+    widens that gap at 100 TB) and the token stream joins the tiny
+    encoded vocab back (broadcast; falls back to a shuffle join if a
+    real vocabulary outgrows the broadcast threshold). A first cut
+    folded every token occurrence — ~6x slower at sf0.1 and pure
+    waste, the same word re-encoded thousands of times. The merge
+    table is a PYTHON-side list (k rows, collected during training
+    under the documented one-row-per-round driver budget); each merge
+    is one ``aggregate`` fold, k folds nest linearly (no expression
+    blowup, cf. the with_shingles writeup).
 
     Output: (doc_id, n_tokens, n_symbols, sym_fp) where sym_fp is the
-    md5 of the full symbol sequence (tokens joined with U+001F, the
-    unit separator, so symbol boundaries can't alias). Exact against
-    a sequential reference encoder in tests/test_bpe_merges.py.
+    md5 of the doc's full symbol sequence in token order (joined with
+    U+001F, the unit separator, so symbol boundaries can't alias);
+    docs with no tokens emit (0, 0, md5('')). Exact against a
+    sequential reference encoder in tests/test_bpe_merges.py.
     """
-    toks = tokens(F.col(text_col))
-    chars = lambda w: F.transform(  # noqa: E731
-        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
     )
-    syms = F.transform(toks, chars)
+
     def make_fold(left: str, right: str):
         merged = left + right
 
@@ -477,12 +484,44 @@ def bpe_encode(
 
         return fold
 
+    syms = chars
     for left, right in merges:
-        syms = F.transform(syms, make_fold(left, right))
-    flat = F.flatten(syms)
-    return docs.select(
+        syms = make_fold(left, right)(syms)
+
+    toks = tokens(F.col(text_col))
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+        .select(
+            "w",
+            F.array_join(syms, "\x1f").alias("enc"),
+            F.size(syms).alias("n_syms"),
+        )
+    )
+    exploded = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    agg = (
+        exploded.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").cast("int").alias("n_symbols"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                        lambda e: e["enc"],
+                    ),
+                    "\x1f",
+                )
+            ).alias("sym_fp"),
+        )
+    )
+    return docs.join(agg, "doc_id", "left").select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(flat).alias("n_symbols"),
-        F.md5(F.array_join(flat, "\x1f")).alias("sym_fp"),
+        F.coalesce("n_tokens", F.lit(0).cast("bigint"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.coalesce("n_symbols", F.lit(0)).alias("n_symbols"),
+        F.coalesce("sym_fp", F.md5(F.lit(""))).alias("sym_fp"),
     )
