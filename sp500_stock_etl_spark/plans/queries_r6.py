@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from ..functions.text import hash32, sql_hash32, sql_tokens, tokens
 from ..io.readers import load_table
 from ..operators.joins import asof_join
+from ..caching import track_persist
 from .registry import register
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -799,8 +800,16 @@ def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(_PR_FANOUT):
         part = hashed.select("u", F.col(f"h{k}").alias("v"))
         edges = part if edges is None else edges.unionByName(part)
-    edges = edges.where(F.col("u") != F.col("v")).distinct()
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # Loop-invariant inputs are cached (same policy as connected
+    # components' symmetric edge frame): without this every iteration
+    # re-scans and re-dedups the edge list — the audited plan showed
+    # 21 scans / 114 exchanges for 3 iterations, vs 3 edge reads here.
+    edges = track_persist(
+        edges.where(F.col("u") != F.col("v")).distinct()
+    )
+    deg = track_persist(
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    )
     nodes = docs
     scores = nodes.select(
         "doc_id", F.lit(_PR_SCALE).cast("bigint").alias("score")
