@@ -140,6 +140,7 @@ def main() -> None:
     entity_resolution_probe(spark, sf_dir, n)
     semantic_dedup_probe(spark, sf_dir, n)
     triangle_probe(spark, sf_dir, n)
+    pagerank_probe(spark, sf_dir, n)
 
 
 def lsh_topk_runtime_probe(spark, sf_dir: str, n: int) -> None:
@@ -476,6 +477,34 @@ def bucketed_join_probe(spark, sf_dir: str) -> None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abt)
         spark.sql("DROP TABLE IF EXISTS sg_probe_li")
         spark.sql("DROP TABLE IF EXISTS sg_probe_od")
+
+
+def pagerank_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-6 probe: integer PageRank at 1x vs Nx nodes. Replicated
+    node ids keep the hash-target graph ~3-out-regular, so nodes AND
+    edges grow Nx — per-iteration cost (one edge join + one groupBy)
+    must track linearly; the cached edge list keeps the scan count at
+    one regardless of iteration count."""
+    from sp500_stock_etl_spark.plans.queries_r6 import pagerank_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base_n = docs.count()
+    out = {"probe": "pagerank", "sf_dir": sf_dir, "n": n}
+    for tag, k in (("1x", 1), ("nx", n)):
+        # Contiguous renumbering (shift by base_n, not the generic
+        # 100M id-space shift): the hash-target construction assumes
+        # ids 0..N-1, and a sparse id space would send most
+        # contributions to nonexistent nodes.
+        copies = [
+            docs.select((F.col("doc_id") + i * base_n).alias("doc_id"))
+            for i in range(k)
+        ]
+        src = reduce(lambda a, b: a.unionByName(b), copies)
+        t = time.time()
+        out[f"rows_{tag}"] = pagerank_scores(src).count()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+    out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    print(json.dumps(out), flush=True)
 
 
 def entity_resolution_probe(spark, sf_dir: str, n: int) -> None:

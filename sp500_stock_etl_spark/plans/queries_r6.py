@@ -671,8 +671,12 @@ def q_zorder_pruning_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sb").alias("max_sb"),
         )
 
-    zstats = stats(F.expr("zkey div 1024"))
-    lstats = stats(F.expr("pa div 4"))
+    # Each stats frame feeds BOTH predicate branches: persist the
+    # 64-row tables so the lineitem scan runs once per layout, not
+    # once per (layout, predicate) — the audited first cut re-scanned
+    # the fact 4x.
+    zstats = track_persist(stats(F.expr("zkey div 1024")))
+    lstats = track_persist(stats(F.expr("pa div 4")))
 
     outs = []
     for layout, st in (("zorder", zstats), ("linear_pa", lstats)):
@@ -785,6 +789,14 @@ _PAGERANK_ORACLE = _pagerank_sql()
 )
 def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return pagerank_scores(docs)
+
+
+def pagerank_scores(docs: DataFrame) -> DataFrame:
+    """PageRank core over a node frame (doc_id assumed 0..N-1 for the
+    hash-target graph construction — testdata scaffolding; a real
+    edge table slots in at `edges`). Split out so
+    scripts/scale_probe.py can replicate the node set."""
     nn = docs.agg(F.count(F.lit(1)).alias("n"))
     hashed = docs.crossJoin(F.broadcast(nn)).select(
         F.col("doc_id").alias("u"),
