@@ -161,6 +161,7 @@ R6_QUERIES = [
     "corpus_pagerank",
     "corpus_bpe_encode",
     "embedding_pq_codebooks",
+    "corpus_lm_quality_score",
 ]
 
 

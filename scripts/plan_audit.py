@@ -92,6 +92,7 @@ AUDITED = [
     "corpus_bigram_lm",
     "zorder_pruning_demo",
     "corpus_pagerank",
+    "corpus_lm_quality_score",
 ]
 
 

@@ -896,3 +896,100 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_codebooks_encode(emb)
+
+
+# ---------------------------------------------------------------------------
+# LM-based quality scoring — the model-based filtering step (CCNet /
+# Gopher style: score each document under a language model, bucket,
+# keep the fluent tiers). The "model" is the corpus's own bigram
+# table (self-scoring device at test scale; in production the counts
+# come from a reference corpus and arrive as a join input — the plan
+# is identical). Scoring is log-free integer arithmetic: a doc's
+# score is the integer MEAN of its bigrams' conditional
+# probabilities in ppm — a monotone fluency proxy with none of the
+# libm (ln/exp) cross-engine parity risk perplexity would carry.
+# Tiers = ntile(4) over the deterministic (score, doc_id) order.
+# ---------------------------------------------------------------------------
+
+_LM_SCORE_ORACLE = f"""
+WITH tokd AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+    FROM tokd WHERE len(toks) >= 2
+),
+docbg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+pairs AS (
+    SELECT w1, w2, count(*) AS c FROM docbg GROUP BY 1, 2
+),
+tot AS (SELECT w1, sum(c) AS total FROM pairs GROUP BY 1),
+model AS (
+    SELECT p.w1, p.w2, CAST(p.c * 1000000 // t.total AS BIGINT) AS ppm
+    FROM pairs p JOIN tot t USING (w1)
+),
+scored AS (
+    SELECT d.doc_id, count(*) AS n_bigrams,
+           CAST(sum(m.ppm) // count(*) AS BIGINT) AS score_ppm
+    FROM docbg d JOIN model m USING (w1, w2)
+    GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.score_ppm, 0) AS BIGINT) AS score_ppm,
+       CAST(ntile(4) OVER (
+           ORDER BY coalesce(s.score_ppm, 0), t.doc_id) AS BIGINT)
+           AS quality_tier
+FROM tokd t LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register(
+    "corpus_lm_quality_score",
+    _LM_SCORE_ORACLE,
+    doc="LM-based quality filter (CCNet-style): score each doc by the "
+    "integer-ppm mean of its bigrams' conditional probabilities "
+    "(log-free fluency proxy, no libm parity risk), quartile tiers "
+    "over the deterministic order (LLM-pipeline ext, r6)",
+)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    tokd = docs.select("doc_id", toks.alias("toks"))
+    docbg = (
+        tokd.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.w1", "s.w2")
+    )
+    docbg = track_persist(docbg)  # read twice: model build + scoring
+    pairs = docbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tot = pairs.groupBy("w1").agg(F.sum("c").alias("total"))
+    model = pairs.join(tot, "w1").select(
+        "w1", "w2", F.expr("c * 1000000 div total").cast("bigint").alias("ppm")
+    )
+    scored = (
+        docbg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(ppm) div count(1)").cast("bigint").alias("score_ppm"),
+        )
+    )
+    w = Window.orderBy(F.coalesce("score_ppm", F.lit(0)), "doc_id")
+    return tokd.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("score_ppm", F.lit(0)).cast("bigint").alias("score_ppm"),
+        F.ntile(4).over(w).cast("bigint").alias("quality_tier"),
+    )

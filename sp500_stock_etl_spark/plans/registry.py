@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_pruning_demo",
     "corpus_pagerank",
     "corpus_bpe_encode",  # rows-only by design (iterative train half)
+    "corpus_lm_quality_score",
     "embedding_pq_codebooks",  # rows-only by design (kmeans family)
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
@@ -124,7 +125,6 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_ivf_topk",
     # --- Stalest r3 greens ---
     "asof_join_events",
-    "skew_salted_join",
 )
 
 
