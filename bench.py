@@ -162,6 +162,7 @@ R6_QUERIES = [
     "corpus_bpe_encode",
     "embedding_pq_codebooks",
     "corpus_lm_quality_score",
+    "jsonl_sink_roundtrip_agg",
 ]
 
 

@@ -93,6 +93,7 @@ AUDITED = [
     "zorder_pruning_demo",
     "corpus_pagerank",
     "corpus_lm_quality_score",
+    "jsonl_sink_roundtrip_agg",
 ]
 
 

@@ -509,3 +509,60 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_discount"),
         F.sum(dec("price")).cast("double").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource SINK round-trip (round-6 ext): the write
+# half of the §2.1/§2.2 extension-point pair — quote_feed shows a
+# partitioned Python source with pushdown, jsonl_sink
+# (sources/jsonl_sink.py) shows a partitioned Python WRITER with the
+# two-phase commit protocol (per-task tmp files → driver rename +
+# manifest-last). Write a projection of events through the sink, read
+# it back schema-first, aggregate; the oracle runs on the ORIGINAL
+# parquet, so any loss in task serialization, the commit rename, or
+# the JSON round-trip (timestamps, doubles) fails parity.
+# ---------------------------------------------------------------------------
+
+_JSONL_SINK_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "jsonl_sink_roundtrip_agg",
+    _JSONL_SINK_ORACLE,
+    doc="custom Python DataSource WRITER (jsonl_sink): per-task "
+    "serialization + two-phase commit (tmp files -> rename + "
+    "manifest-last); schema-first read-back aggregated against the "
+    "original-table oracle (SURVEY §2.2 ext, r6)",
+)
+def q_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="sg_jsink_") + "/events"
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    ev.write.format("jsonl_sink").option("path", path).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    ).json(path + "/part-*.jsonl")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

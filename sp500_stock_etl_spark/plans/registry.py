@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_bpe_encode",  # rows-only by design (iterative train half)
     "corpus_lm_quality_score",
     "embedding_pq_codebooks",  # rows-only by design (kmeans family)
+    "jsonl_sink_roundtrip_agg",
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
@@ -123,8 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "doc_fingerprint",
     "similarity_ivf_topk",
-    # --- Stalest r3 greens ---
-    "asof_join_events",
 )
 
 

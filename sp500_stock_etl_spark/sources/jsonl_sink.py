@@ -1,0 +1,142 @@
+"""Custom JSONL sink via Spark 4's Python Data Source WRITE API — the
+sink-side twin of ``quote_feed`` (which demonstrates the read path
+with pushdown). The reference's only custom sink is a driver-side
+pandas ``to_csv`` + upload (K1/K2, ``dags/sp500_dag.py.py:229-302``);
+this is what that becomes when the data no longer fits one machine:
+every TASK serializes its own partition, and a two-phase COMMIT
+PROTOCOL makes the job atomic — the failure-isolation property the
+reference gets from Airflow retries at whole-task granularity, done
+at file granularity instead.
+
+Protocol (the same shape as Hadoop's FileOutputCommitter v2 /
+Spark's own file sinks):
+
+1. each task streams its rows to ``<path>/_tmp/<uuid>.jsonl`` and
+   returns a commit message (tmp name, row count) — executor-side,
+   parallel, no driver involvement;
+2. ``commit(messages)`` (driver, runs once, only if EVERY task
+   succeeded) renames tmp files to ``part-NNNNN.jsonl`` and writes a
+   ``_SUCCESS`` manifest (file list + row counts + total) LAST, so a
+   reader that requires the manifest never observes a partial job;
+3. ``abort()`` removes the tmp directory — failed jobs leave no
+   visible output.
+
+Values are serialized with date/timestamp → ISO strings and floats
+via ``repr`` (shortest round-trip form), so a schema-first
+``spark.read.json`` reproduces the frame exactly — the registry
+query ``jsonl_sink_roundtrip_agg`` pins that cycle against an oracle
+on the ORIGINAL table. Paths are local-fs in the sandbox; on a
+cluster the same code targets any fuse/NFS-mounted shared store, or
+the write()/commit() pair swaps in an object-store client (multipart
+upload + completion marker — the identical two-phase shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_name: str
+    n_rows: int
+
+
+def _jsonable(v):
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, Row):
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires a 'path' option")
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    # -- executor side ---------------------------------------------------
+    def write(self, rows: Iterator[Row]) -> _FileCommit:
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(tmp_dir, name), "w") as f:
+            for row in rows:
+                rec = {
+                    k: _jsonable(v) for k, v in zip(self.fields, row)
+                }
+                f.write(json.dumps(rec) + "\n")
+                n += 1
+        return _FileCommit(tmp_name=name, n_rows=n)
+
+    # -- driver side, exactly once ---------------------------------------
+    def commit(self, messages: list[_FileCommit]) -> None:
+        tmp_dir = os.path.join(self.path, "_tmp")
+        if self.overwrite:
+            for entry in os.listdir(self.path):
+                if entry == "_tmp":
+                    continue
+                full = os.path.join(self.path, entry)
+                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        manifest = {"files": [], "total_rows": 0}
+        for i, m in enumerate(messages):
+            final = f"part-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(tmp_dir, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            manifest["files"].append({"name": final, "rows": m.n_rows})
+            manifest["total_rows"] += m.n_rows
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        # Manifest LAST: its presence certifies a complete job.
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages: list[_FileCommit]) -> None:
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:
+        # Write-only source: schema comes from the frame being written.
+        raise NotImplementedError("jsonl_sink is write-only")
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, schema, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
