@@ -163,6 +163,7 @@ R6_QUERIES = [
     "embedding_pq_codebooks",
     "corpus_lm_quality_score",
     "jsonl_sink_roundtrip_agg",
+    "corpus_curation_v2",
 ]
 
 

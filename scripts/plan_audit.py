@@ -94,6 +94,7 @@ AUDITED = [
     "corpus_pagerank",
     "corpus_lm_quality_score",
     "jsonl_sink_roundtrip_agg",
+    "corpus_curation_v2",
 ]
 
 

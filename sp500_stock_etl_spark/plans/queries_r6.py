@@ -993,3 +993,177 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("score_ppm", F.lit(0)).cast("bigint").alias("score_ppm"),
         F.ntile(4).over(w).cast("bigint").alias("quality_tier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone v2 — composes the round-6 operators into one lazy
+# plan, the way a production crawl-refresh job would run them:
+# (1) canonical-URL dedup (keep the min doc per canonical key),
+# (2) LM-quality scoring over the SURVIVORS (bigram integer-ppm mean,
+#     built from the survivors themselves), drop the bottom quartile,
+# (3) deterministic exact-K per-(source, lang) rebalance (hash-rank
+#     window, same policy as corpus_reservoir_sample).
+# Every stage is a shuffle on a real key (canonical URL, bigram, w1,
+# stratum) — no all-pairs, no collects; the oracle composes the same
+# three stages as CTEs, so the integration — not just each operator —
+# is hash-checked.
+# ---------------------------------------------------------------------------
+
+_V2_KEEP_PER_STRATUM = 15
+
+_CURATION_V2_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, lang, source, text, {_URL_SQL} AS url FROM documents
+),
+canon AS (
+    SELECT doc_id, lang, source, text,
+           concat(
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)), '://',
+               regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   '^www\\.', ''), ':443$', ''),
+               regexp_replace(regexp_replace(
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                   '/index\\.html$', ''), '/+$', '')) AS ckey
+    FROM raw
+),
+survivors AS (
+    SELECT doc_id, lang, source, text FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY ckey ORDER BY doc_id) AS rn
+        FROM canon
+    ) WHERE rn = 1
+),
+tokd AS (
+    SELECT doc_id, lang, source, {sql_tokens('text')} AS toks FROM survivors
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+    FROM tokd WHERE len(toks) >= 2
+),
+docbg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+pairs AS (SELECT w1, w2, count(*) AS c FROM docbg GROUP BY 1, 2),
+tot AS (SELECT w1, sum(c) AS total FROM pairs GROUP BY 1),
+model AS (
+    SELECT p.w1, p.w2, CAST(p.c * 1000000 // t.total AS BIGINT) AS ppm
+    FROM pairs p JOIN tot t USING (w1)
+),
+scored AS (
+    SELECT d.doc_id, CAST(sum(m.ppm) // count(*) AS BIGINT) AS score_ppm
+    FROM docbg d JOIN model m USING (w1, w2) GROUP BY d.doc_id
+),
+tiered AS (
+    SELECT t.doc_id, t.lang, t.source,
+           coalesce(s.score_ppm, 0) AS score_ppm,
+           ntile(4) OVER (ORDER BY coalesce(s.score_ppm, 0), t.doc_id)
+               AS tier
+    FROM tokd t LEFT JOIN scored s USING (doc_id)
+),
+kept AS (SELECT * FROM tiered WHERE tier >= 2),
+ranked AS (
+    SELECT doc_id, lang, source, score_ppm,
+           row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY {sql_hash32("CAST(doc_id AS VARCHAR)", "cur2")},
+                        doc_id) AS rnk
+    FROM kept
+)
+SELECT doc_id, lang, source, CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_V2_KEEP_PER_STRATUM}
+"""
+
+
+@register(
+    "corpus_curation_v2",
+    _CURATION_V2_ORACLE,
+    doc="round-6 capstone: canonical-URL dedup -> self-trained LM "
+    "quality tiering (drop bottom quartile) -> deterministic exact-K "
+    "per-(source, lang) rebalance, one lazy plan; composed-CTE oracle "
+    "hash-checks the integration (LLM-pipeline capstone, r6)",
+)
+def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    url = F.expr(_URL_SQL)
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":443$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            r"/index\.html$",
+            "",
+        ),
+        r"/+$",
+        "",
+    )
+    ckey = F.concat(scheme, F.lit("://"), host, path)
+    wdedup = Window.partitionBy("ckey").orderBy("doc_id")
+    survivors = (
+        docs.withColumn("ckey", ckey)
+        .withColumn("rn", F.row_number().over(wdedup))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "text")
+    )
+
+    toks = tokens(F.col("text"))
+    tokd = survivors.select("doc_id", "lang", "source", toks.alias("toks"))
+    docbg = track_persist(
+        tokd.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.w1", "s.w2")
+    )
+    pairs = docbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tot = pairs.groupBy("w1").agg(F.sum("c").alias("total"))
+    model = pairs.join(tot, "w1").select(
+        "w1", "w2",
+        F.expr("c * 1000000 div total").cast("bigint").alias("ppm"),
+    )
+    scored = (
+        docbg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.expr("sum(ppm) div count(1)").cast("bigint").alias("score_ppm"))
+    )
+    wt = Window.orderBy(F.coalesce("score_ppm", F.lit(0)), "doc_id")
+    tiered = tokd.join(scored, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce("score_ppm", F.lit(0)).cast("bigint").alias("score_ppm"),
+        F.ntile(4).over(wt).alias("tier"),
+    )
+    kept = tiered.where(F.col("tier") >= 2)
+    wr = Window.partitionBy("source", "lang").orderBy(
+        hash32(F.col("doc_id").cast("string"), "cur2"), "doc_id"
+    )
+    return (
+        kept.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= _V2_KEEP_PER_STRATUM)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "score_ppm",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_lm_quality_score",
     "embedding_pq_codebooks",  # rows-only by design (kmeans family)
     "jsonl_sink_roundtrip_agg",
+    "corpus_curation_v2",
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
@@ -123,7 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "text_lang_id",
     "doc_fingerprint",
-    "similarity_ivf_topk",
 )
 
 
