@@ -987,7 +987,10 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.coalesce("score_ppm", F.lit(0)), "doc_id")
-    return tokd.join(scored, "doc_id", "left").select(
+    # Left side is the raw doc-id frame, NOT tokd: the final join only
+    # needs which docs exist, and joining through tokd re-tokenizes
+    # every document a second time for nothing.
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.coalesce("score_ppm", F.lit(0)).cast("bigint").alias("score_ppm"),
@@ -1145,7 +1148,11 @@ def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(ppm) div count(1)").cast("bigint").alias("score_ppm"))
     )
     wt = Window.orderBy(F.coalesce("score_ppm", F.lit(0)), "doc_id")
-    tiered = tokd.join(scored, "doc_id", "left").select(
+    # Join through the survivor id/stratum columns, not tokd — avoids
+    # re-tokenizing every survivor just to carry (lang, source).
+    tiered = survivors.select("doc_id", "lang", "source").join(
+        scored, "doc_id", "left"
+    ).select(
         "doc_id",
         "lang",
         "source",

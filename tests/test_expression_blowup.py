@@ -61,3 +61,35 @@ def test_minhash_plan_bounded_tokenizer(spark):
     # Bucket frame is persisted and read twice -> up to 2 tokenizer
     # sites per read path (projection + cheap filter).
     assert n <= 8, f"tokenizer duplicated {n}x in LSH plan"
+
+
+def test_r6_bigram_paths_bounded_tokenizer(spark):
+    """The r6 bigram family (bigram LM, LM quality score, curation v2)
+    explodes structs built by element access into the computed token
+    array — the exact shape the round-5 blowup class attacked. The
+    regexp count must stay bounded in every optimized plan.
+
+    Ceilings account for two benign duplications: (a) a persisted
+    doc-bigram frame's lineage is PRINTED once per InMemoryRelation
+    reference even though it materializes once (lm_quality: 3 refs ×
+    3 sites); (b) curation v2's URL canonicalization carries 8
+    regexp_replace per survivor reference. A real blowup regression
+    multiplies sites by token/shingle width (>= dozens), far above
+    these ceilings."""
+    from sp500_stock_etl_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name, ceiling in (
+        ("corpus_bigram_lm", 6),
+        ("corpus_lm_quality_score", 12),
+        ("corpus_curation_v2", 25),
+    ):
+        df = qs[name].spark_fn(spark, "/root/testdata/sf0.001")
+        plan = _optimized_plan(df)
+        n = plan.count("regexp_replace")
+        cached = plan.count("InMemoryRelation")
+        assert n <= ceiling, (
+            f"{name}: regexp duplicated {n}x in optimized plan "
+            f"(ceiling {ceiling}, {cached} cached refs) — "
+            "expression blowup returned"
+        )
