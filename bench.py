@@ -164,6 +164,7 @@ R6_QUERIES = [
     "corpus_lm_quality_score",
     "jsonl_sink_roundtrip_agg",
     "corpus_curation_v2",
+    "dedup_keep_best_quality",
 ]
 
 

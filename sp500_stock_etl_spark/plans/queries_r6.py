@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import hash32, sql_hash32, sql_tokens, tokens
+from ..functions.text import (
+    hash32,
+    sql_hash32,
+    sql_norm_text,
+    sql_tokens,
+    tokens,
+)
 from ..io.readers import load_table
 from ..operators.joins import asof_join
 from ..caching import track_persist
@@ -1172,5 +1178,97 @@ def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "score_ppm",
             F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup selection — every dedup query so far keeps the
+# MIN-ID member per duplicate cluster; production pipelines keep the
+# CLEANEST (C4/RefinedWeb keep-best policy). Planted variants: every
+# 4th doc gets a whitespace-bloated copy (+21M) and every 8th an
+# uppercased copy (+22M); normalization maps all three to one
+# fingerprint cluster, and the keeper is chosen by LEAST JUNK
+# (raw_len - normalized_len; the uppercase copy ties the original at
+# 0 junk and loses on doc_id) — a policy the min-id rule gets wrong
+# whenever the bloated copy has the lowest id. For near-dup clusters
+# the same keep-best select runs on connected_components output
+# instead of the fingerprint partition; the policy column is what
+# this query pins.
+# ---------------------------------------------------------------------------
+
+_KB_OFFSET_WS, _KB_OFFSET_UC = 21_000_000, 22_000_000
+
+_KEEP_BEST_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_KB_OFFSET_WS} AS doc_id,
+           replace(text, ' ', '   ') AS text
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id + {_KB_OFFSET_UC} AS doc_id, upper(text) AS text
+    FROM documents WHERE doc_id % 8 = 0
+),
+fp AS (
+    SELECT doc_id, md5({sql_norm_text('text')}) AS f,
+           CAST(len(text) - len({sql_norm_text('text')}) AS BIGINT) AS junk
+    FROM base
+),
+ranked AS (
+    SELECT doc_id, f, junk,
+           count(*) OVER (PARTITION BY f) AS n_members,
+           min(doc_id) OVER (PARTITION BY f) AS cluster_id,
+           row_number() OVER (
+               PARTITION BY f ORDER BY junk, doc_id) AS rn
+    FROM fp
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       doc_id AS keeper_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       junk AS keeper_junk
+FROM ranked WHERE rn = 1 AND n_members >= 2
+"""
+
+
+@register(
+    "dedup_keep_best_quality",
+    _KEEP_BEST_ORACLE,
+    doc="quality-aware dedup selection (keep the CLEANEST cluster "
+    "member by junk = raw_len - normalized_len, not the min id); "
+    "planted whitespace-bloated and uppercased variants; one window "
+    "over the cluster partition (LLM-pipeline policy ext, r6)",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import norm_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + _KB_OFFSET_WS).alias("doc_id"),
+        F.regexp_replace("text", " ", "   ").alias("text"),
+    )
+    uc = docs.where(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") + _KB_OFFSET_UC).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    base = docs.unionByName(ws).unionByName(uc)
+    normed = norm_text(F.col("text"))
+    fp = base.select(
+        "doc_id",
+        F.md5(normed).alias("f"),
+        (F.length("text") - F.length(normed)).cast("bigint").alias("junk"),
+    )
+    wc = Window.partitionBy("f")
+    wr = Window.partitionBy("f").orderBy("junk", "doc_id")
+    return (
+        fp.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("cluster_id", F.min("doc_id").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .where((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("junk").alias("keeper_junk"),
         )
     )

@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pq_codebooks",  # rows-only by design (kmeans family)
     "jsonl_sink_roundtrip_agg",
     "corpus_curation_v2",
+    "dedup_keep_best_quality",
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
@@ -123,7 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "map_entries_agg",
     "dedup_simhash",
     "text_lang_id",
-    "doc_fingerprint",
 )
 
 
