@@ -141,6 +141,7 @@ def main() -> None:
     semantic_dedup_probe(spark, sf_dir, n)
     triangle_probe(spark, sf_dir, n)
     pagerank_probe(spark, sf_dir, n)
+    bpe_encode_probe(spark, sf_dir, n)
 
 
 def lsh_topk_runtime_probe(spark, sf_dir: str, n: int) -> None:
@@ -502,6 +503,35 @@ def pagerank_probe(spark, sf_dir: str, n: int) -> None:
         src = reduce(lambda a, b: a.unionByName(b), copies)
         t = time.time()
         out[f"rows_{tag}"] = pagerank_scores(src).count()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+    out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    print(json.dumps(out), flush=True)
+
+
+def bpe_encode_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-6 probe: BPE ENCODE at 1x vs Nx docs with a fixed merge
+    table. The encoder folds over the DISTINCT-WORD vocabulary and
+    broadcast-joins encodings back, so the expensive fold stage is
+    constant in corpus size (replicas share the synthetic vocabulary)
+    and only the token-stream join grows — wall must be strongly
+    sub-linear. The per-occurrence first cut scaled with the token
+    stream instead (~6x slower already at 1x)."""
+    from sp500_stock_etl_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, "text", k=8).collect()
+    ]
+    out = {"probe": "bpe_encode", "sf_dir": sf_dir, "n": n,
+           "n_merges": len(merges)}
+    for tag, k in (("1x", 1), ("nx", n)):
+        src = replicate(docs, k, ["doc_id"]) if k > 1 else docs
+        t = time.time()
+        out[f"rows_{tag}"] = bpe_encode(src, merges).count()
         out[f"sec_{tag}"] = round(time.time() - t, 2)
     out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
     print(json.dumps(out), flush=True)
