@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 
+from ..caching import track_persist
 from ..functions.rounding import round_half_up
 
 
@@ -118,3 +119,74 @@ def top_k_per_group(
         rank_exprs = [rank_exprs]
     w = Window.partitionBy(partition_col).orderBy(*rank_exprs)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact dense global row-number WITHOUT the single-task global
+    window. ``Window.orderBy(...)`` with no partition key funnels
+    every row through ONE task — the classic 100 TB bottleneck hiding
+    inside any unpartitioned ``row_number``/``ntile``/``percent_rank``.
+    The scalable equivalent is the range-sort + offset pattern Spark's
+    own sortBy uses for output order:
+
+    1. range-repartition + sort within partitions on the order key
+       (a PARALLEL total order — every partition holds a contiguous
+       key range);
+    2. count rows per partition (tiny: one row per partition) and
+       prefix-sum the counts into per-partition OFFSETS (a window
+       over the partition-count frame — numPartitions rows, not data);
+    3. broadcast-join the offsets back and add the per-partition
+       ``row_number`` — rank = offset + local row number, exact
+       because the range sort makes cross-partition order total.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak
+    column) or ranks of tied rows are partition-placement-dependent.
+    The sorted frame is persisted (registered for release) because
+    the counts pass and the final join both read it.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ordered = track_persist(
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid__", F.spark_partition_id())
+    )
+    counts = ordered.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n__"))
+    # Unpartitioned window, but over ONE ROW PER PARTITION — metadata
+    # scale, never data scale.
+    offsets = counts.select(
+        "__pid__",
+        (F.sum("__n__").over(Window.orderBy("__pid__")) - F.col("__n__"))
+        .alias("__off__"),
+    )
+    wlocal = Window.partitionBy("__pid__").orderBy(*cols)
+    return (
+        ordered.join(F.broadcast(offsets), "__pid__")
+        .withColumn(
+            rank_col, (F.col("__off__") + F.row_number().over(wlocal))
+        )
+        .drop("__pid__", "__off__")
+    )
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` bucket from an exact global rank (1-based) and
+    the total row count: the first ``n_rows % k`` buckets get
+    ``n_rows div k + 1`` rows, the rest ``n_rows div k`` — bit-exact
+    ntile semantics, computed map-side from a broadcast count instead
+    of a single-task global window."""
+    q = (n_rows / k).cast("long")
+    rem = n_rows - q * k
+    big = q + 1
+    cut = big * rem  # rows covered by the larger buckets
+    return (
+        F.when(rank <= cut, ((rank - 1) / big).cast("long") + 1)
+        .otherwise(rem + ((rank - 1 - cut) / F.greatest(q, F.lit(1).cast("long"))).cast("long") + 1)
+        .cast("int")
+    )

@@ -992,15 +992,29 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(ppm) div count(1)").cast("bigint").alias("score_ppm"),
         )
     )
-    w = Window.orderBy(F.coalesce("score_ppm", F.lit(0)), "doc_id")
-    # Left side is the raw doc-id frame, NOT tokd: the final join only
+    # Tiering WITHOUT the single-task global ntile window: exact
+    # global rank via range-sort + broadcast partition offsets
+    # (operators/window_metrics.with_global_rank), then the bit-exact
+    # ntile(4) bucket formula from the broadcast total count. Left
+    # side is the raw doc-id frame, NOT tokd: the final join only
     # needs which docs exist, and joining through tokd re-tokenizes
     # every document a second time for nothing.
-    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+    from ..operators.window_metrics import ntile_from_rank, with_global_rank
+
+    base = docs.select("doc_id").join(scored, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.coalesce("score_ppm", F.lit(0)).cast("bigint").alias("score_ppm"),
-        F.ntile(4).over(w).cast("bigint").alias("quality_tier"),
+    )
+    ranked = with_global_rank(base, ["score_ppm", "doc_id"])
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("__total__"))
+    return ranked.join(F.broadcast(total)).select(
+        "doc_id",
+        "n_bigrams",
+        "score_ppm",
+        ntile_from_rank(F.col("global_rank"), F.col("__total__"), 4)
+        .cast("bigint")
+        .alias("quality_tier"),
     )
 
 
@@ -1153,17 +1167,30 @@ def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.expr("sum(ppm) div count(1)").cast("bigint").alias("score_ppm"))
     )
-    wt = Window.orderBy(F.coalesce("score_ppm", F.lit(0)), "doc_id")
     # Join through the survivor id/stratum columns, not tokd — avoids
-    # re-tokenizing every survivor just to carry (lang, source).
-    tiered = survivors.select("doc_id", "lang", "source").join(
+    # re-tokenizing every survivor just to carry (lang, source); and
+    # tier via the distributed global-rank ntile, not the single-task
+    # unpartitioned window (see corpus_lm_quality_score).
+    from ..operators.window_metrics import ntile_from_rank, with_global_rank
+
+    scored_docs = survivors.select("doc_id", "lang", "source").join(
         scored, "doc_id", "left"
     ).select(
         "doc_id",
         "lang",
         "source",
         F.coalesce("score_ppm", F.lit(0)).cast("bigint").alias("score_ppm"),
-        F.ntile(4).over(wt).alias("tier"),
+    )
+    ranked = with_global_rank(scored_docs, ["score_ppm", "doc_id"])
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("__total__"))
+    tiered = ranked.join(F.broadcast(total)).select(
+        "doc_id",
+        "lang",
+        "source",
+        "score_ppm",
+        ntile_from_rank(F.col("global_rank"), F.col("__total__"), 4).alias(
+            "tier"
+        ),
     )
     kept = tiered.where(F.col("tier") >= 2)
     wr = Window.partitionBy("source", "lang").orderBy(
