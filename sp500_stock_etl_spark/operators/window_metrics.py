@@ -190,3 +190,48 @@ def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
         .otherwise(rem + ((rank - 1 - cut) / F.greatest(q, F.lit(1).cast("long"))).cast("long") + 1)
         .cast("int")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    cumsum_col: str = "global_cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running total over a GLOBAL order without the single-task
+    unpartitioned window — same range-sort + broadcast-offset pattern
+    as ``with_global_rank``, with per-partition VALUE SUMS prefix-
+    summed into exclusive offsets: cumsum = partition offset + local
+    running sum. Exact for integer/decimal values (the offsets are
+    per-partition sums, so ordering inside the prefix-sum never
+    touches float addition order). ``order_cols`` must be a total
+    order."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ordered = track_persist(
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid__", F.spark_partition_id())
+    )
+    sums = ordered.groupBy("__pid__").agg(F.sum(value_col).alias("__s__"))
+    offsets = sums.select(
+        "__pid__",
+        (F.sum("__s__").over(Window.orderBy("__pid__")) - F.col("__s__"))
+        .alias("__soff__"),
+    )
+    wlocal = (
+        Window.partitionBy("__pid__")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ordered.join(F.broadcast(offsets), "__pid__")
+        .withColumn(
+            cumsum_col,
+            F.coalesce(F.col("__soff__"), F.lit(0))
+            + F.sum(value_col).over(wlocal),
+        )
+        .drop("__pid__", "__soff__")
+    )

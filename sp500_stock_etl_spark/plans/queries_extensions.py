@@ -1135,16 +1135,25 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
     ).cast("decimal(18,4)")
     rev = li.groupBy("l_partkey").agg(F.sum(disc).alias("revenue"))
-    w_cum = (
-        Window.orderBy(F.col("revenue").desc(), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Running share WITHOUT the single-task unpartitioned window (and
+    # without the equally-single-task Window.partitionBy() total):
+    # distributed range-sorted cumulative sum + a broadcast 1-row
+    # grand total (r6 rework; operators/window_metrics).
+    from ..operators.window_metrics import with_global_cumsum
+
+    rev = rev.withColumn("__negrev__", -F.col("revenue"))
+    cum = with_global_cumsum(
+        rev, ["__negrev__", "l_partkey"], "revenue", "cum_rev"
+    ).drop("__negrev__")
+    total = rev.agg(F.sum("revenue").alias("__total__"))
+    classified = (
+        cum.join(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.col("cum_rev").cast("double") / F.col("__total__").cast("double"),
+        )
+        .drop("cum_rev", "__total__")
     )
-    w_all = Window.partitionBy()
-    cum_share = (
-        F.sum("revenue").over(w_cum).cast("double")
-        / F.sum("revenue").over(w_all).cast("double")
-    )
-    classified = rev.withColumn("cum_share", cum_share)
     return classified.select(
         "l_partkey",
         F.col("revenue").cast("double").alias("revenue"),
