@@ -119,7 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "batch_sessionization",
     "gap_fill_forward",
     "token_frequency_topn",
-    "jsonl_source_agg",
+    "abc_pareto_classification",  # r6 distributed-cumsum rework re-check
     "hierarchical_rollup_daily",
     "map_entries_agg",
     "dedup_simhash",
