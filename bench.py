@@ -165,6 +165,7 @@ R6_QUERIES = [
     "jsonl_sink_roundtrip_agg",
     "corpus_curation_v2",
     "dedup_keep_best_quality",
+    "corpus_budget_fill",
 ]
 
 

@@ -1299,3 +1299,70 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("junk").alias("keeper_junk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget fill per stratum — the mix-building step that runs
+# AFTER quality filtering: each language gets a fixed token budget,
+# filled greedily in quality order (longest-doc-first proxy here;
+# any score column slots in) until the budget is exhausted. One
+# PARTITIONED cumulative-sum window (per-lang — never the global
+# single-task shape §12.2 closed); a doc is kept iff it STARTS within
+# budget, so exactly one doc may straddle the boundary — the
+# deterministic greedy-fill rule. Integer token counts throughout.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 10_000
+
+_BUDGET_FILL_ORACLE = f"""
+WITH tokd AS (
+    SELECT doc_id, lang,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+    FROM tokd
+)
+SELECT doc_id, lang, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+FROM cum WHERE cum_before < {_BUDGET_TOKENS}
+"""
+
+
+@register(
+    "corpus_budget_fill",
+    _BUDGET_FILL_ORACLE,
+    doc="per-language token-budget fill (greedy by quality order, one "
+    "partitioned cumsum window — never the global single-task shape); "
+    "keep iff the doc STARTS within budget (LLM-pipeline mix ext, r6)",
+)
+def q_corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tokd = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tokd.withColumn(
+            "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .where(F.col("cum_before") < _BUDGET_TOKENS)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.col("cum_before").cast("bigint").alias("cum_before"),
+        )
+    )

@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "jsonl_sink_roundtrip_agg",
     "corpus_curation_v2",
     "dedup_keep_best_quality",
+    "corpus_budget_fill",
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
@@ -121,7 +122,6 @@ _PRIORITY: tuple[str, ...] = (
     "token_frequency_topn",
     "abc_pareto_classification",  # r6 distributed-cumsum rework re-check
     "hierarchical_rollup_daily",
-    "map_entries_agg",
     "dedup_simhash",
     "text_lang_id",
 )
