@@ -166,6 +166,7 @@ R6_QUERIES = [
     "corpus_curation_v2",
     "dedup_keep_best_quality",
     "corpus_budget_fill",
+    "streaming_jsonl_sink_roundtrip",
 ]
 
 

@@ -847,3 +847,62 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_ts") <= F.col("cutoff"))
         .select("purchase_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming write through the custom Python sink (round-6 ext): the
+# stream drains availableNow through jsonl_sink's per-MICROBATCH
+# commit protocol (epoch-tagged parts, manifest-last, replayed-epoch
+# idempotence guard — sources/jsonl_sink.py), then the files are read
+# back schema-first and aggregated against an oracle on the ORIGINAL
+# events table. Completes the extension matrix: quote_feed = Python
+# source (batch + stream reads), jsonl_sink = Python sink (batch +
+# stream writes), every quadrant driver-checked.
+# ---------------------------------------------------------------------------
+
+_STREAM_SINK_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "streaming_jsonl_sink_roundtrip",
+    _STREAM_SINK_ORACLE,
+    doc="streaming write through the custom Python DataSourceStream"
+    "Writer (per-epoch two-phase commit, replay-idempotent), read "
+    "back schema-first, aggregated vs the original-table oracle "
+    "(SURVEY §2.11 + §2.2 ext, r6)",
+)
+def q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="sg_sjsink_") + "/events"
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix="sg_sjsink_ckpt_")
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    ).json(out_dir + "/part-*.jsonl")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

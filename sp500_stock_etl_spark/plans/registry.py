@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_v2",
     "dedup_keep_best_quality",
     "corpus_budget_fill",
+    "streaming_jsonl_sink_roundtrip",
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
@@ -121,7 +122,6 @@ _PRIORITY: tuple[str, ...] = (
     "gap_fill_forward",
     "token_frequency_topn",
     "abc_pareto_classification",  # r6 distributed-cumsum rework re-check
-    "hierarchical_rollup_daily",
     "dedup_simhash",
     "text_lang_id",
 )

@@ -43,6 +43,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamWriter,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType
@@ -148,6 +149,85 @@ class JsonlSinkDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JsonlSinkStreamWriter(self.options, schema)
+
 
 def register_jsonl_sink(spark) -> None:
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+class JsonlSinkStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the batch writer: the same tmp-file + rename
+    protocol, committed PER MICROBATCH with epoch-tagged file names
+    and an idempotence guard — if a batch id already appears in the
+    manifest (a retried epoch after a driver restart replays the same
+    batchId), commit drops the replayed files instead of appending
+    duplicates. That is the checkpoint + idempotent-sink contract
+    that makes file sinks exactly-once in Structured Streaming."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires a 'path' option")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, rows: Iterator[Row]) -> _FileCommit:
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(tmp_dir, name), "w") as f:
+            for row in rows:
+                rec = {k: _jsonable(v) for k, v in zip(self.fields, row)}
+                f.write(json.dumps(rec) + "\n")
+                n += 1
+        return _FileCommit(tmp_name=name, n_rows=n)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_SUCCESS")
+
+    def _load_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"files": [], "total_rows": 0, "epochs": []}
+
+    def commit(self, messages, batchId: int) -> None:
+        tmp_dir = os.path.join(self.path, "_tmp")
+        manifest = self._load_manifest()
+        if batchId in manifest["epochs"]:
+            # Replayed epoch: the previous attempt committed; drop the
+            # replay's tmp files so retries never duplicate output.
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(tmp_dir, m.tmp_name))
+                    except FileNotFoundError:
+                        pass
+            return
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = f"part-e{batchId:05d}-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(tmp_dir, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            manifest["files"].append({"name": final, "rows": m.n_rows})
+            manifest["total_rows"] += m.n_rows
+        manifest["epochs"].append(batchId)
+        tmp_manifest = self._manifest_path() + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, self._manifest_path())
+
+    def abort(self, messages, batchId: int) -> None:
+        tmp_dir = os.path.join(self.path, "_tmp")
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(tmp_dir, m.tmp_name))
+                except FileNotFoundError:
+                    pass

@@ -47,3 +47,28 @@ def test_global_rank_ntile_matches_window(spark, scores, k):
         .collect()
     }
     assert got == want, (scores, k, got ^ want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=40))
+def test_global_cumsum_matches_window(spark, vals):
+    from sp500_stock_etl_spark.operators.window_metrics import (
+        with_global_cumsum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r["id"], r["cs"])
+        for r in df.select("id", F.sum("v").over(w).alias("cs")).collect()
+    }
+    got = {
+        (r["id"], r["global_cumsum"])
+        for r in with_global_cumsum(
+            df, ["v", "id"], "v", num_partitions=4
+        ).collect()
+    }
+    assert got == want, (vals, got ^ want)

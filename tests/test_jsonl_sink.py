@@ -76,3 +76,53 @@ def test_abort_leaves_no_visible_output(spark):
     visible = [f for f in os.listdir(d) if not f.startswith("_tmp")]
     assert visible == [], f"failed job left visible output: {visible}"
     assert not os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
+def test_stream_writer_availablenow_and_replay(spark):
+    """writeStream through the Python streaming sink: availableNow
+    drains the staged source into epoch-tagged parts + manifest; a
+    replayed epoch (same batchId re-committed, the restart contract)
+    must NOT duplicate output."""
+    import shutil
+    import tempfile as _tf
+
+    from sp500_stock_etl_spark.sources.jsonl_sink import (
+        JsonlSinkStreamWriter,
+        _FileCommit,
+    )
+
+    ev = _events(spark)
+    src_dir = _tf.mkdtemp(prefix="sg_ssrc_")
+    ev.write.mode("overwrite").parquet(src_dir + "/in")
+    out_dir = _tf.mkdtemp(prefix="sg_ssink_")
+    ckpt = _tf.mkdtemp(prefix="sg_sckpt_")
+
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir + "/in")
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    man = json.load(open(os.path.join(out_dir, "_SUCCESS")))
+    assert man["total_rows"] == ev.count()
+    assert man["epochs"], "manifest must record committed epochs"
+    back = spark.read.schema(SCHEMA).json(os.path.join(out_dir, "part-*.jsonl"))
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in ev.collect()
+    }
+
+    # Replay: re-commit an already-committed epoch with fresh tmp
+    # files — the guard must drop them, leaving the output unchanged.
+    w = JsonlSinkStreamWriter({"path": out_dir}, ev.schema)
+    tmp_dir = os.path.join(out_dir, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(os.path.join(tmp_dir, "replay.jsonl"), "w") as f:
+        f.write('{"event_id": 1}\n')
+    w.commit([_FileCommit(tmp_name="replay.jsonl", n_rows=1)], man["epochs"][0])
+    man2 = json.load(open(os.path.join(out_dir, "_SUCCESS")))
+    assert man2["total_rows"] == man["total_rows"], "replayed epoch duplicated rows"
+    assert not os.path.exists(os.path.join(tmp_dir, "replay.jsonl"))
+    shutil.rmtree(src_dir, ignore_errors=True)
