@@ -167,6 +167,7 @@ R6_QUERIES = [
     "dedup_keep_best_quality",
     "corpus_budget_fill",
     "streaming_jsonl_sink_roundtrip",
+    "gap_fill_interpolate",
 ]
 
 

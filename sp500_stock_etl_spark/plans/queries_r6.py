@@ -1366,3 +1366,147 @@ def q_corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_before").cast("bigint").alias("cum_before"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (round-6 ext) — completes the
+# imputation family: gap_fill_forward carries the LAST observation
+# (LOCF); time-series feature pipelines usually want the LINE between
+# the neighbors instead. Same dense-spine shape (sequence + explode,
+# no driver loop), then per-key windows pull the previous and next
+# observations AND their hours; the interpolated value is
+# prev + (next - prev) · Δt-fraction with the fraction computed from
+# exact integer epoch-hours, so both engines evaluate the identical
+# double expression. Trailing gaps fall back to LOCF, leading gaps
+# stay NULL — each row labels which rule produced it.
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+    FROM events
+),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+spine AS (
+    SELECT u.user_id, g.h
+    FROM users u
+    CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                FROM bounds) g
+),
+hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+    FROM events WHERE user_id < 10
+    GROUP BY 1, 2
+),
+joined AS (
+    SELECT s.user_id, s.h, hr.v,
+           epoch_us(s.h) // 3600000000 AS hn
+    FROM spine s LEFT JOIN hourly hr ON hr.user_id = s.user_id AND hr.h = s.h
+),
+nbr AS (
+    SELECT user_id, h, v, hn,
+           last_value(v IGNORE NULLS) OVER wprev AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS)
+               OVER wprev AS ph,
+           first_value(v IGNORE NULLS) OVER wnext AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS)
+               OVER wnext AS nh
+    FROM joined
+    WINDOW wprev AS (PARTITION BY user_id ORDER BY hn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wnext AS (PARTITION BY user_id ORDER BY hn
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                pv + (nv - pv) * (CAST(hn - ph AS DOUBLE)
+                                  / CAST(nh - ph AS DOUBLE))
+            WHEN pv IS NOT NULL THEN pv
+            END AS filled,
+       CASE WHEN v IS NOT NULL THEN 'obs'
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+            WHEN pv IS NOT NULL THEN 'locf_tail'
+            ELSE 'leading_null' END AS fill_kind
+FROM nbr
+"""
+
+
+@register(
+    "gap_fill_interpolate",
+    _INTERP_ORACLE,
+    doc="linear-interpolation gap fill over the dense hour spine "
+    "(prev + (next-prev)*dt-fraction from exact integer epoch-hours; "
+    "trailing gaps LOCF, leading gaps NULL, rule labeled per row) — "
+    "completes the imputation family (SURVEY §2.5 ext, r6)",
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    allev = load_table(spark, sf_dir, "events")
+    bounds = allev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(hours))
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").withColumn(
+        "hn", F.expr("unix_micros(h) div 3600000000")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("hn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("hn")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_hn = F.when(F.col("v").isNotNull(), F.col("hn"))
+    nbr = (
+        joined.withColumn("pv", F.last("v", ignorenulls=True).over(wprev))
+        .withColumn("ph", F.last(known_hn, ignorenulls=True).over(wprev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wnext))
+        .withColumn("nh", F.first(known_hn, ignorenulls=True).over(wnext))
+    )
+    frac = (F.col("hn") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+    )
+    kind = (
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.lit("interp"),
+        )
+        .when(F.col("pv").isNotNull(), F.lit("locf_tail"))
+        .otherwise(F.lit("leading_null"))
+    )
+    return nbr.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        filled.alias("filled"),
+        kind.alias("fill_kind"),
+    )

@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_keep_best_quality",
     "corpus_budget_fill",
     "streaming_jsonl_sink_roundtrip",
+    "gap_fill_interpolate",
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
@@ -114,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "date_parts_agg",
     "json_props_agg",
     "hourly_event_agg",
-    "range_window_trailing_spend",
     "sql_api_shipping_priority",
     "tpch_q6_forecast_revenue",
     "grouping_sets_agg",
