@@ -168,6 +168,7 @@ R6_QUERIES = [
     "corpus_budget_fill",
     "streaming_jsonl_sink_roundtrip",
     "gap_fill_interpolate",
+    "corpus_decontamination_overlap",
 ]
 
 

@@ -1510,3 +1510,122 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("filled"),
         kind.alias("fill_kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination by OVERLAP FRACTION (round-6 ext) — the published
+# threshold rule (GPT-3 appendix C / common n-gram decontamination):
+# a training doc is dropped only when the FRACTION of its n-grams
+# shared with the eval set crosses a threshold, not on any single
+# hit (the binary-hit variants are corpus_decontamination and its
+# Bloom-prefiltered twin; this adds the per-doc denominator and the
+# keep/drop verdict). Same planted-contamination setup; all shares in
+# integer basis points so the verdict is exact in both engines. The
+# eval-gram set broadcasts; the per-doc denominator is a map-side
+# distinct inside the same shingle pass — no extra corpus shuffle.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_NGRAM = 8
+_OVERLAP_DROP_BP = 1000  # drop if > 10% of the doc's grams are shared
+
+from ..functions.text import sql_word_shingles
+
+_OVERLAP_SHINGLES = sql_word_shingles("toks", 8)
+
+_DECON_OVERLAP_ORACLE = f"""
+WITH eval_docs AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    WHERE doc_id % 50 = 0
+),
+eval_grams AS (
+    SELECT DISTINCT unnest({_OVERLAP_SHINGLES}) AS gram FROM eval_docs
+),
+train_raw AS (
+    SELECT t.doc_id,
+           t.text || CASE WHEN t.doc_id % 9 = 0 AND e.doc_id IS NOT NULL
+                          THEN ' ' || array_to_string(list_slice(e.toks, 1, 12), ' ')
+                          ELSE '' END AS text
+    FROM documents t
+    LEFT JOIN eval_docs e ON e.doc_id = (t.doc_id % 10) * 50
+    WHERE t.doc_id % 50 <> 0
+),
+train AS (
+    SELECT doc_id, unnest({_OVERLAP_SHINGLES}) AS gram
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM train_raw) t
+),
+per_doc AS (
+    SELECT tr.doc_id,
+           count(DISTINCT tr.gram) AS n_grams,
+           count(DISTINCT CASE WHEN e.gram IS NOT NULL THEN tr.gram END)
+               AS n_shared
+    FROM train tr LEFT JOIN eval_grams e ON tr.gram = e.gram
+    GROUP BY tr.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared * 10000 // greatest(n_grams, 1) AS BIGINT)
+           AS overlap_bp,
+       (n_shared * 10000 // greatest(n_grams, 1)) > {_OVERLAP_DROP_BP}
+           AS drop_doc
+FROM per_doc
+"""
+
+
+@register(
+    "corpus_decontamination_overlap",
+    _DECON_OVERLAP_ORACLE,
+    doc="decontamination by overlap FRACTION (GPT-3-style threshold "
+    "rule): per-doc distinct-gram denominator + shared-gram count in "
+    "one shingle pass, integer basis points, keep/drop verdict "
+    "(LLM-pipeline ext, r6)",
+)
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_side = docs.where(F.col("doc_id") % 50 == 0)
+    eval_docs = eval_side.select(
+        F.col("doc_id").alias("eval_id"), tokens(F.col("text")).alias("toks")
+    )
+    eval_grams = (
+        D.with_shingles(eval_side, "doc_id", "text", _OVERLAP_NGRAM)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    leak = F.when(
+        (F.col("doc_id") % 9 == 0) & F.col("eval_id").isNotNull(),
+        F.concat(F.lit(" "), F.array_join(F.slice("toks", 1, 12), " ")),
+    ).otherwise(F.lit(""))
+    train_raw = (
+        docs.where(F.col("doc_id") % 50 != 0)
+        .join(
+            F.broadcast(eval_docs),
+            (F.col("doc_id") % 10) * 50 == F.col("eval_id"),
+            "left",
+        )
+        .select("doc_id", F.concat("text", leak).alias("text"))
+    )
+    train = D.with_shingles(
+        train_raw, "doc_id", "text", _OVERLAP_NGRAM
+    ).select("doc_id", F.explode("shingles").alias("gram"))
+    per_doc = (
+        train.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_grams"),
+            F.countDistinct(
+                F.when(F.col("__hit__").isNotNull(), F.col("gram"))
+            ).alias("n_shared"),
+        )
+    )
+    bp = F.expr("n_shared * 10000 div greatest(n_grams, 1)")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        bp.cast("bigint").alias("overlap_bp"),
+        (bp > _OVERLAP_DROP_BP).alias("drop_doc"),
+    )
+

@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_budget_fill",
     "streaming_jsonl_sink_roundtrip",
     "gap_fill_interpolate",
+    "corpus_decontamination_overlap",
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
@@ -113,7 +114,6 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "fact_fact_join",
     "date_parts_agg",
-    "json_props_agg",
     "hourly_event_agg",
     "sql_api_shipping_priority",
     "tpch_q6_forecast_revenue",
