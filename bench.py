@@ -169,6 +169,7 @@ R6_QUERIES = [
     "streaming_jsonl_sink_roundtrip",
     "gap_fill_interpolate",
     "corpus_decontamination_overlap",
+    "feature_equidepth_histogram",
 ]
 
 

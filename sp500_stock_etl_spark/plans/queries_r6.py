@@ -1629,3 +1629,70 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bp > _OVERLAP_DROP_BP).alias("drop_doc"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram (round-6 ext): the profiling twin of
+# feature_histogram_bins (equi-width) — k buckets holding equal ROW
+# counts, the layout quantile sketches approximate and range
+# partitioners need exactly. Built on the distributed global-rank
+# operator (§12.2): rank via range sort + broadcast offsets, bucket
+# via the exact ntile formula, then one groupBy for per-bucket
+# min/max/count — no single-task window anywhere. Oracle uses plain
+# SQL ntile over the same total order.
+# ---------------------------------------------------------------------------
+
+_EDH_BUCKETS = 16
+
+_EQUIDEPTH_ORACLE = f"""
+WITH keyed AS (
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+),
+bucketed AS (
+    SELECT l_extendedprice,
+           ntile({_EDH_BUCKETS}) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bucket
+    FROM keyed
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM bucketed GROUP BY bucket
+"""
+
+
+@register(
+    "feature_equidepth_histogram",
+    _EQUIDEPTH_ORACLE,
+    doc="equi-depth histogram (16 equal-count buckets) via the "
+    "distributed global-rank + exact ntile formula — the quantile "
+    "layout with no single-task window (SURVEY §2.10 profiling ext, "
+    "r6)",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window_metrics import ntile_from_rank, with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    ranked = with_global_rank(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("__total__"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(
+            "bucket",
+            ntile_from_rank(
+                F.col("global_rank"), F.col("__total__"), _EDH_BUCKETS
+            ).cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )

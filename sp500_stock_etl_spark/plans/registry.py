@@ -107,13 +107,13 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_jsonl_sink_roundtrip",
     "gap_fill_interpolate",
     "corpus_decontamination_overlap",
+    "feature_equidepth_histogram",
     # --- Stalest greens (last driver row r2) ---
     "filtered_scan_projection",
     "global_sort_topk",
     "union_all_distinct",
     "rollup_agg",
     "fact_fact_join",
-    "date_parts_agg",
     "hourly_event_agg",
     "sql_api_shipping_priority",
     "tpch_q6_forecast_revenue",
