@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,9 +27,13 @@ def main() -> None:
 
     names = list(all_queries().keys())
     latest: dict[str, int] = {}
+    latest_ok: dict[str, int] = {}  # latest round with green-or-rows-only row
     status: dict[str, str] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(path.split("r0")[-1].split(".")[0])
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:  # advice r6: 'r0'-split broke at round 10
+            continue
+        rnd = int(m.group(1))
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -39,6 +44,8 @@ def main() -> None:
                 s = "rows_only"
             else:
                 s = "error"
+            if s in ("green", "rows_only"):
+                latest_ok[name] = max(latest_ok.get(name, 0), rnd)
             # Keep the best-ever status per name (green > rows_only >
             # error); a later regression still shows in the per-round
             # files the judge reads.
@@ -50,6 +57,11 @@ def main() -> None:
     rows_only = sorted(n for n in names if status.get(n) == "rows_only")
     errors = sorted(n for n in names if status.get(n) == "error")
     checked_not_registered = sorted(set(latest) - set(names))
+    # Staleness: registered queries ordered by argmin(latest OK round) —
+    # the r6 verdict's rotation policy is generated from this list.
+    stalest = sorted(
+        (n for n in names if n in latest_ok), key=lambda n: (latest_ok[n], n)
+    )
     print(
         json.dumps(
             {
@@ -60,6 +72,7 @@ def main() -> None:
                 "rows_only_by_design": rows_only,
                 "ever_error_never_green": errors,
                 "checked_but_no_longer_registered": checked_not_registered,
+                "stalest_ok": [[n, latest_ok[n]] for n in stalest],
             },
             indent=1,
         )

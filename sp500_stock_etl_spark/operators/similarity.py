@@ -565,6 +565,10 @@ def pq_codebooks_encode(
 
     from .clustering import sq_dist
 
+    if m <= 0 or dims % m != 0:
+        # Silent truncation of the trailing dims % m dimensions would
+        # corrupt both training and encoding (r6 advice item 4).
+        raise ValueError(f"pq_codebooks_encode: dims={dims} not divisible by m={m}")
     sub = dims // m
     to_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
 
@@ -596,6 +600,14 @@ def pq_codebooks_encode(
     codebooks: list[list[list[float]]] = [[None] * k for _ in range(m)]
     for r in init_rows:
         codebooks[r["s"]][r["rn"] - 1] = list(r["sv"])
+    short = [s for s in range(m) if any(c is None for c in codebooks[s])]
+    if short:
+        # Fewer than k vectors in a subspace → None centroids → opaque
+        # sq_dist failure later; raise clearly up front (advice item 4).
+        raise ValueError(
+            f"pq_codebooks_encode: fewer than k={k} vectors available "
+            f"to seed subspace codebook(s) {short}"
+        )
 
     def assign_expr(cbs):
         """cluster id for a (s, sv) row: per-subspace argmin chained

@@ -444,8 +444,12 @@ def bpe_encode(
     DISTINCT words (orders of magnitude fewer than token occurrences
     — 270k tokens vs ~100 distinct words in the testdata, and Zipf
     widens that gap at 100 TB) and the token stream joins the tiny
-    encoded vocab back (broadcast; falls back to a shuffle join if a
-    real vocabulary outgrows the broadcast threshold). A first cut
+    encoded vocab back. The join carries NO broadcast hint: AQE
+    broadcasts it at runtime while the vocabulary fits under
+    autoBroadcastJoinThreshold and falls back to a shuffle join when
+    a real vocabulary outgrows it (a hard ``F.broadcast`` hint would
+    ignore the threshold and OOM the driver — r6 advice item 2). A
+    first cut
     folded every token occurrence — ~6x slower at sf0.1 and pure
     waste, the same word re-encoded thousands of times. The merge
     table is a PYTHON-side list (k rows, collected during training
@@ -501,7 +505,7 @@ def bpe_encode(
     )
     exploded = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
     agg = (
-        exploded.join(F.broadcast(vocab), "w")
+        exploded.join(vocab, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

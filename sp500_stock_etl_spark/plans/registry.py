@@ -51,79 +51,76 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Explicit driver-facing ordering. The verify driver hash-checks the first
 # 50 registry entries against their DuckDB oracles. The window ROTATES
-# each round (round-2 verdict item 1). Round-6 policy (round-5 verdict
-# items 1-2): (a) the one never-green repair and the five queries that
-# landed after the final r5 rotation head the window; (b) a small core
-# regression set covering every family stays pinned; (c) queries BORN
-# this round are inserted here the moment they are registered —
-# displacing a stale fill from the tail — so "added after rotation"
-# debt cannot recur; (d) remaining slots go to the stalest r2-only
-# greens. Rotation never un-verifies anything locally: every registry
+# each round (round-2 verdict item 1). Round-7 policy (round-6 verdict
+# item 1): (a) queries BORN this round — and queries whose oracle was
+# UPGRADED this round (the BPE/PQ encode halves) — are inserted at the
+# head the moment they land, so after-rotation debt cannot recur;
+# (b) every remaining slot is the stalest-green fill, GENERATED from
+# the CORRECTNESS union by `scripts/coverage_report.py` (stalest_ok,
+# oracle-bearing entries only) — argmin(latest green round), ties by
+# name. Rotation never un-verifies anything locally: every registry
 # oracle is re-checked on every pytest run by
 # tests/test_oracle_parity.py (full-registry parametrize), and output
 # schemas are swept by tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- r5 driver ERROR, repaired this round: q_embedding is now
-    # --- final-projected through array_join so the canonicalizer
-    # --- never sees a top-level array (the r4/r5 crash class, closed
-    # --- registry-wide by tests/test_schema_audit.py) ---
-    "embedding_quantize_int8",
-    # --- Never driver-checked (landed after the final r5 rotation) ---
-    "zorder_layout_stats",
-    "corpus_bpe_merges",
-    "asof_join_tolerance",
-    "asof_join_forward",
-    "dedup_connected_components_star",
-    # --- Core regression set (one per family; the append-mode OHLC
-    # --- twin replaces the complete-mode device per r5 verdict item 8;
-    # --- entity_resolution_customers re-checks under its r6
-    # --- high-cardinality blocking rework) ---
-    "flagship_window_metrics",  # reference flagship (windows W1-W3)
-    "similarity_lsh_topk",  # ANN family
-    "corpus_curation_pipeline",  # LLM-pipeline capstone
-    "streaming_ohlc_bars_append",  # streaming family (append-mode core)
-    "multimodal_decode_dims",  # multimodal real-header decode
-    "dedup_minhash_lsh",  # near-dup family
-    "qa_aggregate",  # reference QA aggregate
-    "entity_resolution_customers",  # r6 blocking rework re-check
-    # --- New round-6 queries (first driver rows; inserted at birth) ---
-    "asof_join_nearest",
-    "window_deduped_latest_snapshot",
-    "merge_upsert_customers",
-    "feature_histogram_bins",
-    "corpus_domain_mix_report",
-    "corpus_url_canonical_dedup",
-    "interval_overlap_agg",
-    "corpus_bigram_lm",
-    "zorder_pruning_demo",
-    "corpus_pagerank",
-    "corpus_bpe_encode",  # rows-only by design (iterative train half)
-    "corpus_lm_quality_score",
-    "embedding_pq_codebooks",  # rows-only by design (kmeans family)
-    "jsonl_sink_roundtrip_agg",
-    "corpus_curation_v2",
-    "dedup_keep_best_quality",
-    "corpus_budget_fill",
-    "streaming_jsonl_sink_roundtrip",
-    "gap_fill_interpolate",
-    "corpus_decontamination_overlap",
-    "feature_equidepth_histogram",
-    # --- Stalest greens (last driver row r2) ---
-    "filtered_scan_projection",
-    "global_sort_topk",
-    "union_all_distinct",
-    "rollup_agg",
-    "fact_fact_join",
-    "hourly_event_agg",
-    "sql_api_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "grouping_sets_agg",
-    "batch_sessionization",
-    "gap_fill_forward",
-    "token_frequency_topn",
-    "abc_pareto_classification",  # r6 distributed-cumsum rework re-check
-    "dedup_simhash",
-    "text_lang_id",
+    # --- Round-7 births / oracle upgrades (inserted at birth) ---
+    "corpus_bpe_encode",  # r7: encode half gains a composed-CTE oracle
+    "embedding_pq_encode_init",  # r7: deterministic iters=0 PQ twin, full SQL
+    "dedup_incremental_refresh",  # r7: signature-store incremental dedup
+    "tpcds_q67_rollup_topk",  # r7: TPC-DS-shaped rollup x window
+    "tpcds_q51_cumulative_max",  # r7: TPC-DS-shaped cumulative-max cross
+    "dedup_signature_store_roundtrip",  # r7: persisted band-signature store
+    "corpus_doc_embedding_hybrid_dedup",  # r7: lexical+embedding agreement
+    "events_topk_per_group_accum",  # r7: per-group top-k without global sort
+    # --- Stalest-green fill (generated 2026-08-14 from
+    # --- CORRECTNESS_r01..r06 by scripts/coverage_report.py; latest
+    # --- green round shown; oracle-bearing queries only — rows-only
+    # --- classes are invariant-tested locally instead) ---
+    "date_parts_agg",  # r2
+    "dedup_ngram_jaccard",  # r2
+    "doc_fingerprint",  # r2
+    "hierarchical_rollup_daily",  # r2
+    "json_props_agg",  # r2
+    "jsonl_source_agg",  # r2
+    "map_entries_agg",  # r2
+    "range_window_trailing_spend",  # r2
+    "similarity_bruteforce_topk",  # r2
+    "similarity_ivf_topk",  # r2
+    "asof_join_events",  # r3
+    "conditional_agg_suite",  # r3
+    "corpus_balanced_sample",  # r3
+    "corpus_decontamination",  # r3
+    "corpus_mix_sample",  # r3
+    "corpus_pii_redaction",  # r3
+    "corpus_token_budget",  # r3
+    "dedup_prefix_jaccard",  # r3
+    "dq_quarantine_rows",  # r3
+    "dq_violation_counts",  # r3
+    "exact_quantiles",  # r3
+    "grouped_agg_pricing_decimal",  # r3
+    "multimodal_audio_chunk_plan",  # r3
+    "multimodal_frame_sample",  # r3
+    "multimodal_video_decode",  # r3
+    "percent_of_total",  # r3
+    "quote_feed_source_agg",  # r3
+    "range_interval_join",  # r3
+    "ranking_function_suite",  # r3
+    "recursive_cte_calendar",  # r3
+    "skew_salted_join",  # r3
+    "star_chain_q5",  # r3
+    "streaming_corpus_curation",  # r3
+    "streaming_corpus_dedup",  # r3
+    "streaming_quote_feed_agg",  # r3
+    "string_functions_suite",  # r3
+    "tpch_q10_returned_items",  # r3
+    "tpch_q11_important_parts",  # r3
+    "tpch_q13_custdist",  # r3
+    "tpch_q19_disjunctive_join",  # r3
+    "tpch_q22_idle_segments",  # r3
+    "tpch_q4_priority_exists",  # r3
+    "variant_json_agg",  # r3
+    "weighted_avg_pricing",  # r3
+    "window_navigation_suite",  # r3
 )
 
 

@@ -197,6 +197,12 @@ class JsonlSinkStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         tmp_dir = os.path.join(self.path, "_tmp")
         manifest = self._load_manifest()
+        # A _SUCCESS written by the BATCH writer has no 'epochs' key;
+        # mixing a batch write and a streaming write on one directory
+        # must not crash the stream commit (r6 advice item 1).
+        manifest.setdefault("epochs", [])
+        manifest.setdefault("files", [])
+        manifest.setdefault("total_rows", 0)
         if batchId in manifest["epochs"]:
             # Replayed epoch: the previous attempt committed; drop the
             # replay's tmp files so retries never duplicate output.

@@ -126,3 +126,33 @@ def test_stream_writer_availablenow_and_replay(spark):
     assert man2["total_rows"] == man["total_rows"], "replayed epoch duplicated rows"
     assert not os.path.exists(os.path.join(tmp_dir, "replay.jsonl"))
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_stream_commit_onto_batch_manifest(spark):
+    """Mixing a BATCH write and a STREAMING commit on one directory:
+    the batch manifest has no 'epochs' key, and the stream commit must
+    tolerate that (setdefault) instead of raising KeyError (r6 advice
+    item 1)."""
+    from sp500_stock_etl_spark.sources.jsonl_sink import (
+        JsonlSinkStreamWriter,
+        _FileCommit,
+    )
+
+    ev = _events(spark)
+    d = tempfile.mkdtemp(prefix="sg_sink_mix_")
+    ev.limit(5).repartition(1).write.format("jsonl_sink").option(
+        "path", d
+    ).mode("overwrite").save()
+    man = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert "epochs" not in man, "precondition: batch manifest has no epochs"
+
+    w = JsonlSinkStreamWriter({"path": d}, ev.schema)
+    tmp_dir = os.path.join(d, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(os.path.join(tmp_dir, "s0.jsonl"), "w") as f:
+        f.write('{"event_id": 99}\n')
+    w.commit([_FileCommit(tmp_name="s0.jsonl", n_rows=1)], 0)
+    man2 = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert man2["epochs"] == [0]
+    assert man2["total_rows"] == man["total_rows"] + 1
+    assert any(f["name"].startswith("part-e00000-") for f in man2["files"])
