@@ -142,6 +142,162 @@ def main() -> None:
     triangle_probe(spark, sf_dir, n)
     pagerank_probe(spark, sf_dir, n)
     bpe_encode_probe(spark, sf_dir, n)
+    global_rank_probe(spark, sf_dir, n)
+    incremental_refresh_probe(spark, sf_dir, n)
+
+
+def global_rank_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-7 probe (r6 verdict item 4): the distributed global-rank /
+    global-cumsum operators at 1x vs Nx rows. Two claims under test:
+    (a) wall scales sub-linearly (the range sort is parallel), and
+    (b) NO single task sees the whole frame — max rows per task of the
+    ranked output stays ~total/numPartitions, where Window.orderBy
+    would put 100% of rows through one task."""
+    from sp500_stock_etl_spark.caching import release_caches
+    from sp500_stock_etl_spark.operators.window_metrics import (
+        with_global_cumsum,
+        with_global_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def src(k: int) -> DataFrame:
+        return replicate(ev, k, ["event_id"]) if k > 1 else ev
+
+    builds = {
+        "global_rank": lambda k: with_global_rank(
+            src(k), ["value", "event_id"]
+        ),
+        "global_cumsum": lambda k: with_global_cumsum(
+            src(k), ["value", "event_id"], "user_id"
+        ),
+    }
+    for name, build in builds.items():
+        t1 = timed(build(1))
+        release_caches()
+        dfn = build(n)
+        tn = timed(dfn)
+        per = (
+            dfn.withColumn("__p__", F.spark_partition_id())
+            .groupBy("__p__")
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.sum("count").alias("tot"),
+                F.count(F.lit(1)).alias("nparts"),
+            )
+            .collect()[0]
+        )
+        release_caches()
+        print(json.dumps({
+            "probe": name, "sf_dir": sf_dir, "n": n,
+            "sec_1x": t1, "sec_nx": tn,
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            "total_rows": per["tot"],
+            "max_rows_per_task": per["mx"],
+            "tasks": per["nparts"],
+            "max_task_fraction": round(per["mx"] / per["tot"], 4),
+        }), flush=True)
+
+
+def incremental_refresh_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-7 probe (r6 verdict item 3): incremental signature-store
+    refresh with the CORPUS at 1x vs Nx and a FIXED new batch. Corpus
+    replicas carry distinct text (a per-replica token prefix shifts
+    every shingle) so only replica-0 matches the new docs — store rows
+    grow Nx while the true candidate set stays constant. The store
+    build is untimed (one-off in production); the timed phase is the
+    refresh itself: new-batch signatures + bucket join against the
+    store + intra-batch join + candidate-pruned Jaccard verify. Claim:
+    refresh wall tracks the new batch and its collisions, NOT corpus
+    size — corpus signatures are never recomputed, and corpus text is
+    read only in the semi-join-pruned (doc_id, text) candidate fetch."""
+    from sp500_stock_etl_spark.caching import release_caches, track_persist
+    from sp500_stock_etl_spark.io.writers import write_bucketed_table
+    from sp500_stock_etl_spark.operators.dedup import (
+        jaccard_verify,
+        with_shingles,
+    )
+    from sp500_stock_etl_spark.plans.queries_northstar import (
+        _NEARDUP_OFFSET,
+        _docs_with_neardups,
+    )
+    from sp500_stock_etl_spark.plans.queries_r7 import (
+        _INC_BUCKETS,
+        _INC_JT,
+        _INC_NGRAM,
+        _inc_band_key_rows,
+    )
+
+    both = _docs_with_neardups(spark, sf_dir)
+    corpus1 = both.where(F.col("doc_id") < _NEARDUP_OFFSET)
+    new = both.where(F.col("doc_id") >= _NEARDUP_OFFSET)
+
+    def corpus(k: int) -> DataFrame:
+        copies = [corpus1]
+        for i in range(1, k):
+            copies.append(
+                corpus1.select(
+                    (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
+                    F.concat(F.lit(f"replica{i}marker "), F.col("text")).alias(
+                        "text"
+                    ),
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), copies)
+
+    results = {}
+    for k in (1, n):
+        write_bucketed_table(
+            _inc_band_key_rows(corpus(k)),
+            "probe_sigstore",
+            "band_key",
+            n_buckets=_INC_BUCKETS,
+        )
+        store = spark.table("probe_sigstore")
+        t0 = time.time()
+        new_sh = track_persist(with_shingles(new, "doc_id", "text", _INC_NGRAM))
+        new_bands = track_persist(_inc_band_key_rows(new))
+        cand_cn = (
+            store.alias("c")
+            .join(new_bands.alias("x"), "band_key")
+            .select(
+                F.col("c.doc_id").alias("doc_a"),
+                F.col("x.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand_nn = (
+            new_bands.alias("x")
+            .join(new_bands.alias("y"), "band_key")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand = cand_cn.unionByName(cand_nn)
+        cand_ids = cand_cn.select(F.col("doc_a").alias("doc_id")).distinct()
+        corpus_sh = with_shingles(
+            corpus(k).join(cand_ids, "doc_id", "left_semi"),
+            "doc_id", "text", _INC_NGRAM,
+        )
+        verified = jaccard_verify(cand, corpus_sh.unionByName(new_sh), _INC_JT)
+        n_pairs = verified.count()
+        results[k] = (round(time.time() - t0, 2), n_pairs)
+        release_caches()
+        spark.sql("DROP TABLE IF EXISTS probe_sigstore")
+    t1, p1 = results[1]
+    tn, pn = results[n]
+    print(json.dumps({
+        "probe": "incremental_refresh", "sf_dir": sf_dir, "n": n,
+        "sec_1x": t1, "sec_nx": tn,
+        "ratio": round(tn / t1, 2) if t1 > 0 else None,
+        "pairs_1x": p1, "pairs_nx": pn,
+    }), flush=True)
 
 
 def lsh_topk_runtime_probe(spark, sf_dir: str, n: int) -> None:

@@ -854,30 +854,112 @@ def pagerank_scores(docs: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # BPE encode (apply) — closes the tokenizer loop opened by
-# corpus_bpe_merges (train). Learn the top-8 merges, then encode the
-# whole corpus with them map-side. Iterative training + collected
-# merge table → rows-only driver check; encode exactness vs a
-# sequential reference encoder is pinned in tests/test_bpe_merges.py.
+# corpus_bpe_merges (train). Encodes the corpus with a PRETRAINED
+# 8-merge table (the tokenizer-shipping pattern: train once offline,
+# apply everywhere) — learned once from the sf0.001 documents corpus
+# by bpe_learn_merges and baked as a literal. With the merge table
+# fixed, the k fold replays are deterministic SQL (r6 verdict nit 1):
+# the oracle replays the SAME merges as k composed CTE stages, each a
+# DuckDB list_reduce implementing the identical greedy left-to-right
+# fold, so the query is fully hash-checkable. Train-then-encode
+# round-tripping stays exact vs the sequential reference in
+# tests/test_bpe_merges.py (which also pins this fixed table's
+# provenance).
 # ---------------------------------------------------------------------------
+
+# Learned from sf0.001 documents (k=8, 2026-08-14); merge 7 composes
+# merge 6's output ('p' + 'ar'), exercising multi-char symbols.
+BPE_PRETRAINED_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("o", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("s", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+)
+
+
+def _sql_bpe_fold(list_expr: str, left: str, right: str) -> str:
+    """One greedy merge replay as a DuckDB list_reduce over a symbol
+    list, returning the chr(31)-joined symbol string. Same semantics
+    as the Catalyst fold in operators/text_analysis.py::bpe_encode:
+    merge when the accumulated string's LAST SYMBOL equals `left`
+    (suffix check anchored on the separator) and the next symbol
+    equals `right`."""
+    le = left.replace("'", "''")
+    ri = right.replace("'", "''")
+    return (
+        f"list_reduce({list_expr}, (acc, s) -> "
+        f"CASE WHEN (acc = '{le}' OR ends_with(acc, chr(31) || '{le}')) "
+        f"AND s = '{ri}' THEN acc || '{ri}' "
+        f"ELSE acc || chr(31) || s END)"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    stages = []
+    prev = "syms"
+    for i, (le, ri) in enumerate(BPE_PRETRAINED_MERGES):
+        src = prev if i == 0 else f"string_split({prev}, chr(31))"
+        stages.append(
+            f"e{i} AS (SELECT w, {_sql_bpe_fold(src, le, ri)} AS enc{i} "
+            f"FROM e{i - 1 if i else 'base'})"
+        )
+        prev = f"enc{i}"
+    last = len(BPE_PRETRAINED_MERGES) - 1
+    stage_sql = ",\n".join(stages)
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(toks)),
+               i -> struct_pack(pos := i, w := toks[i]))) AS e
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+),
+t2 AS (SELECT doc_id, e.pos AS pos, e.w AS w FROM tok WHERE length(e.w) > 0),
+ebase AS (
+    SELECT w, list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+    FROM (SELECT DISTINCT w FROM t2)
+),
+{stage_sql},
+encw AS (
+    SELECT w, enc{last} AS enc,
+           len(string_split(enc{last}, chr(31))) AS n_syms
+    FROM e{last}
+),
+agg AS (
+    SELECT t2.doc_id,
+           count(*) AS n_tokens,
+           sum(n_syms) AS n_symbols,
+           md5(string_agg(enc, chr(31) ORDER BY pos)) AS sym_fp
+    FROM t2 JOIN encw USING (w)
+    GROUP BY t2.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(coalesce(a.n_symbols, 0) AS INT) AS n_symbols,
+       coalesce(a.sym_fp, md5('')) AS sym_fp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 @register(
     "corpus_bpe_encode",
-    None,  # train half is iterative/collected: rows-only + exact pytest
-    doc="BPE apply: learn top-8 merges then encode the corpus with "
-    "them (map-side fold replay, zero shuffles in the encode path); "
-    "train->encode round-trip exact vs sequential reference "
-    "(LLM-pipeline tokenizer ext, r6)",
+    _bpe_encode_oracle(),
+    doc="BPE apply with a pretrained 8-merge table (literal; learned "
+    "offline from sf0.001 docs — the train-once/apply-everywhere "
+    "tokenizer pattern): vocabulary-level fold replay, zero shuffles "
+    "in the encode path; oracle replays the same merges as 8 "
+    "composed list_reduce CTE stages (LLM-pipeline tokenizer ext, "
+    "r6; oracle upgraded r7)",
 )
 def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text_analysis as TA
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = [
-        (r["left"], r["right"])
-        for r in TA.bpe_learn_merges(docs, "text", k=8).collect()
-    ]
-    return TA.bpe_encode(docs, merges, "text")
+    return TA.bpe_encode(docs, list(BPE_PRETRAINED_MERGES), "text")
 
 
 # ---------------------------------------------------------------------------

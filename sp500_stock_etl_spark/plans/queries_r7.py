@@ -1,0 +1,585 @@
+"""Round-7 query extensions: the deterministic-init PQ encode twin
+(closing the oracle-expressible half of the PQ family, r6 verdict
+item 2), the incremental signature-store dedup workflow (item 3 — the
+batch twin of streaming_corpus_dedup and the capstone use of the
+bucketed layout), and two TPC-DS-shaped analytics (item 8: rollup x
+ranking, cumulative-max channel cross-check).
+
+Same contract as every other plans module: each query is registered
+with a DuckDB oracle built from the SAME parameters, all terminal
+columns aliased identically on both sides, arithmetic either integer
+or pinned-order double so hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..io.readers import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# embedding_pq_encode_init — product quantization with the
+# DETERMINISTIC iters=0 codebook (init = the k lowest vec_ids'
+# subvectors per subspace, pure SQL), so the ENCODE half of the PQ
+# family is fully hash-checkable (r6 verdict: "only trained-codebook
+# PQ stays rows-only"). Same code path as embedding_pq_codebooks
+# (operators/similarity.py::pq_codebooks_encode) with the Lloyd loop
+# skipped; the oracle recomputes every squared distance with the
+# IDENTICAL left-to-right float fold (0.0-seeded prefix sum), so
+# distances — and therefore argmin codes and the reconstruction
+# error — are bit-equal.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_DIMS = 64
+_PQ_SUB = _PQ_DIMS // _PQ_M
+
+_PQ_INIT_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+sub AS (
+    SELECT vec_id, s.s AS s,
+           list_slice(v, s.s * {_PQ_SUB} + 1, s.s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+    FROM e, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+),
+seed AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+    FROM e ORDER BY vec_id LIMIT {_PQ_K}
+),
+seedsub AS (
+    SELECT code, s.s AS s,
+           list_slice(v, s.s * {_PQ_SUB} + 1, s.s * {_PQ_SUB} + {_PQ_SUB}) AS c
+    FROM seed, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+),
+dists AS (
+    SELECT sub.vec_id, sub.s, seedsub.code,
+           list_reduce(
+               list_prepend(0.0, list_transform(
+                   generate_series(1, {_PQ_SUB}),
+                   i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
+               (a, b) -> a + b) AS d
+    FROM sub JOIN seedsub USING (s)
+),
+best AS (
+    SELECT vec_id, s, min(d) AS bd FROM dists GROUP BY 1, 2
+),
+codes AS (
+    SELECT d.vec_id, d.s, b.bd, min(d.code) AS code
+    FROM dists d
+    JOIN best b ON d.vec_id = b.vec_id AND d.s = b.s AND d.d = b.bd
+    GROUP BY 1, 2, 3
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN code END) AS INT) AS code_0,
+       CAST(max(CASE WHEN s = 1 THEN code END) AS INT) AS code_1,
+       CAST(max(CASE WHEN s = 2 THEN code END) AS INT) AS code_2,
+       CAST(max(CASE WHEN s = 3 THEN code END) AS INT) AS code_3,
+       ((max(CASE WHEN s = 0 THEN bd END)
+         + max(CASE WHEN s = 1 THEN bd END))
+         + max(CASE WHEN s = 2 THEN bd END))
+         + max(CASE WHEN s = 3 THEN bd END) AS recon_sq_err
+FROM codes
+GROUP BY vec_id
+"""
+
+
+@register(
+    "embedding_pq_encode_init",
+    _PQ_INIT_ORACLE,
+    doc="product-quantization ENCODE with the deterministic iters=0 "
+    "codebook (init = k lowest ids' subvectors — pure SQL), making "
+    "the encode half of the PQ family fully hash-checkable; the "
+    "trained-codebook twin embedding_pq_codebooks stays rows-only "
+    "(kmeans family) (r7, r6 verdict item 2)",
+)
+def q_embedding_pq_encode_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_codebooks_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codebooks_encode(
+        emb, m=_PQ_M, k=_PQ_K, iters=0, dims=_PQ_DIMS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus refresh against a PERSISTED signature store (r6
+# verdict item 3) — the 100 TB workflow the dedup family lacked: dedup
+# a NEW document batch against an existing corpus WITHOUT rescanning
+# the corpus. The store holds one (doc_id, band_key) row per LSH band
+# (band_key = band_sig * bands + band — a single join/bucket column),
+# written hash-bucketed on band_key (io/writers.write_bucketed_table):
+# the store side of the candidate join streams bucket-to-bucket with
+# no exchange while only the (small) new batch shuffles. Corpus TEXT
+# is touched exactly twice: once when the store is (re)built — in
+# production that write persists across refreshes and is NOT re-run —
+# and once per refresh for the Jaccard verify of CANDIDATE docs only
+# (a semi-join-pruned fetch, not a corpus scan). Survivor signatures
+# append as a DELTA table (own path, overwrite mode → replay-
+# idempotent; compact_parquet is the maintenance story for delta
+# buildup). This is the batch twin of streaming_corpus_dedup and the
+# capstone use of the §7.4 bucketed layout.
+#
+# Test-scale note: the driver query rebuilds the store each run so it
+# is self-contained and session-idempotent; the incremental claim is
+# the PLAN shape (store parquet joined, corpus text only in the
+# pruned verify fetch), pinned in tests/test_incremental_dedup.py,
+# and the 10x scale probe (corpus grows, refresh cost tracks the new
+# batch + collisions — BASELINE.md §9).
+# ---------------------------------------------------------------------------
+
+_INC_NUM_HASHES, _INC_BANDS, _INC_NGRAM, _INC_JT = 12, 4, 3, 0.6
+_INC_BUCKETS = 8
+
+
+def _inc_band_key_rows(df: DataFrame) -> DataFrame:
+    """(doc_id, band_key) for a (doc_id, text) frame — the store row
+    format. band_key = band_sig * bands + band packs the compound LSH
+    bucket id into ONE int64 (band_sig < 3·2^32, bands=4 → < 2^35)."""
+    from ..operators.dedup import (
+        _band_buckets,
+        minhash_signature,
+        with_shingles,
+    )
+
+    sh = with_shingles(df, "doc_id", "text", _INC_NGRAM)
+    bb = _band_buckets(
+        minhash_signature(sh, _INC_NUM_HASHES), _INC_NUM_HASHES, _INC_BANDS
+    )
+    return bb.select(
+        "doc_id",
+        (F.col("band_sig") * _INC_BANDS + F.col("band")).alias("band_key"),
+    )
+
+
+def _inc_corpus_and_new(spark: SparkSession, sf_dir: str):
+    """corpus = the documents table; new batch = the deterministic
+    corrupted variants from the shared near-dup fixture (doc_id%5==0,
+    first 80% of tokens, id offset +10M) — the 'new crawl' that
+    contains near-dups of existing docs plus potential intra-batch
+    dups."""
+    from .queries_northstar import _docs_with_neardups, _NEARDUP_OFFSET
+
+    both = _docs_with_neardups(spark, sf_dir)
+    corpus = both.where(F.col("doc_id") < _NEARDUP_OFFSET)
+    new = both.where(F.col("doc_id") >= _NEARDUP_OFFSET)
+    return corpus, new, _NEARDUP_OFFSET
+
+
+def _inc_refresh_frames(spark: SparkSession, sf_dir: str):
+    """Shared machinery for the two store queries: builds/loads the
+    bucketed base store, computes the new batch's bands, returns
+    (verified_pairs, new_bands, new_shingled, offset, delta_path).
+    """
+    import tempfile
+
+    from ..caching import track_persist
+    from ..io.writers import write_bucketed_table
+    from ..operators.dedup import jaccard_verify, with_shingles
+
+    corpus, new, offset = _inc_corpus_and_new(spark, sf_dir)
+
+    # --- Store (re)build: in production this persists across runs.
+    base_dir = tempfile.mkdtemp(prefix="sg_sigstore_")
+    write_bucketed_table(
+        _inc_band_key_rows(corpus),
+        "sg_sigstore_base",
+        "band_key",
+        n_buckets=_INC_BUCKETS,
+        path=base_dir + "/base",
+    )
+    store = spark.table("sg_sigstore_base")
+
+    # --- New batch: map-side shingle -> signature -> band rows.
+    new_sh = track_persist(with_shingles(new, "doc_id", "text", _INC_NGRAM))
+    new_bands = track_persist(_inc_band_key_rows(new))
+
+    # --- Candidates: store x new (bucket join — store side unshuffled)
+    # plus new x new (intra-batch dups).
+    cand_cn = (
+        store.alias("c")
+        .join(new_bands.alias("n"), "band_key")
+        .select(
+            F.col("c.doc_id").alias("doc_a"),
+            F.col("n.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    nb2 = new_bands.alias("x").join(new_bands.alias("y"), "band_key").where(
+        F.col("x.doc_id") < F.col("y.doc_id")
+    )
+    cand_nn = nb2.select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    ).distinct()
+    cand = cand_cn.unionByName(cand_nn)
+
+    # --- Verify: corpus shingles fetched ONLY for candidate docs
+    # (semi-join prune — the targeted fetch, not a corpus scan).
+    cand_corpus_ids = cand_cn.select(F.col("doc_a").alias("doc_id")).distinct()
+    corpus_sh = with_shingles(
+        corpus.join(cand_corpus_ids, "doc_id", "left_semi"),
+        "doc_id",
+        "text",
+        _INC_NGRAM,
+    )
+    verified = jaccard_verify(
+        cand, corpus_sh.unionByName(new_sh), _INC_JT
+    )
+    return verified, new_bands, offset, base_dir
+
+
+def _inc_refresh_oracle() -> str:
+    """Batch LSH dedup of (corpus ∪ new) restricted to pairs that
+    involve a new doc (doc_a < doc_b and new ids sit above the offset,
+    so doc_b >= offset covers corpus x new AND new x new) — the exact
+    ground truth the incremental path must reproduce."""
+    from .queries_northstar import _NEARDUP_OFFSET, _sql_minhash_oracle
+
+    return (
+        f"SELECT * FROM ({_sql_minhash_oracle()}) v "
+        f"WHERE doc_b >= {_NEARDUP_OFFSET}"
+    )
+
+
+def _inc_store_oracle() -> str:
+    """Post-append store contents from first principles: band rows of
+    (corpus ∪ surviving new docs), where survivors are new docs with
+    no verified smaller-id partner."""
+    from ..functions.text import sql_hash32, sql_tokens, sql_word_shingles
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+    from .queries_northstar import _NEARDUP_OFFSET, _sql_minhash_oracle
+
+    rows = _INC_NUM_HASHES // _INC_BANDS
+    mins = ",\n           ".join(
+        f"list_aggregate(list_transform(hh, h -> (h * {MINHASH_A[i]} + "
+        f"{MINHASH_B[i]}) % {MINHASH_P}), 'min') AS m{i}"
+        for i in range(_INC_NUM_HASHES)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        + " + ".join(f"m{b * rows + r}" for r in range(rows))
+        + " AS band_sig FROM s2"
+        for b in range(_INC_BANDS)
+    )
+    return f"""
+WITH verified AS (
+    SELECT doc_b FROM ({_sql_minhash_oracle()}) v
+    WHERE doc_b >= {_NEARDUP_OFFSET}
+),
+tokd2 AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+keep AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_NEARDUP_OFFSET} AS doc_id,
+           array_to_string(
+               list_slice(toks, 1,
+                   greatest(3, CAST(floor(len(toks) * CAST(0.8 AS DOUBLE)) AS INT))),
+               ' ') AS text
+    FROM tokd2
+    WHERE doc_id % 5 = 0
+      AND doc_id + {_NEARDUP_OFFSET} NOT IN (SELECT doc_b FROM verified)
+),
+sh2 AS (
+    SELECT doc_id, {sql_word_shingles('toks', _INC_NGRAM)} AS sh
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM keep) t
+),
+h2 AS (
+    SELECT doc_id, list_transform(sh, s -> {sql_hash32('s')}) AS hh
+    FROM sh2 WHERE len(sh) > 0
+),
+s2 AS (SELECT doc_id, {mins} FROM h2),
+b2 AS (
+{band_rows}
+)
+SELECT CAST(band AS INT) AS band,
+       count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(band_sig) AS BIGINT) AS sig_checksum
+FROM b2
+GROUP BY band
+"""
+
+
+@register(
+    "dedup_incremental_refresh",
+    _inc_refresh_oracle(),
+    doc="incremental near-dup refresh: new batch LSH-joined against "
+    "the persisted bucketed band-signature store (store side "
+    "unshuffled; corpus text only in the semi-join-pruned verify "
+    "fetch) + intra-batch self-join; oracle = full batch dedup of "
+    "(corpus ∪ new) restricted to new-doc pairs (r7, r6 verdict "
+    "item 3)",
+)
+def q_dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified, _, _, _ = _inc_refresh_frames(spark, sf_dir)
+    return verified
+
+
+@register(
+    "dedup_signature_store_roundtrip",
+    _inc_store_oracle(),
+    doc="signature-store write→append→read cycle: base store rebuilt, "
+    "surviving new docs' band rows appended as an overwrite-mode "
+    "delta table (replay-idempotent), then base ∪ delta read back "
+    "and aggregated per band; oracle recomputes the post-append "
+    "store from first principles (r7, r6 verdict item 3)",
+)
+def q_dedup_signature_store_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..io.writers import write_bucketed_table
+
+    verified, new_bands, offset, base_dir = _inc_refresh_frames(spark, sf_dir)
+
+    # Keep-min survivor policy: a new doc is dropped iff it has a
+    # verified partner with a smaller id (it is the doc_b of some
+    # pair; cluster-level resolution is connected_components' job).
+    dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = new_bands.join(dropped, "doc_id", "left_anti")
+
+    # Delta append: own table + path, overwrite mode — replaying the
+    # same batch overwrites the same delta (idempotent), never dupes.
+    write_bucketed_table(
+        survivors,
+        "sg_sigstore_delta",
+        "band_key",
+        n_buckets=_INC_BUCKETS,
+        path=base_dir + "/delta",
+    )
+    store_after = spark.table("sg_sigstore_base").unionByName(
+        spark.table("sg_sigstore_delta")
+    )
+    return store_after.select(
+        (F.col("band_key") % _INC_BANDS).cast("int").alias("band"),
+        F.expr(f"band_key div {_INC_BANDS}").alias("band_sig"),
+        "doc_id",
+    ).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("band_sig").cast("bigint").alias("sig_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS-shaped pair (r6 verdict item 8): the rollup x window and
+# cumulative-max compositions the TPC-H 22 don't exercise. Portable
+# SQL text is query and oracle, like the TPC-H batches.
+# ---------------------------------------------------------------------------
+
+# Q67 shape: grouped-rollup sales, then top-k by revenue WITHIN each
+# p_mfgr partition — note the rollup SUBTOTAL row (p_brand IS NULL)
+# deliberately competes inside its type partition, exactly as
+# TPC-DS Q67's category subtotals do. The window is PARTITIONED
+# (bounded fan-in per type at any scale); NULLS FIRST pins the one
+# cross-engine divergence (Spark defaults NULLS FIRST on ASC, DuckDB
+# NULLS LAST).
+_TPCDS_Q67_SQL = """
+WITH sales AS (
+    SELECT p.p_type, p.p_brand,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ROLLUP (p.p_type, p.p_brand)
+),
+ranked AS (
+    SELECT p_type, p_brand, revenue, n_items,
+           rank() OVER (
+               PARTITION BY p_type
+               ORDER BY revenue DESC, p_brand NULLS FIRST) AS rk
+    FROM sales
+)
+SELECT p_type, p_brand, revenue, n_items, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= 3
+"""
+
+
+@register(
+    "tpcds_q67_rollup_topk",
+    _TPCDS_Q67_SQL,
+    doc="TPC-DS Q67 shape: ROLLUP subtotals ranked inside each "
+    "part-type partition (rollup x window composition); portable "
+    "SQL text is query and oracle (r7, r6 verdict item 8)",
+)
+def q_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q67_SQL)
+
+
+# Q51 shape: per-channel daily counts cumulated per user, stitched
+# with a FULL OUTER join and null-filled via running MAX over the
+# merged date spine — the exact Q51 device for "channel A's cumulative
+# total overtakes channel B's". Integer counts end to end (no float
+# ordering risk); every window is PARTITIONED BY user_id.
+_TPCDS_Q51_SQL = """
+WITH web AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+store AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+wcum AS (
+    SELECT user_id, d,
+           sum(n) OVER (PARTITION BY user_id ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cume
+    FROM web
+),
+scum AS (
+    SELECT user_id, d,
+           sum(n) OVER (PARTITION BY user_id ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cume
+    FROM store
+),
+j AS (
+    SELECT coalesce(w.user_id, s.user_id) AS user_id,
+           coalesce(w.d, s.d) AS d,
+           w.cume AS wc, s.cume AS sc
+    FROM wcum w FULL OUTER JOIN scum s
+      ON w.user_id = s.user_id AND w.d = s.d
+),
+filled AS (
+    SELECT user_id, d,
+           max(wc) OVER (PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS web_cumulative,
+           max(sc) OVER (PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS store_cumulative
+    FROM j
+)
+SELECT user_id, d,
+       CAST(web_cumulative AS BIGINT) AS web_cumulative,
+       CAST(store_cumulative AS BIGINT) AS store_cumulative
+FROM filled
+WHERE web_cumulative > coalesce(store_cumulative, 0)
+"""
+
+
+@register(
+    "tpcds_q51_cumulative_max",
+    _TPCDS_Q51_SQL,
+    doc="TPC-DS Q51 shape: per-channel cumulative sums stitched with "
+    "a FULL OUTER date spine and null-filled by running MAX, keeping "
+    "days where the web channel's running total leads; portable SQL "
+    "text is query and oracle (r7, r6 verdict item 8)",
+)
+def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q51_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid lexical + embedding dedup — dual-evidence near-dup detection:
+# a pair is flagged only when the MinHash-LSH lexical pipeline AND the
+# SRP-LSH embedding pipeline BOTH verify it (the production agreement
+# filter that cuts either signal's false positives). Planted positives
+# couple the two fixtures: corrupted text variants (doc_id%5==0, 80%
+# tokens, +10M — the shared near-dup fixture) paired with perturbed
+# embedding variants (same ids, last 4 of 64 dims zeroed — the
+# SemDeDup planting pattern), so the same (orig, orig+10M) pairs fire
+# in both modalities. Scale shape: each side is its own banded bucket
+# join (no all-pairs anywhere); the agreement step is one equi-join on
+# the pair key.
+# ---------------------------------------------------------------------------
+
+_HYB_COS = 0.9
+_HYB_ZERO_FROM = 60  # dims >= this (0-based) zeroed in the variant
+
+
+def _hybrid_oracle() -> str:
+    from .queries_northstar import (
+        _NEARDUP_OFFSET,
+        _sql_any_band,
+        _sql_band_cols,
+        _sql_cosine,
+        _sql_minhash_oracle,
+    )
+
+    zeroed = (
+        f"list_transform(generate_series(1, len(embedding)), "
+        f"i -> CASE WHEN i <= {_HYB_ZERO_FROM} THEN embedding[i] "
+        f"ELSE CAST(0 AS FLOAT) END)"
+    )
+    return f"""
+WITH ebase AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_NEARDUP_OFFSET} AS vec_id, {zeroed} AS embedding
+    FROM embeddings WHERE vec_id % 5 = 0
+),
+esig AS (
+    SELECT vec_id, embedding, {_sql_band_cols('embedding')} FROM ebase
+),
+epairs AS (
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cosine_sc
+    FROM esig a JOIN esig b
+      ON ({_sql_any_band('a', 'b')}) AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {_HYB_COS}
+)
+SELECT l.doc_a, l.doc_b, l.jaccard, e.cosine_sc
+FROM ({_sql_minhash_oracle()}) l
+JOIN epairs e USING (doc_a, doc_b)
+"""
+
+
+@register(
+    "corpus_doc_embedding_hybrid_dedup",
+    _hybrid_oracle(),
+    doc="dual-evidence near-dup: MinHash-LSH lexical pairs inner-"
+    "joined with SRP-LSH embedding-cosine pairs on the pair key — "
+    "both sides banded bucket joins, agreement filter cuts either "
+    "signal's false positives (LLM-pipeline ext, r7)",
+)
+def q_hybrid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators import similarity as S
+    from .queries_northstar import (
+        _BANDS as _SRP_BANDS,
+        _NEARDUP_OFFSET,
+        _PLANES,
+        _docs_with_neardups,
+    )
+
+    docs = _docs_with_neardups(spark, sf_dir)
+    lex = D.minhash_lsh_dedup(
+        docs, "doc_id", "text",
+        ngram=_INC_NGRAM, num_hashes=_INC_NUM_HASHES,
+        bands=_INC_BANDS, threshold=_INC_JT,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    variants = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _NEARDUP_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < _HYB_ZERO_FROM, x).otherwise(
+                F.lit(0).cast("float")
+            ),
+        ).alias("embedding"),
+    )
+    ebase = emb.select("vec_id", "embedding").unionByName(variants)
+    epairs = S.cosine_neardup_pairs(
+        ebase, threshold=_HYB_COS, planes=_PLANES, bands=_SRP_BANDS
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("cosine").alias("cosine_sc"),
+    )
+    return lex.join(epairs, ["doc_a", "doc_b"])

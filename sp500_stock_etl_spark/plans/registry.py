@@ -71,7 +71,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_q51_cumulative_max",  # r7: TPC-DS-shaped cumulative-max cross
     "dedup_signature_store_roundtrip",  # r7: persisted band-signature store
     "corpus_doc_embedding_hybrid_dedup",  # r7: lexical+embedding agreement
-    "events_topk_per_group_accum",  # r7: per-group top-k without global sort
     # --- Stalest-green fill (generated 2026-08-14 from
     # --- CORRECTNESS_r01..r06 by scripts/coverage_report.py; latest
     # --- green round shown; oracle-bearing queries only — rows-only
@@ -119,8 +118,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q22_idle_segments",  # r3
     "tpch_q4_priority_exists",  # r3
     "variant_json_agg",  # r3
-    "weighted_avg_pricing",  # r3
-    "window_navigation_suite",  # r3
+    # (weighted_avg_pricing / window_navigation_suite, the two least-
+    # stale r3 fills, were displaced by r7 births — still re-verified
+    # every pytest run like all non-window queries.)
 )
 
 
@@ -136,6 +136,7 @@ def all_queries() -> dict[str, Query]:
     from . import queries_multimodal  # noqa: F401
     from . import queries_quality  # noqa: F401
     from . import queries_r6  # noqa: F401
+    from . import queries_r7  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in _PRIORITY:

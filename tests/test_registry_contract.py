@@ -39,12 +39,13 @@ def test_rows_only_queries_are_documented_exceptions():
         "token_heavy_hitters_sketch",
         # r5: iterative global-argmax + rewrite (BPE training) — exact
         # vs a sequential reference in tests/test_bpe_merges.py.
+        # (corpus_bpe_encode left this set in r7: with a pretrained
+        # literal merge table its fold replays are composed-CTE SQL.)
         "corpus_bpe_merges",
-        # r6: BPE apply (train half is iterative/collected) — encode
-        # exact vs a sequential reference in tests/test_bpe_merges.py.
-        "corpus_bpe_encode",
         # r6: product quantization (kmeans family: iterative Lloyd's
         # with collected codebooks) — invariants in
-        # tests/test_clustering.py::test_pq_codebooks_invariants.
+        # tests/test_clustering.py::test_pq_codebooks_invariants;
+        # the deterministic iters=0 encode twin
+        # (embedding_pq_encode_init, r7) is fully oracle-checked.
         "embedding_pq_codebooks",
     }, rows_only
