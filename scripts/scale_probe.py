@@ -236,14 +236,18 @@ def incremental_refresh_probe(spark, sf_dir: str, n: int) -> None:
     new = both.where(F.col("doc_id") >= _NEARDUP_OFFSET)
 
     def corpus(k: int) -> DataFrame:
+        # Every TOKEN gets a per-replica suffix, so every shingle of a
+        # replica differs from the original's — replicas are genuinely
+        # independent documents, not near-dups (a mere text prefix
+        # leaves ~all shingles shared and Jaccard above threshold).
         copies = [corpus1]
         for i in range(1, k):
             copies.append(
                 corpus1.select(
                     (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
-                    F.concat(F.lit(f"replica{i}marker "), F.col("text")).alias(
-                        "text"
-                    ),
+                    F.regexp_replace(
+                        "text", r"(\S+)", "$1zz" + str(i)
+                    ).alias("text"),
                 )
             )
         return reduce(lambda a, b: a.unionByName(b), copies)
