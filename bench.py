@@ -40,8 +40,12 @@ variants have something to be measured against:
 They are timed once and reported in the detail file under
 ``exhibits``; excluded from the headline number.
 
-This round's new queries report under ``queries_r6`` (sum in the
-compact line, per-query map in the detail file) until the r7 fold.
+Round-7 fold (round-6 verdict item 1): the 21 ``queries_r6``
+entries are folded into ONE fixed 91-plan recommended suite.
+Pre-registered anchor from BENCH_r06.json: 81.157 s (70 plans) +
+28.818 s (r6 section) = **109.975 s for the same 91-plan union** —
+BENCH_r07's ``value`` compares directly against that. This round's
+new queries report under ``queries_r7`` until the r8 fold.
 """
 
 from __future__ import annotations
@@ -64,9 +68,9 @@ EXHIBIT_QUERIES = {
     "dedup_ngram_jaccard",
 }
 
-# One per operator family (BASELINE.md bench set). Fixed 70-plan
-# recommended suite since round 6: the 47-plan r5 set plus the 23
-# round-5 additions, folded per round-5 verdict item 6.
+# One per operator family (BASELINE.md bench set). Fixed 91-plan
+# recommended suite since round 7: the 70-plan r6 set plus the 21
+# round-6 additions, folded per round-6 verdict item 1.
 BENCH_QUERIES = [
     "flagship_window_metrics",
     "filtered_scan_projection",
@@ -143,12 +147,7 @@ BENCH_QUERIES = [
     "corpus_bpe_merges",
     "asof_join_tolerance",
     "asof_join_forward",
-]
-
-# Round-6 additions, reported under a SEPARATE key so the headline
-# `value` stays comparable round-over-round; folded at r7. Names not
-# yet registered are skipped so the harness runs mid-build.
-R6_QUERIES = [
+    # --- round-6 additions (folded in round 7) ---
     "asof_join_nearest",
     "window_deduped_latest_snapshot",
     "merge_upsert_customers",
@@ -170,6 +169,18 @@ R6_QUERIES = [
     "gap_fill_interpolate",
     "corpus_decontamination_overlap",
     "feature_equidepth_histogram",
+]
+
+# Round-7 additions, reported under a SEPARATE key so the headline
+# `value` stays comparable round-over-round; folded at r8. Names not
+# yet registered are skipped so the harness runs mid-build.
+R7_QUERIES = [
+    "embedding_pq_encode_init",
+    "dedup_incremental_refresh",
+    "dedup_signature_store_roundtrip",
+    "tpcds_q67_rollup_topk",
+    "tpcds_q51_cumulative_max",
+    "corpus_doc_embedding_hybrid_dedup",
 ]
 
 
@@ -209,15 +220,15 @@ def main() -> None:
     for name in timings:
         timings[name] = min(timings[name], run_once(name))
 
-    r6_timings: dict[str, float] = {}
-    for name in R6_QUERIES:
+    r7_timings: dict[str, float] = {}
+    for name in R7_QUERIES:
         if name in registry:
-            r6_timings[name] = run_once(name)
-    for name in r6_timings:
-        r6_timings[name] = min(r6_timings[name], run_once(name))
+            r7_timings[name] = run_once(name)
+    for name in r7_timings:
+        r7_timings[name] = min(r7_timings[name], run_once(name))
 
     recommended = round(sum(timings.values()), 3)
-    value_r6 = round(sum(r6_timings.values()), 3)
+    value_r7 = round(sum(r7_timings.values()), 3)
     # full_value is single-scale: only exhibits timed at the bench sf
     # are added; scale-overridden exhibits report in the detail file.
     full = round(
@@ -232,14 +243,14 @@ def main() -> None:
 
     detail = {
         "queries": timings,
-        "queries_r6": r6_timings,
+        "queries_r7": r7_timings,
         "exhibits": exhibit_timings,
         "exhibit_sf": {
             n: exhibit_sf_override.get(n, sf_dir).rsplit("sf", 1)[-1]
             for n in exhibit_timings
         },
         "value": recommended,
-        "value_r6": value_r6,
+        "value_r7": value_r7,
         "full_value": full,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -255,16 +266,17 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "recommended-plan suite wall-clock (noop sink; "
-                "70-plan folded set since r6; r5 anchor 82.1s/66-plan "
-                "+ ~8s stragglers, BASELINE.md §7)",
+                "91-plan folded set since r7; r6 anchor 81.157s/70-plan "
+                "+ 28.818s r6 section = 109.975s like-for-like, "
+                "BENCH_r06.json)",
                 "value": recommended,
                 "unit": "sec",
                 "queries": {
                     "n_recommended": len(timings),
-                    "n_r6": len(r6_timings),
+                    "n_r7": len(r7_timings),
                     "n_exhibits": len(exhibit_timings),
                 },
-                "value_r6": value_r6,
+                "value_r7": value_r7,
                 "full_value": full,
                 "detail": "BENCH_DETAIL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
