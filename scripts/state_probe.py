@@ -391,15 +391,20 @@ def large_state_probe(n_keys: int = 10_000_000) -> None:
                 if ops:
                     op = ops[0]
                     cm = op.get("customMetrics") or {}
+                    # At this scale state lives in memtables + the
+                    # changelog (nothing compacts to SSTs), so the
+                    # honest footprint is memoryUsedBytes; the commit
+                    # cost is the changelog writer, and the restart
+                    # cost shows up as rocksdbLoadLatencyMs.
                     metrics = {
                         "state_rows": op.get("numRowsTotal"),
+                        "state_bytes": op.get("memoryUsedBytes"),
                         "updates_ms": op.get("allUpdatesTimeMs"),
                         "commit_ms": op.get("commitTimeMs"),
-                        "rocksdb_sst_bytes": cm.get("rocksdbSstFileSize"),
-                        "rocksdb_mem_bytes": cm.get("rocksdbTotalMemoryUsage"),
-                        "checkpoint_bytes": cm.get(
-                            "rocksdbTotalBytesWrittenByFlush"
+                        "changelog_commit_ms": cm.get(
+                            "rocksdbChangeLogWriterCommitLatencyMs"
                         ),
+                        "store_load_ms": cm.get("rocksdbLoadLatencyMs"),
                     }
                     break
             return {"tag": tag, "wall_sec": wall, **metrics}
@@ -418,15 +423,15 @@ def large_state_probe(n_keys: int = 10_000_000) -> None:
         tail.coalesce(1).write.mode("append").parquet(landing)
         second = run("restart_tail_batch")
 
-        sst = first.get("rocksdb_sst_bytes") or 0
+        byts = first.get("state_bytes") or 0
         rows = first.get("state_rows") or 1
         print(json.dumps({
             "probe": "rocksdb_large_state",
             "n_keys": n_keys,
             "initial_load": first,
             "restart": second,
-            "sst_bytes_per_key": round(sst / rows, 1) if rows else None,
-            "projection_1e8_keys_gb": round(sst / rows * 1e8 / 2**30, 2)
+            "bytes_per_key": round(byts / rows, 1) if rows else None,
+            "projection_1e8_keys_gb": round(byts / rows * 1e8 / 2**30, 2)
             if rows
             else None,
             "notes": "changelog checkpointing ON: the restart replays "
