@@ -181,6 +181,8 @@ R7_QUERIES = [
     "tpcds_q67_rollup_topk",
     "tpcds_q51_cumulative_max",
     "corpus_doc_embedding_hybrid_dedup",
+    "dedup_exact_substring",
+    "kmeans_assign_init",
 ]
 
 

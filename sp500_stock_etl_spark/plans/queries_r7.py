@@ -583,3 +583,162 @@ def q_hybrid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("cosine_sc"),
     )
     return lex.join(epairs, ["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span) dedup — the training-data op from "Deduplicating
+# Training Data Makes Language Models Better" (Lee et al. 2021): find
+# REPEATED TOKEN SPANS across the corpus, not whole-document near-dups.
+# The distributed standard replaces the paper's suffix array with
+# strided span fingerprints: every 16-token window at stride 8 hashes
+# to a key; a key occurring at more than one (doc, position) site
+# marks all its sites duplicated. Scale shape: one explode to
+# (doc_id, span_hash) rows (~tokens/8 per doc), one count shuffle on
+# the hash, one join back, one per-doc reduce — cost tracks the token
+# stream linearly, never corpus². Output: per-doc span counts and the
+# duplicated fraction in integer basis points.
+# ---------------------------------------------------------------------------
+
+_SPAN_W, _SPAN_STRIDE = 16, 8
+
+
+def _span_dedup_oracle() -> str:
+    from ..functions.text import sql_tokens
+
+    span = (
+        "md5(array_to_string(list_slice(toks, s.s, s.s + "
+        f"{_SPAN_W - 1}), ' '))"
+    )
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+),
+sites AS (
+    SELECT doc_id, {span} AS h
+    FROM tokd,
+         (SELECT unnest(generate_series(1, len(toks) - {_SPAN_W - 1},
+                                        {_SPAN_STRIDE})) AS s) s
+    WHERE len(toks) >= {_SPAN_W}
+),
+freq AS (SELECT h, count(*) AS n_sites FROM sites GROUP BY h),
+per_doc AS (
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN f.n_sites > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+    FROM sites s JOIN freq f USING (h)
+    GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.n_dup_spans, 0) * 10000
+            // greatest(coalesce(p.n_spans, 0), 1) AS BIGINT) AS dup_bp
+FROM tokd t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    _span_dedup_oracle(),
+    doc="exact-substring span dedup (Lee et al. 2021 shape): strided "
+    "16-token window fingerprints, corpus-wide site counts, per-doc "
+    "duplicated-span fraction in basis points — catches repeated "
+    "passages whole-doc near-dup misses; one explode + one count "
+    "shuffle + one join, linear in the token stream (r7)",
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    spans = F.when(
+        n >= _SPAN_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (_SPAN_W - 1), F.lit(_SPAN_STRIDE)),
+            lambda s: F.md5(
+                F.array_join(F.slice("toks", s, F.lit(_SPAN_W)), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sites = tokd.select("doc_id", F.explode(spans).alias("h"))
+    freq = sites.groupBy("h").agg(F.count(F.lit(1)).alias("n_sites"))
+    per_doc = (
+        sites.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_sites") > 1).cast("int")).alias("n_dup_spans"),
+        )
+    )
+    return tokd.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.expr(
+            "CAST(coalesce(n_dup_spans, 0) * 10000 "
+            "div greatest(coalesce(n_spans, 0), 1) AS BIGINT)"
+        ).alias("dup_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means ASSIGNMENT twin — the kmeans family's
+# hash-checkable half, mirroring embedding_pq_encode_init: centroids
+# fixed to the k lowest vec_ids' vectors (iteration zero of the same
+# deterministic-init policy clustering.kmeans_lloyd uses), assignment
+# via the identical least((dist, cid)) argmin. The TRAINED twin
+# (kmeans_embedding_clusters) stays rows-only; this pins the
+# assignment kernel — distance fold, argmin, tie rule — bit-for-bit
+# against SQL.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+
+
+def _kmeans_init_oracle() -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+seed AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+    FROM e ORDER BY vec_id LIMIT {_KM_K}
+),
+dists AS (
+    SELECT e.vec_id, seed.cid,
+           list_reduce(
+               list_prepend(0.0, list_transform(
+                   generate_series(1, len(e.v)),
+                   i -> (e.v[i] - c[i]) * (e.v[i] - c[i]))),
+               (a, b) -> a + b) AS d
+    FROM e CROSS JOIN seed
+),
+best AS (SELECT vec_id, min(d) AS bd FROM dists GROUP BY vec_id)
+SELECT d.vec_id,
+       CAST(min(d.cid) AS INT) AS cluster,
+       b.bd AS sq_dist
+FROM dists d JOIN best b ON d.vec_id = b.vec_id AND d.d = b.bd
+GROUP BY d.vec_id, b.bd
+"""
+
+
+@register(
+    "kmeans_assign_init",
+    _kmeans_init_oracle(),
+    doc="deterministic k-means assignment (centroids = k lowest ids' "
+    "vectors, the trainer's iteration-zero policy): pins the distance "
+    "fold, argmin and tie rule bit-for-bit against SQL; the trained "
+    "twin kmeans_embedding_clusters stays rows-only (r7)",
+)
+def q_kmeans_assign_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(_KM_K).collect()
+    ]
+    return assign_clusters(emb, seeds).select("vec_id", "cluster", "sq_dist")

@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_q51_cumulative_max",  # r7: TPC-DS-shaped cumulative-max cross
     "dedup_signature_store_roundtrip",  # r7: persisted band-signature store
     "corpus_doc_embedding_hybrid_dedup",  # r7: lexical+embedding agreement
+    "dedup_exact_substring",  # r7: Lee-et-al span dedup
+    "kmeans_assign_init",  # r7: deterministic assignment twin
     # --- Stalest-green fill (generated 2026-08-14 from
     # --- CORRECTNESS_r01..r06 by scripts/coverage_report.py; latest
     # --- green round shown; oracle-bearing queries only — rows-only
@@ -116,9 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q13_custdist",  # r3
     "tpch_q19_disjunctive_join",  # r3
     "tpch_q22_idle_segments",  # r3
-    "tpch_q4_priority_exists",  # r3
-    "variant_json_agg",  # r3
-    # (weighted_avg_pricing / window_navigation_suite, the two least-
+    # (tpch_q4_priority_exists / variant_json_agg /
+    # weighted_avg_pricing / window_navigation_suite, the four least-
     # stale r3 fills, were displaced by r7 births — still re-verified
     # every pytest run like all non-window queries.)
 )
