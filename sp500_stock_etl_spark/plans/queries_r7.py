@@ -588,96 +588,134 @@ def q_hybrid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact-substring (span) dedup — the training-data op from "Deduplicating
 # Training Data Makes Language Models Better" (Lee et al. 2021): find
-# REPEATED TOKEN SPANS across the corpus, not whole-document near-dups.
-# The distributed standard replaces the paper's suffix array with
-# strided span fingerprints: every 16-token window at stride 8 hashes
-# to a key; a key occurring at more than one (doc, position) site
-# marks all its sites duplicated. Scale shape: one explode to
-# (doc_id, span_hash) rows (~tokens/8 per doc), one count shuffle on
-# the hash, one join back, one per-doc reduce — cost tracks the token
-# stream linearly, never corpus². Output: per-doc span counts and the
-# duplicated fraction in integer basis points.
+# REPEATED TOKEN PASSAGES across the corpus, not whole-document
+# near-dups. The distributed replacement for the paper's suffix array
+# is WINNOWING (Schleimer et al. 2003, the MOSS fingerprinter): hash
+# every 16-token span at stride 1, then per window of 8 consecutive
+# span hashes keep the minimum — a CONTENT-DEFINED selection, so two
+# docs sharing a passage select the SAME fingerprints regardless of
+# where the passage sits in each doc. (A strided first cut was
+# offset-fragile — spans only matched when the copies aligned modulo
+# the stride; the planted-passage test caught it.) A passage of
+# >= W + WIN - 1 = 23 tokens is guaranteed to contribute at least one
+# shared fingerprint. Scale shape: hashing and winnowing are pure
+# map-side column work; then one explode to (doc_id, fingerprint)
+# sites, one count shuffle, one join back, one per-doc reduce —
+# linear in the token stream, never corpus². Output: per-doc
+# fingerprint counts and the cross-doc duplicated fraction in basis
+# points (intra-doc repetition is text_repetition_stats' job).
 # ---------------------------------------------------------------------------
 
-_SPAN_W, _SPAN_STRIDE = 16, 8
+_SPAN_W, _SPAN_WIN = 16, 8
 
 
 def _span_dedup_oracle() -> str:
     from ..functions.text import sql_tokens
 
-    span = (
-        "md5(array_to_string(list_slice(toks, s.s, s.s + "
-        f"{_SPAN_W - 1}), ' '))"
-    )
     return f"""
 WITH tokd AS (
     SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
 ),
-sites AS (
-    SELECT doc_id, {span} AS h
-    FROM tokd,
-         (SELECT unnest(generate_series(1, len(toks) - {_SPAN_W - 1},
-                                        {_SPAN_STRIDE})) AS s) s
-    WHERE len(toks) >= {_SPAN_W}
+hashed AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, len(toks) - {_SPAN_W - 1}),
+               i -> md5(array_to_string(
+                   list_slice(toks, i, i + {_SPAN_W - 1}), ' '))) AS hs
+    FROM tokd WHERE len(toks) >= {_SPAN_W}
 ),
-freq AS (SELECT h, count(*) AS n_sites FROM sites GROUP BY h),
+winnowed AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) >= {_SPAN_WIN} THEN
+               list_distinct(list_transform(
+                   generate_series(1, len(hs) - {_SPAN_WIN - 1}),
+                   w -> list_aggregate(
+                       list_slice(hs, w, w + {_SPAN_WIN - 1}), 'min')))
+           ELSE [list_aggregate(hs, 'min')] END AS fps
+    FROM hashed
+),
+sites AS (SELECT doc_id, unnest(fps) AS fp FROM winnowed),
+freq AS (SELECT fp, count(*) AS n_docs FROM sites GROUP BY fp),
 per_doc AS (
     SELECT s.doc_id,
-           count(*) AS n_spans,
-           sum(CASE WHEN f.n_sites > 1 THEN 1 ELSE 0 END) AS n_dup_spans
-    FROM sites s JOIN freq f USING (h)
+           count(*) AS n_fp,
+           sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_fp
+    FROM sites s JOIN freq f USING (fp)
     GROUP BY s.doc_id
 )
 SELECT t.doc_id,
-       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
-       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-       CAST(coalesce(p.n_dup_spans, 0) * 10000
-            // greatest(coalesce(p.n_spans, 0), 1) AS BIGINT) AS dup_bp
+       CAST(coalesce(p.n_fp, 0) AS BIGINT) AS n_fp,
+       CAST(coalesce(p.n_dup_fp, 0) AS BIGINT) AS n_dup_fp,
+       CAST(coalesce(p.n_dup_fp, 0) * 10000
+            // greatest(coalesce(p.n_fp, 0), 1) AS BIGINT) AS dup_bp
 FROM tokd t LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def winnowed_fingerprints(tokd: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowed span-fingerprint sites for a
+    (doc_id, toks) frame — every 16-token span hashed at stride 1,
+    window-of-8 minima kept, distinct per doc. The span-hash array is
+    materialized as a real column BEFORE the winnow pass so each
+    window min reads the computed attribute instead of re-deriving
+    md5 chains through projection substitution (the with_shingles
+    expression-blowup lesson)."""
+    n = F.size("toks")
+    hashed = tokd.where(n >= _SPAN_W).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n - (_SPAN_W - 1)),
+            lambda i: F.md5(
+                F.array_join(F.slice("toks", i, F.lit(_SPAN_W)), " ")
+            ),
+        ).alias("hs"),
+    )
+    m = F.size("hs")
+    fps = F.when(
+        m >= _SPAN_WIN,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - (_SPAN_WIN - 1)),
+                lambda w: F.array_min(F.slice("hs", w, F.lit(_SPAN_WIN))),
+            )
+        ),
+    ).otherwise(F.array(F.array_min("hs")))
+    return hashed.select("doc_id", F.explode(fps).alias("fp"))
 
 
 @register(
     "dedup_exact_substring",
     _span_dedup_oracle(),
-    doc="exact-substring span dedup (Lee et al. 2021 shape): strided "
-    "16-token window fingerprints, corpus-wide site counts, per-doc "
-    "duplicated-span fraction in basis points — catches repeated "
-    "passages whole-doc near-dup misses; one explode + one count "
-    "shuffle + one join, linear in the token stream (r7)",
+    doc="exact-substring passage dedup (Lee et al. 2021 semantics via "
+    "winnowing, Schleimer et al. 2003): stride-1 16-token span hashes, "
+    "window-of-8 minima as content-defined fingerprints (offset-"
+    "robust — a shared passage >= 23 tokens always fires), cross-doc "
+    "site counts, per-doc duplicated fraction in basis points; "
+    "map-side winnow + one count shuffle + one join, linear in the "
+    "token stream (r7)",
 )
 def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tokd = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    n = F.size("toks")
-    spans = F.when(
-        n >= _SPAN_W,
-        F.transform(
-            F.sequence(F.lit(1), n - (_SPAN_W - 1), F.lit(_SPAN_STRIDE)),
-            lambda s: F.md5(
-                F.array_join(F.slice("toks", s, F.lit(_SPAN_W)), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sites = tokd.select("doc_id", F.explode(spans).alias("h"))
-    freq = sites.groupBy("h").agg(F.count(F.lit(1)).alias("n_sites"))
+    sites = winnowed_fingerprints(tokd)
+    freq = sites.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
-        sites.join(freq, "h")
+        sites.join(freq, "fp")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("n_sites") > 1).cast("int")).alias("n_dup_spans"),
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum((F.col("n_docs") > 1).cast("int")).alias("n_dup_fp"),
         )
     )
     return tokd.join(per_doc, "doc_id", "left").select(
         "doc_id",
-        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
-        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce("n_fp", F.lit(0)).cast("bigint").alias("n_fp"),
+        F.coalesce("n_dup_fp", F.lit(0)).cast("bigint").alias("n_dup_fp"),
         F.expr(
-            "CAST(coalesce(n_dup_spans, 0) * 10000 "
-            "div greatest(coalesce(n_spans, 0), 1) AS BIGINT)"
+            "CAST(coalesce(n_dup_fp, 0) * 10000 "
+            "div greatest(coalesce(n_fp, 0), 1) AS BIGINT)"
         ).alias("dup_bp"),
     )
 
