@@ -96,6 +96,15 @@ AUDITED = [
     "jsonl_sink_roundtrip_agg",
     "corpus_curation_v2",
     "dedup_keep_best_quality",
+    # round 7
+    "embedding_pq_encode_init",
+    "dedup_incremental_refresh",
+    "tpcds_q67_rollup_topk",
+    "tpcds_q51_cumulative_max",
+    "corpus_doc_embedding_hybrid_dedup",
+    "dedup_exact_substring",
+    "kmeans_assign_init",
+    "corpus_bpe_encode",
 ]
 
 
