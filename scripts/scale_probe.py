@@ -144,6 +144,7 @@ def main() -> None:
     bpe_encode_probe(spark, sf_dir, n)
     global_rank_probe(spark, sf_dir, n)
     incremental_refresh_probe(spark, sf_dir, n)
+    span_dedup_probe(spark, sf_dir, n)
 
 
 def global_rank_probe(spark, sf_dir: str, n: int) -> None:
@@ -200,6 +201,57 @@ def global_rank_probe(spark, sf_dir: str, n: int) -> None:
             "tasks": per["nparts"],
             "max_task_fraction": round(per["mx"] / per["tot"], 4),
         }), flush=True)
+
+
+def span_dedup_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-7 probe: winnowed exact-substring dedup at 1x vs Nx docs
+    (rotated-token replicas -> independent text, constant dup rate).
+    The pipeline is map-side hashing/winnowing + one count shuffle on
+    fingerprints + one join, so wall must track the token stream
+    linearly — never corpus^2."""
+    from sp500_stock_etl_spark.caching import release_caches
+    from sp500_stock_etl_spark.functions.text import tokens
+    from sp500_stock_etl_spark.plans.queries_r7 import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def corpus(k: int) -> DataFrame:
+        copies = [docs]
+        for i in range(1, k):
+            copies.append(
+                docs.select(
+                    (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", "$1q" + str(i)).alias(
+                        "text"
+                    ),
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), copies)
+
+    def build(k: int) -> DataFrame:
+        tokd = corpus(k).select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        )
+        sites = winnowed_fingerprints(tokd)
+        freq = sites.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+        return (
+            sites.join(freq, "fp")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_fp"),
+                F.sum((F.col("n_docs") > 1).cast("int")).alias("n_dup"),
+            )
+        )
+
+    t1 = timed(build(1))
+    release_caches()
+    tn = timed(build(n))
+    release_caches()
+    print(json.dumps({
+        "probe": "span_dedup_winnowing", "sf_dir": sf_dir, "n": n,
+        "sec_1x": t1, "sec_nx": tn,
+        "ratio": round(tn / t1, 2) if t1 > 0 else None,
+    }), flush=True)
 
 
 def incremental_refresh_probe(spark, sf_dir: str, n: int) -> None:
