@@ -14,7 +14,6 @@ or pinned-order double so hashes match bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from ..io.readers import load_table
 from .registry import register
@@ -174,7 +173,7 @@ def _inc_corpus_and_new(spark: SparkSession, sf_dir: str):
 def _inc_refresh_frames(spark: SparkSession, sf_dir: str):
     """Shared machinery for the two store queries: builds/loads the
     bucketed base store, computes the new batch's bands, returns
-    (verified_pairs, new_bands, new_shingled, offset, delta_path).
+    (verified_pairs, new_bands, neardup_offset, store_base_dir).
     """
     import tempfile
 
