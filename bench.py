@@ -183,6 +183,8 @@ R7_QUERIES = [
     "corpus_doc_embedding_hybrid_dedup",
     "dedup_exact_substring",
     "kmeans_assign_init",
+    "tpcds_q97_channel_overlap",
+    "streaming_stream_stream_full_join",
 ]
 
 

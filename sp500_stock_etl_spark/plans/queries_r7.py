@@ -779,3 +779,47 @@ def q_kmeans_assign_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.orderBy("vec_id").limit(_KM_K).collect()
     ]
     return assign_clusters(emb, seeds).select("vec_id", "cluster", "sq_dist")
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS Q97 shape — channel-overlap census: distinct (user, day)
+# activity per channel stitched with one FULL OUTER join, counted into
+# both/left-only/right-only buckets. Exercises the set-reconciliation
+# composition (distinct projections → full outer → conditional counts)
+# none of the other TPC shapes touch. Portable SQL, query == oracle;
+# the join key carries the day so the shuffle is (user, day)-wide,
+# never user-wide.
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q97_SQL = """
+WITH web AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+    FROM events WHERE event_type = 'view'
+),
+store AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(sum(CASE WHEN w.user_id IS NOT NULL AND s.user_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+       CAST(sum(CASE WHEN w.user_id IS NOT NULL AND s.user_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS web_only,
+       CAST(sum(CASE WHEN w.user_id IS NULL AND s.user_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS store_only
+FROM web w FULL OUTER JOIN store s
+  ON w.user_id = s.user_id AND w.d = s.d
+"""
+
+
+@register(
+    "tpcds_q97_channel_overlap",
+    _TPCDS_Q97_SQL,
+    doc="TPC-DS Q97 shape: per-channel distinct (user, day) activity "
+    "reconciled with one FULL OUTER join into both/web-only/"
+    "store-only counts; portable SQL text is query and oracle (r7)",
+)
+def q_tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q97_SQL)

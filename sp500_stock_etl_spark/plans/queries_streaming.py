@@ -913,3 +913,92 @@ def q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER interval join (round-7 ext) — completes the
+# stream-stream family (inner r2, left-outer r5): BOTH sides null-pad,
+# i.e. unmatched purchases AND unmatched clicks each emit once the
+# watermark proves no partner can still arrive. A click's potential
+# purchases all sit in (c_ts - 1h, c_ts), so its outer row emits once
+# the watermark passes c_ts; a purchase's once it passes p_ts + 1h.
+# Determinism device (same as the left join, applied to BOTH sides):
+# the output keeps only rows whose PRESENT timestamps are <= max(ts)
+# - 4h — an hour inside the provable-emission frontier — and the
+# oracle applies the identical post-join filter, so no row near the
+# eviction edge can flap either way. Note the filter runs AFTER the
+# join on both engines: pre-filtering the inputs would turn
+# cross-cutoff matches into spurious outer rows.
+# ---------------------------------------------------------------------------
+
+_STREAM_STREAM_FULL_ORACLE = """
+WITH j AS (
+    SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+           c.event_id AS click_id, c.ts AS c_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts
+     AND c.ts <= p.ts + INTERVAL 1 HOUR
+),
+cut AS (SELECT max(ts) - INTERVAL 4 HOUR AS cutoff FROM events)
+SELECT purchase_id, click_id
+FROM j, cut
+WHERE (p_ts IS NULL OR p_ts <= cutoff)
+  AND (c_ts IS NULL OR c_ts <= cutoff)
+"""
+
+
+@register(
+    "streaming_stream_stream_full_join",
+    _STREAM_STREAM_FULL_ORACLE,
+    doc="watermarked stream-stream FULL OUTER interval join — both "
+    "sides null-pad once the watermark proves no partner can arrive; "
+    "present-timestamp cutoff 1h inside the emission frontier keeps "
+    "availableNow equal to the batch full join (SURVEY §2.11 ext, r7)",
+)
+def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events_dir(sf_dir)
+    purchases = (
+        SE.read_event_stream(spark, staged)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        SE.read_event_stream(spark, staged)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select("purchase_id", "click_id", "p_ts", "c_ts")
+    out = _run_to_table(spark, joined, "append")
+    from ..io.readers import load_table
+
+    cutoff = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 4 HOUR")).alias("cutoff")
+    )
+    return (
+        out.join(F.broadcast(cutoff))
+        .where(
+            (F.col("p_ts").isNull() | (F.col("p_ts") <= F.col("cutoff")))
+            & (F.col("c_ts").isNull() | (F.col("c_ts") <= F.col("cutoff")))
+        )
+        .select("purchase_id", "click_id")
+    )

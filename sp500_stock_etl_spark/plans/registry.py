@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_doc_embedding_hybrid_dedup",  # r7: lexical+embedding agreement
     "dedup_exact_substring",  # r7: Lee-et-al span dedup
     "kmeans_assign_init",  # r7: deterministic assignment twin
+    "tpcds_q97_channel_overlap",  # r7: full-outer channel census
+    "streaming_stream_stream_full_join",  # r7: completes the family
     # --- Stalest-green fill (generated 2026-08-14 from
     # --- CORRECTNESS_r01..r06 by scripts/coverage_report.py; latest
     # --- green round shown; oracle-bearing queries only — rows-only
@@ -116,10 +118,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q10_returned_items",  # r3
     "tpch_q11_important_parts",  # r3
     "tpch_q13_custdist",  # r3
-    "tpch_q19_disjunctive_join",  # r3
-    "tpch_q22_idle_segments",  # r3
-    # (tpch_q4_priority_exists / variant_json_agg /
-    # weighted_avg_pricing / window_navigation_suite, the four least-
+    # (tpch_q19_disjunctive_join / tpch_q22_idle_segments /
+    # tpch_q4_priority_exists / variant_json_agg /
+    # weighted_avg_pricing / window_navigation_suite, the six least-
     # stale r3 fills, were displaced by r7 births — still re-verified
     # every pytest run like all non-window queries.)
 )
