@@ -775,12 +775,30 @@ def q_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inside the final watermark horizon therefore never leave the state
 # store under availableNow. To keep the result deterministic and
 # independent of that boundary, both the stream output and the oracle
-# restrict to purchases with ts <= max(ts) - 4h — one hour INSIDE the
-# provable-emission frontier (max_ts - 2h watermark - 1h band), so no
-# row near the eviction edge can flap either way. State budget is the
-# same as the inner join: both sides buffer only inside the watermark
-# horizon.
+# restrict to purchases with ts <= least(max purchase ts, max click
+# ts) - 4h — one hour INSIDE the provable-emission frontier. The
+# frontier must use the PER-STREAM minimum, not the global max(ts):
+# Spark's global watermark is min over the watermark nodes, each
+# computed from ITS OWN stream's max event time, so when the last
+# click lags the last purchase the frontier lags with it (a latent
+# r5 bug caught by the r7 sf0.001 cross-scale sweep — at denser sfs
+# the per-type maxima coincide within the margin and it never fired).
+# State budget is the same as the inner join: both sides buffer only
+# inside the watermark horizon.
 # ---------------------------------------------------------------------------
+
+def _stream_cutoff(events_df: DataFrame) -> DataFrame:
+    """1-row (cutoff) frame: least(max purchase ts, max click ts) - 4h
+    — one hour inside the provable-emission frontier of the 2h-
+    watermark / 1h-band stream-stream joins. The global watermark is
+    the MIN over the per-stream watermark nodes, so the frontier must
+    track the LAGGING stream's max, not the global max(ts)."""
+    pmax = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    cmax = F.max(F.when(F.col("event_type") == "click", F.col("ts")))
+    return events_df.agg(
+        (F.least(pmax, cmax) - F.expr("INTERVAL 4 HOUR")).alias("cutoff")
+    )
+
 
 _STREAM_STREAM_LEFT_ORACLE = """
 SELECT p.event_id AS purchase_id,
@@ -792,7 +810,10 @@ LEFT JOIN events c
  AND c.ts > p.ts
  AND c.ts <= p.ts + INTERVAL 1 HOUR
 WHERE p.event_type = 'purchase'
-  AND p.ts <= (SELECT max(ts) - INTERVAL 4 HOUR FROM events)
+  AND p.ts <= (SELECT least(
+                   max(CASE WHEN event_type = 'purchase' THEN ts END),
+                   max(CASE WHEN event_type = 'click' THEN ts END))
+               - INTERVAL 4 HOUR FROM events)
 """
 
 
@@ -835,13 +856,13 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("purchase_id", "click_id", "p_ts")
     out = _run_to_table(spark, joined, "append")
-    # Static cutoff = max event ts - 4h, computed in-plan (broadcast
-    # scalar), NOT collected on the driver.
+    # Static cutoff = least(per-stream max ts) - 4h, computed in-plan
+    # (broadcast scalar), NOT collected on the driver. least() of the
+    # per-type maxima mirrors the global-watermark rule (min over the
+    # per-stream watermark nodes).
     from ..io.readers import load_table
 
-    cutoff = load_table(spark, sf_dir, "events").agg(
-        (F.max("ts") - F.expr("INTERVAL 4 HOUR")).alias("cutoff")
-    )
+    cutoff = _stream_cutoff(load_table(spark, sf_dir, "events"))
     return (
         out.join(F.broadcast(cutoff))
         .where(F.col("p_ts") <= F.col("cutoff"))
@@ -923,8 +944,10 @@ def q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # purchases all sit in (c_ts - 1h, c_ts), so its outer row emits once
 # the watermark passes c_ts; a purchase's once it passes p_ts + 1h.
 # Determinism device (same as the left join, applied to BOTH sides):
-# the output keeps only rows whose PRESENT timestamps are <= max(ts)
-# - 4h — an hour inside the provable-emission frontier — and the
+# the output keeps only rows whose PRESENT timestamps are <=
+# least(max purchase ts, max click ts) - 4h — an hour inside the
+# provable-emission frontier (per-stream minimum, NOT the global
+# max(ts): the watermark is min over the per-stream nodes) — and the
 # oracle applies the identical post-join filter, so no row near the
 # eviction edge can flap either way. Note the filter runs AFTER the
 # join on both engines: pre-filtering the inputs would turn
@@ -943,7 +966,10 @@ WITH j AS (
      AND c.ts > p.ts
      AND c.ts <= p.ts + INTERVAL 1 HOUR
 ),
-cut AS (SELECT max(ts) - INTERVAL 4 HOUR AS cutoff FROM events)
+cut AS (SELECT least(
+            max(CASE WHEN event_type = 'purchase' THEN ts END),
+            max(CASE WHEN event_type = 'click' THEN ts END))
+        - INTERVAL 4 HOUR AS cutoff FROM events)
 SELECT purchase_id, click_id
 FROM j, cut
 WHERE (p_ts IS NULL OR p_ts <= cutoff)
@@ -991,9 +1017,7 @@ def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_table(spark, joined, "append")
     from ..io.readers import load_table
 
-    cutoff = load_table(spark, sf_dir, "events").agg(
-        (F.max("ts") - F.expr("INTERVAL 4 HOUR")).alias("cutoff")
-    )
+    cutoff = _stream_cutoff(load_table(spark, sf_dir, "events"))
     return (
         out.join(F.broadcast(cutoff))
         .where(
