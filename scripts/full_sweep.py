@@ -65,7 +65,11 @@ def main() -> None:
     t0 = time.time()
     fails = []
     for i, name in enumerate(names):
-        if name in HEAVY_ORACLE_SKIP and sf_dir.rstrip("/").endswith("0.1"):
+        try:
+            sf_val = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            sf_val = 0.0
+        if name in HEAVY_ORACLE_SKIP and sf_val >= 0.1:
             print(f"PROG {start + i + 1} {name} SKIP(heavy-oracle)", flush=True)
             continue
         try:

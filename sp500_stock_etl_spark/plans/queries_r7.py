@@ -136,17 +136,27 @@ _INC_NUM_HASHES, _INC_BANDS, _INC_NGRAM, _INC_JT = 12, 4, 3, 0.6
 _INC_BUCKETS = 8
 
 
-def _inc_band_key_rows(df: DataFrame) -> DataFrame:
+def _inc_band_key_rows(
+    df: DataFrame | None = None, shingled: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band_key) for a (doc_id, text) frame — the store row
     format. band_key = band_sig * bands + band packs the compound LSH
-    bucket id into ONE int64 (band_sig < 3·2^32, bands=4 → < 2^35)."""
+    bucket id into ONE int64 (band_sig < 3·2^32, bands=4 → < 2^35).
+    Pass ``shingled`` to reuse an already-computed (and typically
+    persisted) shingle frame instead of re-tokenizing ``df`` — the
+    refresh pipeline feeds the SAME shingles to the signature pass
+    and the Jaccard verify, exactly like minhash_lsh_dedup."""
     from ..operators.dedup import (
         _band_buckets,
         minhash_signature,
         with_shingles,
     )
 
-    sh = with_shingles(df, "doc_id", "text", _INC_NGRAM)
+    sh = (
+        shingled
+        if shingled is not None
+        else with_shingles(df, "doc_id", "text", _INC_NGRAM)
+    )
     bb = _band_buckets(
         minhash_signature(sh, _INC_NUM_HASHES), _INC_NUM_HASHES, _INC_BANDS
     )
@@ -170,21 +180,28 @@ def _inc_corpus_and_new(spark: SparkSession, sf_dir: str):
     return corpus, new, _NEARDUP_OFFSET
 
 
-def _inc_refresh_frames(spark: SparkSession, sf_dir: str):
-    """Shared machinery for the two store queries: builds/loads the
-    bucketed base store, computes the new batch's bands, returns
-    (verified_pairs, new_bands, neardup_offset, store_base_dir).
-    """
+# One store directory per PROCESS, reused (and overwritten) by every
+# invocation — repeated sweeps/bench runs must not accumulate corpus-
+# sized store copies in /tmp (each run's write_bucketed_table is an
+# overwrite, so the single copy stays current).
+_STORE_DIR: list[str] = []
+
+
+def _inc_store_dir() -> str:
     import tempfile
 
-    from ..caching import track_persist
+    if not _STORE_DIR:
+        _STORE_DIR.append(tempfile.mkdtemp(prefix="sg_sigstore_"))
+    return _STORE_DIR[0]
+
+
+def _inc_build_store(spark: SparkSession, corpus: DataFrame, base_dir: str):
+    """(Re)build the bucketed base store from the corpus. In
+    production this write persists across refreshes and is NOT
+    re-run; the registered queries rebuild it so each run is
+    self-contained and session-idempotent."""
     from ..io.writers import write_bucketed_table
-    from ..operators.dedup import jaccard_verify, with_shingles
 
-    corpus, new, offset = _inc_corpus_and_new(spark, sf_dir)
-
-    # --- Store (re)build: in production this persists across runs.
-    base_dir = tempfile.mkdtemp(prefix="sg_sigstore_")
     write_bucketed_table(
         _inc_band_key_rows(corpus),
         "sg_sigstore_base",
@@ -192,11 +209,24 @@ def _inc_refresh_frames(spark: SparkSession, sf_dir: str):
         n_buckets=_INC_BUCKETS,
         path=base_dir + "/base",
     )
-    store = spark.table("sg_sigstore_base")
+    return spark.table("sg_sigstore_base")
 
-    # --- New batch: map-side shingle -> signature -> band rows.
+
+def _inc_refresh(store: DataFrame, new: DataFrame, corpus: DataFrame):
+    """The REFRESH pipeline — the part a production run repeats per
+    batch (and the part the scale probe times): new-batch signatures,
+    bucket join against the store, intra-batch self-join, candidate-
+    pruned Jaccard verify. Returns (verified_pairs, new_bands).
+    Shared verbatim by both registered queries and
+    scripts/scale_probe.py::incremental_refresh_probe so the probe
+    can never desynchronize from the shipped plan."""
+    from ..caching import track_persist
+    from ..operators.dedup import jaccard_verify, with_shingles
+
+    # One shingle pass feeds BOTH the signature computation and the
+    # Jaccard verify (the minhash_lsh_dedup persistence pattern).
     new_sh = track_persist(with_shingles(new, "doc_id", "text", _INC_NGRAM))
-    new_bands = track_persist(_inc_band_key_rows(new))
+    new_bands = track_persist(_inc_band_key_rows(shingled=new_sh))
 
     # --- Candidates: store x new (bucket join — store side unshuffled)
     # plus new x new (intra-batch dups).
@@ -226,9 +256,19 @@ def _inc_refresh_frames(spark: SparkSession, sf_dir: str):
         "text",
         _INC_NGRAM,
     )
-    verified = jaccard_verify(
-        cand, corpus_sh.unionByName(new_sh), _INC_JT
-    )
+    verified = jaccard_verify(cand, corpus_sh.unionByName(new_sh), _INC_JT)
+    return verified, new_bands
+
+
+def _inc_refresh_frames(spark: SparkSession, sf_dir: str):
+    """Shared machinery for the two store queries: builds/loads the
+    bucketed base store, runs the refresh pipeline, returns
+    (verified_pairs, new_bands, neardup_offset, store_base_dir).
+    """
+    corpus, new, offset = _inc_corpus_and_new(spark, sf_dir)
+    base_dir = _inc_store_dir()
+    store = _inc_build_store(spark, corpus, base_dir)
+    verified, new_bands = _inc_refresh(store, new, corpus)
     return verified, new_bands, offset, base_dir
 
 
