@@ -80,3 +80,31 @@ def test_registered_query_runs_and_covers_all_docs(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == n_docs
     assert all(0 <= r["dup_bp"] <= 10000 for r in rows)
+
+
+def test_winnowed_fps_property_random_corpora(spark):
+    """Hypothesis-style randomized pinning (fixed seeds, deterministic):
+    winnowed fingerprints over random small-vocabulary corpora must
+    equal the Python reference for every doc — random token counts
+    straddle the W and WIN boundaries (including the degenerate
+    len(hs) < WIN single-fingerprint rule)."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(9)]  # small vocab -> natural repeats
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+        for d in range(40)
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    from sp500_stock_etl_spark.functions.text import tokens
+
+    tokd = df.select("doc_id", tokens(F.col("text")).alias("toks"))
+    got: dict[int, set[str]] = {}
+    for r in winnowed_fingerprints(tokd).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in texts.items():
+        want = _ref_fps(text)
+        assert got.get(doc_id, set()) == want, (doc_id, text)
