@@ -185,6 +185,7 @@ R7_QUERIES = [
     "kmeans_assign_init",
     "tpcds_q97_channel_overlap",
     "streaming_stream_stream_full_join",
+    "incremental_agg_maintenance",
 ]
 
 

@@ -863,3 +863,80 @@ def q_tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCDS_Q97_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the ROLLUP twin of the
+# signature-store refresh (and the materialized-view maintenance
+# pattern every warehouse eventually needs): a stored daily rollup is
+# advanced by ONE new day's partial aggregates without rescanning
+# history. The stored rollup carries mergeable partials (count + sum
+# as exact decimal), so the update is: aggregate ONLY the delta
+# partition map-side → unionByName with the stored rollup → one
+# re-aggregate over (day, event_type) — the same partial/final split
+# Catalyst uses inside a single agg, made durable across runs. Oracle:
+# the full recompute over all events, so any drift between
+# "incremental" and "recompute" fails the hash. Test-scale device:
+# the split is the LAST day of events as the delta (documented);
+# in production the stored side is a partitioned table and the
+# overwrite-by-partition writer (io/writers.py) makes the update
+# idempotent.
+# ---------------------------------------------------------------------------
+
+_INC_AGG_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+@register(
+    "incremental_agg_maintenance",
+    _INC_AGG_ORACLE,
+    doc="materialized-rollup maintenance: the stored daily rollup "
+    "(history, mergeable count/decimal-sum partials) is advanced by "
+    "aggregating ONLY the newest day's delta and re-merging — no "
+    "history rescan in the update path; oracle = full recompute over "
+    "all events, so incremental==recompute is hash-enforced "
+    "(warehouse ext, r7)",
+)
+def q_incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+
+    # The stored rollup: everything before the last day (in production
+    # this is the persisted table from the previous run, not a scan —
+    # materialized here in-plan as the test-scale device).
+    last_day = ev.agg(F.max(F.col("ts").cast("date")).alias("d"))
+    hist = ev.join(F.broadcast(last_day)).where(
+        F.col("ts").cast("date") < F.col("d")
+    )
+    stored = hist.groupBy(day, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+    )
+
+    # The update path: aggregate ONLY the delta partition, then merge
+    # partials with the stored rollup (sum of counts, sum of decimal
+    # sums — both mergeable, no history rescan).
+    delta = ev.join(F.broadcast(last_day)).where(
+        F.col("ts").cast("date") == F.col("d")
+    )
+    delta_agg = delta.groupBy(day, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+    )
+    merged = (
+        stored.unionByName(delta_agg)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+    return merged

@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_assign_init",  # r7: deterministic assignment twin
     "tpcds_q97_channel_overlap",  # r7: full-outer channel census
     "streaming_stream_stream_full_join",  # r7: completes the family
+    "incremental_agg_maintenance",  # r7: materialized-rollup twin
     # --- Stalest-green fill (generated 2026-08-14 from
     # --- CORRECTNESS_r01..r06 by scripts/coverage_report.py; latest
     # --- green round shown; oracle-bearing queries only — rows-only
@@ -117,12 +118,12 @@ _PRIORITY: tuple[str, ...] = (
     "string_functions_suite",  # r3
     "tpch_q10_returned_items",  # r3
     "tpch_q11_important_parts",  # r3
-    "tpch_q13_custdist",  # r3
-    # (tpch_q19_disjunctive_join / tpch_q22_idle_segments /
-    # tpch_q4_priority_exists / variant_json_agg /
-    # weighted_avg_pricing / window_navigation_suite, the six least-
-    # stale r3 fills, were displaced by r7 births — still re-verified
-    # every pytest run like all non-window queries.)
+    # (tpch_q13_custdist / tpch_q19_disjunctive_join /
+    # tpch_q22_idle_segments / tpch_q4_priority_exists /
+    # variant_json_agg / weighted_avg_pricing /
+    # window_navigation_suite, the seven least-stale r3 fills, were
+    # displaced by r7 births — still re-verified every pytest run
+    # like all non-window queries.)
 )
 
 
