@@ -186,6 +186,7 @@ R7_QUERIES = [
     "tpcds_q97_channel_overlap",
     "streaming_stream_stream_full_join",
     "incremental_agg_maintenance",
+    "multimodal_resize_plan",
 ]
 
 

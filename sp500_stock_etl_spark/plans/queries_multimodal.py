@@ -209,3 +209,62 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("payload").cast("bigint")).alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize planning (round-7 ext): the preprocessing pass every vision
+# pipeline runs before decode — aspect-preserving target dimensions
+# (max side 224, the standard vision-model input) computed from the
+# REAL parsed PNG headers, in pure integer arithmetic so the plan is
+# bit-checkable: scale_bp = 224*10000 div max(w,h) basis points,
+# out_w/out_h = side * 224 div max(w,h) (floor; the max side lands
+# exactly on 224). The pixel resample itself is the stubbed
+# codec-level step per the multimodal contract — the PLAN (what a
+# fleet of decode workers would execute) is the Spark-side
+# deliverable, exactly like the audio chunk planner.
+# ---------------------------------------------------------------------------
+
+_RESIZE_TARGET = 224
+
+_RESIZE_ORACLE = f"""
+WITH img AS (
+    SELECT range AS media_id,
+           CAST(16 + range % 240 AS INT) AS width,
+           CAST(16 + (range * 7) % 240 AS INT) AS height
+    FROM range({_N_MEDIA})
+    WHERE range % 3 = 0
+)
+SELECT media_id, width, height,
+       CAST(width * {_RESIZE_TARGET} // greatest(width, height) AS INT)
+           AS out_w,
+       CAST(height * {_RESIZE_TARGET} // greatest(width, height) AS INT)
+           AS out_h,
+       CAST({_RESIZE_TARGET} * 10000 // greatest(width, height) AS BIGINT)
+           AS scale_bp,
+       CAST(CASE WHEN greatest(width, height) < {_RESIZE_TARGET}
+                 THEN 1 ELSE 0 END AS INT) AS is_upscale
+FROM img
+"""
+
+
+@register(
+    "multimodal_resize_plan",
+    _RESIZE_ORACLE,
+    doc="aspect-preserving resize planning (max side 224) from REAL "
+    "parsed PNG headers — integer-exact scale/output dims + upscale "
+    "flag; the codec-level resample stays stubbed, the distributed "
+    "planning pass is the deliverable (multimodal ext, r7)",
+)
+def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthetic_media(spark, _N_MEDIA)
+    img = MM.decode_media(media).where(F.col("kind") == "image")
+    longest = F.greatest("width", "height")
+    return img.select(
+        "media_id",
+        "width",
+        "height",
+        F.expr(f"CAST(width * {_RESIZE_TARGET} div greatest(width, height) AS INT)").alias("out_w"),
+        F.expr(f"CAST(height * {_RESIZE_TARGET} div greatest(width, height) AS INT)").alias("out_h"),
+        F.expr(f"CAST({_RESIZE_TARGET} * 10000 div greatest(width, height) AS BIGINT)").alias("scale_bp"),
+        (longest < _RESIZE_TARGET).cast("int").alias("is_upscale"),
+    )

@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_q97_channel_overlap",  # r7: full-outer channel census
     "streaming_stream_stream_full_join",  # r7: completes the family
     "incremental_agg_maintenance",  # r7: materialized-rollup twin
+    "multimodal_resize_plan",  # r7: vision resize planning
     # --- Stalest-green fill (generated 2026-08-14 from
     # --- CORRECTNESS_r01..r06 by scripts/coverage_report.py; latest
     # --- green round shown; oracle-bearing queries only — rows-only
@@ -117,11 +118,11 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_quote_feed_agg",  # r3
     "string_functions_suite",  # r3
     "tpch_q10_returned_items",  # r3
-    "tpch_q11_important_parts",  # r3
-    # (tpch_q13_custdist / tpch_q19_disjunctive_join /
+    # (tpch_q11_important_parts / tpch_q13_custdist /
+    # tpch_q19_disjunctive_join /
     # tpch_q22_idle_segments / tpch_q4_priority_exists /
     # variant_json_agg / weighted_avg_pricing /
-    # window_navigation_suite, the seven least-stale r3 fills, were
+    # window_navigation_suite, the eight least-stale r3 fills, were
     # displaced by r7 births — still re-verified every pytest run
     # like all non-window queries.)
 )
