@@ -105,6 +105,9 @@ AUDITED = [
     "dedup_exact_substring",
     "kmeans_assign_init",
     "corpus_bpe_encode",
+    "tpcds_q97_channel_overlap",
+    "incremental_agg_maintenance",
+    "multimodal_resize_plan",
 ]
 
 
