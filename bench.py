@@ -187,6 +187,9 @@ R7_QUERIES = [
     "streaming_stream_stream_full_join",
     "incremental_agg_maintenance",
     "multimodal_resize_plan",
+    "tpcds_q88_multiband_counts",
+    "tpcds_q73_basket_counts",
+    "tpcds_q93_returns_adjusted",
 ]
 
 

@@ -940,3 +940,122 @@ def q_incremental_agg_maintenance(
         )
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS batch 2 (r7 late): three more portable-SQL shapes with
+# compositions the existing TPC set doesn't exercise — Q88's
+# cross-joined scalar-subquery band counts, Q73's group-count range
+# filter joined back to the dimension, Q93's self-derived returns
+# adjustment. Query text == oracle text, like every TPC batch.
+# ---------------------------------------------------------------------------
+
+# Q88 shape: eight independent band counts as scalar subqueries
+# cross-joined into ONE row (the classic dashboard "count grid").
+# Bands = hour-of-day x value ranges over events. Each subquery is a
+# self-contained filtered count; engines may share or re-scan — the
+# SHAPE under test is scalar-subquery composition, not scan reuse.
+_TPCDS_Q88_SQL = """
+SELECT h1.n AS h8_low, h2.n AS h8_high,
+       h3.n AS h12_low, h4.n AS h12_high,
+       h5.n AS h16_low, h6.n AS h16_high,
+       h7.n AS h20_low, h8.n AS h20_high
+FROM (SELECT count(*) AS n FROM events
+      WHERE EXTRACT(HOUR FROM ts) BETWEEN 8 AND 11 AND value < 50) h1,
+     (SELECT count(*) AS n FROM events
+      WHERE EXTRACT(HOUR FROM ts) BETWEEN 8 AND 11 AND value >= 50) h2,
+     (SELECT count(*) AS n FROM events
+      WHERE EXTRACT(HOUR FROM ts) BETWEEN 12 AND 15 AND value < 50) h3,
+     (SELECT count(*) AS n FROM events
+      WHERE EXTRACT(HOUR FROM ts) BETWEEN 12 AND 15 AND value >= 50) h4,
+     (SELECT count(*) AS n FROM events
+      WHERE EXTRACT(HOUR FROM ts) BETWEEN 16 AND 19 AND value < 50) h5,
+     (SELECT count(*) AS n FROM events
+      WHERE EXTRACT(HOUR FROM ts) BETWEEN 16 AND 19 AND value >= 50) h6,
+     (SELECT count(*) AS n FROM events
+      WHERE EXTRACT(HOUR FROM ts) BETWEEN 20 AND 23 AND value < 50) h7,
+     (SELECT count(*) AS n FROM events
+      WHERE EXTRACT(HOUR FROM ts) BETWEEN 20 AND 23 AND value >= 50) h8
+"""
+
+
+@register(
+    "tpcds_q88_multiband_counts",
+    _TPCDS_Q88_SQL,
+    doc="TPC-DS Q88 shape: eight filtered band counts as cross-joined "
+    "scalar subqueries into one row (hour-of-day x value bands); "
+    "portable SQL text is query and oracle (r7)",
+)
+def q_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q88_SQL)
+
+
+# Q34/Q73 shape: per-group count filtered to a RANGE, then joined
+# back to the dimension — "customers whose orders have 15..20 items".
+# Distinct from Q13 (count histogram): the agg result is a FILTER and
+# the output re-attaches dimension attributes.
+_TPCDS_Q73_SQL = """
+WITH big AS (
+    SELECT l_orderkey, count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) BETWEEN 6 AND 7
+)
+SELECT c.c_custkey, c.c_mktsegment, b.l_orderkey AS orderkey, b.n_items
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "tpcds_q73_basket_counts",
+    _TPCDS_Q73_SQL,
+    doc="TPC-DS Q73/Q34 shape: per-order item-count RANGE filter "
+    "(HAVING BETWEEN) joined back through the fact to the customer "
+    "dimension; portable SQL text is query and oracle (r7)",
+)
+def q_tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q73_SQL)
+
+
+# Q93 shape: net sales after a RETURNS adjustment — sales left-joined
+# to the returns subset of themselves on the line key; matched rows
+# net to zero quantity, unmatched keep theirs. Exact integer
+# quantities + decimal money, so the hash is bitwise.
+_TPCDS_Q93_SQL = """
+WITH returns AS (
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(s.l_quantity AS BIGINT)
+                - CAST(coalesce(r.l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS net_quantity,
+       count(*) AS n_lines
+FROM lineitem s
+LEFT JOIN returns r
+  ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+JOIN orders o ON s.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "tpcds_q93_returns_adjusted",
+    _TPCDS_Q93_SQL,
+    doc="TPC-DS Q93 shape: sales left-joined to the returns subset on "
+    "the line key, returned quantities netted out, grouped by order "
+    "priority; portable SQL text is query and oracle (r7)",
+)
+def q_tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q93_SQL)

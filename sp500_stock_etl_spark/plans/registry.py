@@ -77,6 +77,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stream_stream_full_join",  # r7: completes the family
     "incremental_agg_maintenance",  # r7: materialized-rollup twin
     "multimodal_resize_plan",  # r7: vision resize planning
+    "tpcds_q88_multiband_counts",  # r7: scalar-subquery band grid
+    "tpcds_q73_basket_counts",  # r7: group-count range + joinback
+    "tpcds_q93_returns_adjusted",  # r7: returns netting
     # --- Stalest-green fill (generated 2026-08-14 from
     # --- CORRECTNESS_r01..r06 by scripts/coverage_report.py; latest
     # --- green round shown; oracle-bearing queries only — rows-only
@@ -115,14 +118,12 @@ _PRIORITY: tuple[str, ...] = (
     "star_chain_q5",  # r3
     "streaming_corpus_curation",  # r3
     "streaming_corpus_dedup",  # r3
-    "streaming_quote_feed_agg",  # r3
-    "string_functions_suite",  # r3
-    "tpch_q10_returned_items",  # r3
-    # (tpch_q11_important_parts / tpch_q13_custdist /
-    # tpch_q19_disjunctive_join /
+    # (streaming_quote_feed_agg / string_functions_suite /
+    # tpch_q10_returned_items / tpch_q11_important_parts /
+    # tpch_q13_custdist / tpch_q19_disjunctive_join /
     # tpch_q22_idle_segments / tpch_q4_priority_exists /
     # variant_json_agg / weighted_avg_pricing /
-    # window_navigation_suite, the eight least-stale r3 fills, were
+    # window_navigation_suite, the eleven least-stale r3 fills, were
     # displaced by r7 births — still re-verified every pytest run
     # like all non-window queries.)
 )
