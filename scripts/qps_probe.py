@@ -45,6 +45,15 @@ MIX = [
     "text_quality_stats",
     "topk_movers_per_day",
     "star_chain_q5",
+    # r8 (r7 verdict item 4): the two signature-store queries join the
+    # serving mix to prove the per-invocation store dir + table token
+    # is concurrency-safe — 8 threads build/append/read disjoint
+    # stores with no path or catalog collision. A concurrent thread's
+    # registry-entry release_caches() may unpersist another's tracked
+    # frame mid-job; Spark recomputes (correctness unaffected), so the
+    # probe measures exactly the serving-degradation story.
+    "dedup_incremental_refresh",
+    "dedup_signature_store_roundtrip",
 ]
 
 

@@ -273,7 +273,7 @@ def incremental_refresh_probe(spark, sf_dir: str, n: int) -> None:
     from sp500_stock_etl_spark.plans.queries_r7 import (
         _inc_build_store,
         _inc_refresh,
-        _inc_store_dir,
+        _inc_store_ctx,
     )
 
     both = _docs_with_neardups(spark, sf_dir)
@@ -299,7 +299,7 @@ def incremental_refresh_probe(spark, sf_dir: str, n: int) -> None:
 
     results = {}
     for k in (1, n):
-        store = _inc_build_store(spark, corpus(k), _inc_store_dir())
+        store = _inc_build_store(spark, corpus(k), *_inc_store_ctx())
         t0 = time.time()
         verified, _ = _inc_refresh(store, new, corpus(k))
         n_pairs = verified.count()

@@ -80,13 +80,19 @@ def main() -> None:
             results[name] = "ok" if ok else f"FAIL {msg[:120]}"
         except Exception as ex:  # noqa: BLE001
             results[name] = f"ERROR {str(ex)[:120]}"
+    # rows_only is a SUCCESS class (r7-advice fix: it was silently
+    # counted in n_fail), reported under its own counter.
     n_ok = sum(1 for v in results.values() if v == "ok")
+    n_rows_only = sum(
+        1 for v in results.values() if v.startswith("rows_only")
+    )
     print(json.dumps({
         "probe": "sf01_parity_sweep",
         "sf_dir": sf_dir,
         "n": len(names),
         "n_ok": n_ok,
-        "n_fail": len(names) - n_ok,
+        "n_rows_only": n_rows_only,
+        "n_fail": len(names) - n_ok - n_rows_only,
         "sec": round(time.time() - t0, 1),
         "results": results,
     }, indent=1), flush=True)

@@ -180,22 +180,32 @@ def _inc_corpus_and_new(spark: SparkSession, sf_dir: str):
     return corpus, new, _NEARDUP_OFFSET
 
 
-# One store directory per PROCESS, reused (and overwritten) by every
-# invocation — repeated sweeps/bench runs must not accumulate corpus-
-# sized store copies in /tmp (each run's write_bucketed_table is an
-# overwrite, so the single copy stays current).
-_STORE_DIR: list[str] = []
+# One store directory per INVOCATION (r7-advice fix: a process-wide
+# singleton only deduped within one process — every new bench/sweep/
+# driver process left its mkdtemp behind, accumulating corpus-sized
+# parquet stores in /tmp). Each invocation now gets a fresh dir with
+# an atexit rmtree, so (a) nothing outlives the process, and (b) two
+# concurrent invocations — the qps-probe serving mix runs these from
+# 8 threads — never overwrite each other's files or catalog entries
+# (table names carry the same per-invocation token).
+_STORE_SEQ = __import__("itertools").count()
 
 
-def _inc_store_dir() -> str:
+def _inc_store_ctx() -> tuple[str, str]:
+    """(store_dir, per-invocation table-name token)."""
+    import atexit
+    import shutil
     import tempfile
 
-    if not _STORE_DIR:
-        _STORE_DIR.append(tempfile.mkdtemp(prefix="sg_sigstore_"))
-    return _STORE_DIR[0]
+    k = next(_STORE_SEQ)
+    d = tempfile.mkdtemp(prefix=f"sg_sigstore_{k}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d, str(k)
 
 
-def _inc_build_store(spark: SparkSession, corpus: DataFrame, base_dir: str):
+def _inc_build_store(
+    spark: SparkSession, corpus: DataFrame, base_dir: str, tok: str
+):
     """(Re)build the bucketed base store from the corpus. In
     production this write persists across refreshes and is NOT
     re-run; the registered queries rebuild it so each run is
@@ -204,12 +214,12 @@ def _inc_build_store(spark: SparkSession, corpus: DataFrame, base_dir: str):
 
     write_bucketed_table(
         _inc_band_key_rows(corpus),
-        "sg_sigstore_base",
+        f"sg_sigstore_base_{tok}",
         "band_key",
         n_buckets=_INC_BUCKETS,
         path=base_dir + "/base",
     )
-    return spark.table("sg_sigstore_base")
+    return spark.table(f"sg_sigstore_base_{tok}")
 
 
 def _inc_refresh(store: DataFrame, new: DataFrame, corpus: DataFrame):
@@ -263,13 +273,13 @@ def _inc_refresh(store: DataFrame, new: DataFrame, corpus: DataFrame):
 def _inc_refresh_frames(spark: SparkSession, sf_dir: str):
     """Shared machinery for the two store queries: builds/loads the
     bucketed base store, runs the refresh pipeline, returns
-    (verified_pairs, new_bands, neardup_offset, store_base_dir).
+    (verified_pairs, new_bands, neardup_offset, store_base_dir, tok).
     """
     corpus, new, offset = _inc_corpus_and_new(spark, sf_dir)
-    base_dir = _inc_store_dir()
-    store = _inc_build_store(spark, corpus, base_dir)
+    base_dir, tok = _inc_store_ctx()
+    store = _inc_build_store(spark, corpus, base_dir, tok)
     verified, new_bands = _inc_refresh(store, new, corpus)
-    return verified, new_bands, offset, base_dir
+    return verified, new_bands, offset, base_dir, tok
 
 
 def _inc_refresh_oracle() -> str:
@@ -355,7 +365,7 @@ GROUP BY band
     "item 3)",
 )
 def q_dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    verified, _, _, _ = _inc_refresh_frames(spark, sf_dir)
+    verified, _, _, _, _ = _inc_refresh_frames(spark, sf_dir)
     return verified
 
 
@@ -373,7 +383,9 @@ def q_dedup_signature_store_roundtrip(
 ) -> DataFrame:
     from ..io.writers import write_bucketed_table
 
-    verified, new_bands, offset, base_dir = _inc_refresh_frames(spark, sf_dir)
+    verified, new_bands, offset, base_dir, tok = _inc_refresh_frames(
+        spark, sf_dir
+    )
 
     # Keep-min survivor policy: a new doc is dropped iff it has a
     # verified partner with a smaller id (it is the doc_b of some
@@ -385,13 +397,13 @@ def q_dedup_signature_store_roundtrip(
     # same batch overwrites the same delta (idempotent), never dupes.
     write_bucketed_table(
         survivors,
-        "sg_sigstore_delta",
+        f"sg_sigstore_delta_{tok}",
         "band_key",
         n_buckets=_INC_BUCKETS,
         path=base_dir + "/delta",
     )
-    store_after = spark.table("sg_sigstore_base").unionByName(
-        spark.table("sg_sigstore_delta")
+    store_after = spark.table(f"sg_sigstore_base_{tok}").unionByName(
+        spark.table(f"sg_sigstore_delta_{tok}")
     )
     return store_after.select(
         (F.col("band_key") % _INC_BANDS).cast("int").alias("band"),
