@@ -43,9 +43,17 @@ They are timed once and reported in the detail file under
 Round-7 fold (round-6 verdict item 1): the 21 ``queries_r6``
 entries are folded into ONE fixed 91-plan recommended suite.
 Pre-registered anchor from BENCH_r06.json: 81.157 s (70 plans) +
-28.818 s (r6 section) = **109.975 s for the same 91-plan union** —
-BENCH_r07's ``value`` compares directly against that. This round's
-new queries report under ``queries_r7`` until the r8 fold.
+28.818 s (r6 section) = **109.975 s for the same 91-plan union**;
+BENCH_r07 measured 100.438 s on it (9% better, zero per-query
+regressions).
+
+Round-8 fold (round-7 verdict item 1): the 15 ``queries_r7``
+entries are folded into ONE fixed 106-plan recommended suite.
+Pre-registered anchor from BENCH_r07.json (the driver artifact's
+15-plan section, not SURVEY prose): 100.438 s (91 plans) +
+26.174 s (r7 section) = **126.612 s for the same 106-plan union** —
+BENCH_r08's ``value`` compares directly against that. This round's
+new queries report under ``queries_r8`` until the r9 fold.
 """
 
 from __future__ import annotations
@@ -68,9 +76,9 @@ EXHIBIT_QUERIES = {
     "dedup_ngram_jaccard",
 }
 
-# One per operator family (BASELINE.md bench set). Fixed 91-plan
-# recommended suite since round 7: the 70-plan r6 set plus the 21
-# round-6 additions, folded per round-6 verdict item 1.
+# One per operator family (BASELINE.md bench set). Fixed 106-plan
+# recommended suite since round 8: the 91-plan r7 set plus the 15
+# round-7 additions, folded per round-7 verdict item 1.
 BENCH_QUERIES = [
     "flagship_window_metrics",
     "filtered_scan_projection",
@@ -169,12 +177,7 @@ BENCH_QUERIES = [
     "gap_fill_interpolate",
     "corpus_decontamination_overlap",
     "feature_equidepth_histogram",
-]
-
-# Round-7 additions, reported under a SEPARATE key so the headline
-# `value` stays comparable round-over-round; folded at r8. Names not
-# yet registered are skipped so the harness runs mid-build.
-R7_QUERIES = [
+    # --- round-7 additions (folded in round 8) ---
     "embedding_pq_encode_init",
     "dedup_incremental_refresh",
     "dedup_signature_store_roundtrip",
@@ -190,6 +193,21 @@ R7_QUERIES = [
     "tpcds_q88_multiband_counts",
     "tpcds_q73_basket_counts",
     "tpcds_q93_returns_adjusted",
+]
+
+# Round-8 additions, reported under a SEPARATE key so the headline
+# `value` stays comparable round-over-round; folded at r9. Names not
+# yet registered are skipped so the harness runs mid-build.
+R8_QUERIES = [
+    # (token_heavy_hitters_sketch keeps its existing recommended-suite
+    # slot despite its r8 oracle upgrade — the 106-plan set stays
+    # fixed for comparability; multimodal_decode_features was never in
+    # the suite and joins here with its upgraded oracle)
+    "multimodal_resize_execute",
+    "multimodal_decode_features",
+    "tpcds_q38_channel_intersect",
+    "tpcds_q87_channel_except",
+    "tpcds_q14_cross_channel_items",
 ]
 
 
@@ -229,15 +247,15 @@ def main() -> None:
     for name in timings:
         timings[name] = min(timings[name], run_once(name))
 
-    r7_timings: dict[str, float] = {}
-    for name in R7_QUERIES:
+    r8_timings: dict[str, float] = {}
+    for name in R8_QUERIES:
         if name in registry:
-            r7_timings[name] = run_once(name)
-    for name in r7_timings:
-        r7_timings[name] = min(r7_timings[name], run_once(name))
+            r8_timings[name] = run_once(name)
+    for name in r8_timings:
+        r8_timings[name] = min(r8_timings[name], run_once(name))
 
     recommended = round(sum(timings.values()), 3)
-    value_r7 = round(sum(r7_timings.values()), 3)
+    value_r8 = round(sum(r8_timings.values()), 3)
     # full_value is single-scale: only exhibits timed at the bench sf
     # are added; scale-overridden exhibits report in the detail file.
     full = round(
@@ -252,14 +270,14 @@ def main() -> None:
 
     detail = {
         "queries": timings,
-        "queries_r7": r7_timings,
+        "queries_r8": r8_timings,
         "exhibits": exhibit_timings,
         "exhibit_sf": {
             n: exhibit_sf_override.get(n, sf_dir).rsplit("sf", 1)[-1]
             for n in exhibit_timings
         },
         "value": recommended,
-        "value_r7": value_r7,
+        "value_r8": value_r8,
         "full_value": full,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -275,17 +293,17 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "recommended-plan suite wall-clock (noop sink; "
-                "91-plan folded set since r7; r6 anchor 81.157s/70-plan "
-                "+ 28.818s r6 section = 109.975s like-for-like, "
-                "BENCH_r06.json)",
+                "106-plan folded set since r8; r7 anchor 100.438s/91-plan "
+                "+ 26.174s r7 section = 126.612s like-for-like, "
+                "BENCH_r07.json)",
                 "value": recommended,
                 "unit": "sec",
                 "queries": {
                     "n_recommended": len(timings),
-                    "n_r7": len(r7_timings),
+                    "n_r8": len(r8_timings),
                     "n_exhibits": len(exhibit_timings),
                 },
-                "value_r7": value_r7,
+                "value_r8": value_r8,
                 "full_value": full,
                 "detail": "BENCH_DETAIL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
