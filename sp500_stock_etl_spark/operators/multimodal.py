@@ -57,6 +57,10 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("duration_ms", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        # Raw integer bucket counts (byte >> 5) behind the normalized
+        # feature — integer-exact, so the histogram is hash-checkable
+        # against a DuckDB arithmetic replay of the payload bytes (r8).
+        T.StructField("byte_hist", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -391,13 +395,16 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
             buckets[b >> 5] += 1
         total = float(sum(buckets)) or 1.0
         out.append(
-            (media_id, kind, w, h, frames, rate, dur, [b / total for b in buckets])
+            (
+                media_id, kind, w, h, frames, rate, dur,
+                [b / total for b in buckets], list(buckets),
+            )
         )
     return pd.DataFrame(
         out,
         columns=[
             "media_id", "kind", "width", "height", "n_frames",
-            "sample_rate", "duration_ms", "feature",
+            "sample_rate", "duration_ms", "feature", "byte_hist",
         ],
     )
 

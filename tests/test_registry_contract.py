@@ -35,8 +35,11 @@ def test_rows_only_queries_are_documented_exceptions():
         "kmeans_embedding_clusters",
         "streaming_running_user_totals",
         "streaming_running_user_totals_ttl",
-        "multimodal_decode_features",
-        "token_heavy_hitters_sketch",
+        # (multimodal_decode_features and token_heavy_hitters_sketch
+        # left this set in r8 — verdict item 3: the histogram gained a
+        # hex-digit arithmetic oracle; the sketch now emits its
+        # deterministic exact-slice certificate with in-query bound
+        # flags.)
         # r5: iterative global-argmax + rewrite (BPE training) — exact
         # vs a sequential reference in tests/test_bpe_merges.py.
         # (corpus_bpe_encode left this set in r7: with a pretrained
