@@ -142,6 +142,7 @@ def all_queries() -> dict[str, Query]:
     from . import queries_quality  # noqa: F401
     from . import queries_r6  # noqa: F401
     from . import queries_r7  # noqa: F401
+    from . import queries_r8  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in _PRIORITY:
