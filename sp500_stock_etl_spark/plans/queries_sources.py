@@ -309,6 +309,11 @@ def q_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("symbols", str(_QF_SYMBOLS))
         .option("days", str(_QF_DAYS))
         .option("symbols_per_partition", "20")
+        # r8: source-level projection — the aggregate never reads
+        # `open`, so the source never generates/ships it (the Python
+        # DataSource API has no pruneColumns callback; the `columns`
+        # option is the source's explicit-projection contract).
+        .option("columns", "trade_date,symbol,high,low,close,volume")
         .load()
         .where(
             (F.col("trade_date") >= F.lit("2020-01-10").cast("date"))

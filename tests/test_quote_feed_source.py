@@ -118,3 +118,82 @@ def test_stream_reader_offsets_and_replay():
     assert seen[3][2] == [], "drained stream yields empty batches"
     replay = list(r.readBetweenOffsets({"day": 1}, {"day": 2}))
     assert replay == seen[1][2], "replay must be deterministic"
+
+
+# --- r8: source-level column pruning via the `columns` option -------------
+# (The Python Data Source API has no pruneColumns callback as of
+# Spark 4.1 — the projection travels as an explicit reader option,
+# the REST-source idiom; sources/quote_feed.py::_projected_columns.)
+
+
+def test_columns_option_narrows_reader_schema(spark):
+    from sp500_stock_etl_spark.sources.quote_feed import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    narrow = (
+        spark.read.format("quote_feed")
+        .option("symbols", "10")
+        .option("days", "5")
+        .option("columns", "close,trade_date")
+        .load()
+    )
+    # Plan-level: the SCAN's own output schema is the narrow one
+    # (field order follows the full schema, not the option order) —
+    # no Project over a wide scan.
+    assert narrow.schema.simpleString() == "struct<trade_date:date,close:double>"
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "open" not in plan and "volume" not in plan, plan
+
+    full = (
+        spark.read.format("quote_feed")
+        .option("symbols", "10")
+        .option("days", "5")
+        .load()
+    )
+    got = {(r.trade_date, r.close) for r in narrow.collect()}
+    want = {
+        (r.trade_date, r.close)
+        for r in full.select("trade_date", "close").collect()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_columns_option_unknown_name_fails_at_planning():
+    from sp500_stock_etl_spark.sources.quote_feed import _projected_columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        _projected_columns({"columns": "close,nope"})
+    # order-insensitive, whitespace-tolerant, full-schema field order
+    assert _projected_columns({"columns": " volume , symbol "}) == (
+        "symbol",
+        "volume",
+    )
+    assert _projected_columns({}) == (
+        "trade_date", "symbol", "open", "high", "low", "close", "volume",
+    )
+
+
+def test_columns_option_composes_with_filter_pushdown(spark):
+    from sp500_stock_etl_spark.sources.quote_feed import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.format("quote_feed")
+        .option("symbols", "10")
+        .option("days", "10")
+        .option("columns", "trade_date,symbol,close")
+        .load()
+        .where(F.col("symbol") == "S0003")
+        .where(F.col("trade_date") >= F.lit("2020-01-05").cast("date"))
+    )
+    rows = df.collect()
+    assert len(rows) == 6  # days 4..9 of symbol 3
+    assert all(r.symbol == "S0003" for r in rows)
