@@ -204,6 +204,7 @@ R8_QUERIES = [
     # fixed for comparability; multimodal_decode_features was never in
     # the suite and joins here with its upgraded oracle)
     "multimodal_resize_execute",
+    "multimodal_pcm_chunk_execute",
     "multimodal_decode_features",
     "tpcds_q38_channel_intersect",
     "tpcds_q87_channel_except",

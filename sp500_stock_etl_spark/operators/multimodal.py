@@ -12,10 +12,15 @@ headers whose facts the DuckDB oracle recomputes arithmetically):
   header-declared duration (feeds audio_chunk_plan);
 - video: MP4 mvhd (timescale/duration) + tkhd (track dims).
 
-Only pixel/sample CODEC decode remains a deterministic, clearly-marked
-FAKE (the container has no codec libraries); the Spark plumbing —
-schema, batch shapes, partition sizing, UDF signatures, null
-handling — is real and tested.
+Since r8 the CODEC level is real for two modalities, with zero
+dependencies beyond the stdlib: PNG pixel decode (zlib inflate +
+all-five-filter unfilter + CRC verify — encode_png/decode_png below)
+and WAV PCM sample decode (header-located LE int16 body —
+encode_wav_pcm/wav_pcm_chunk_features). Only compressed audio/video
+codec decode (JPEG entropy coding, MP4 track payloads) remains out of
+scope — those genuinely need codec libraries this container lacks;
+their planning stages (frame sampling, chunk planning) are real and
+oracle-checked from headers.
 
 Scale notes:
 - binary payloads dominate row size → ``maxPartitionBytes`` (not row
@@ -271,6 +276,7 @@ def wav_info(payload: bytes) -> dict | None:
         return None
     fmt = None
     data_size = None
+    data_offset = None
     i = 12
     n = len(payload)
     while i + 8 <= n:
@@ -287,6 +293,7 @@ def wav_info(payload: bytes) -> dict | None:
             }
         elif cid == b"data":
             data_size = csz
+            data_offset = i + 8
         i += 8 + csz + (csz & 1)  # RIFF chunks are 2-byte aligned
     if fmt is None or data_size is None:
         return None
@@ -295,6 +302,7 @@ def wav_info(payload: bytes) -> dict | None:
     return {
         **fmt,
         "data_size": data_size,
+        "data_offset": data_offset,
         "n_samples": data_size // fmt["block_align"],
         "duration_ms": data_size * 1000 // fmt["byte_rate"],
     }
@@ -769,3 +777,130 @@ def png_resize_execute(media: DataFrame, target: int = 224) -> DataFrame:
             )
 
     return media.mapInPandas(gen, RESIZE_EXEC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV PCM sample decode (round-8): the audio twin of the PNG
+# pixel codec — the second modality whose codec-level step is real.
+# The synthetic corpus writes COMPLETE RIFF/WAVE files whose int16
+# PCM samples follow a closed-form integer formula; the execute stage
+# locates the data chunk from the parsed header (data_offset — a
+# byte-range a production worker would range-GET), decodes the
+# little-endian samples, and folds per-chunk integer features
+# (count / sum / sum-of-squares — the exact building blocks of RMS
+# and loudness) that DuckDB replays arithmetically without a decoder.
+#
+# Scale: identical to the PNG execute — per-row CPU-bound map work
+# downstream of the header-only chunk PLANNER (audio_chunk_plan);
+# chunk features are integers, so downstream aggregation is
+# order-independent and shuffle-light.
+# ---------------------------------------------------------------------------
+
+_PCM_RATE = 8000  # samples/sec, mono 16-bit => 8 samples per ms exactly
+
+
+def _formula_samples(media_id: int, n: int):
+    """int16 sample t = ((media_id * 13 + t * 7) % 65536) - 32768."""
+    import numpy as np
+
+    t = np.arange(n, dtype=np.int64)
+    return ((media_id * 13 + t * 7) % 65536) - 32768
+
+
+def wav_corpus_duration_ms(media_id: int) -> int:
+    return (media_id % 7 + 2) * 1000
+
+
+def encode_wav_pcm(media_id: int) -> bytes:
+    """A COMPLETE canonical PCM WAV (fmt + data, real body bytes)."""
+    import numpy as np
+
+    n = wav_corpus_duration_ms(media_id) * _PCM_RATE // 1000
+    body = _formula_samples(media_id, n).astype("<i2").tobytes()
+    data_size = len(body)
+    hdr = (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + _PCM_RATE.to_bytes(4, "little")
+        + (_PCM_RATE * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data" + data_size.to_bytes(4, "little")
+    )
+    return hdr + body
+
+
+def synthetic_wav_corpus(spark, n: int = 36) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                [(int(i), encode_wav_pcm(int(i))) for i in batch["id"]],
+                columns=["media_id", "payload"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.range(n).mapInPandas(gen, schema)
+
+
+PCM_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def wav_pcm_chunk_features(media: DataFrame, chunk_ms: int = 700) -> DataFrame:
+    """Chunked PCM decode+feature: real header walk (wav_info) gives
+    the data byte range, np.frombuffer('<i2') decodes, per-chunk
+    integer folds. A chunk_ms that doesn't divide the duration leaves
+    a PARTIAL last chunk — clipped from the header facts, exactly as
+    the chunk planner contract demands."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                info = wav_info(payload)
+                if info is None or info["audio_format"] != 1:
+                    continue
+                if info["bits_per_sample"] != 16 or info["channels"] != 1:
+                    continue  # this execute stage handles mono 16-bit
+                off, size = info["data_offset"], info["data_size"]
+                if off is None or len(payload) < off + size:
+                    continue  # truncated body: planner-only payload
+                samples = np.frombuffer(
+                    payload, dtype="<i2", count=size // 2, offset=off
+                ).astype(np.int64)
+                rate = info["sample_rate"]
+                dur_ms = info["duration_ms"]
+                spm = rate // 1000  # samples per ms (exact for PCM rates)
+                n_chunks = (dur_ms + chunk_ms - 1) // chunk_ms
+                for c in range(n_chunks):
+                    lo = c * chunk_ms * spm
+                    hi = min((c + 1) * chunk_ms, dur_ms) * spm
+                    seg = samples[lo:hi]
+                    rows.append(
+                        (
+                            int(media_id), c, int(seg.size),
+                            int(seg.sum()), int((seg * seg).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "chunk_idx", "n_samples", "sum_s", "sum_sq"],
+            )
+
+    return media.mapInPandas(gen, PCM_CHUNK_SCHEMA)

@@ -6,10 +6,15 @@ The container-header parse is real for all three modalities (PNG IHDR
 the synthetic corpus embeds genuine headers, so the decode-facing
 queries are fully oracle-checked: DuckDB recomputes the same header
 facts arithmetically. A value mismatch means the byte-level header
-construction or the parser is wrong. Only the byte-histogram feature
-(a Python-UDF artifact) keeps a rows-only check. The metadata-only
-query stays fully native and proves payload-column pruning does not
-change results.
+construction or the parser is wrong. Since r8 the codec-level step is
+REAL for two modalities end to end: PNG pixel decode (stdlib zlib
+inflate + per-scanline unfilter → multimodal_resize_execute) and WAV
+PCM sample decode (header-located LE int16 body →
+multimodal_pcm_chunk_execute), each hash-checked against a DuckDB
+arithmetic replay of the corpus formulas. The byte-histogram feature
+is also hash-checked (hex-digit oracle); nothing in this family is
+rows-only anymore. The metadata-only query stays fully native and
+proves payload-column pruning does not change results.
 """
 
 from __future__ import annotations
@@ -471,3 +476,67 @@ GROUP BY media_id, ow, oh
 def q_mm_resize_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthetic_png_corpus(spark, _N_PNG)
     return MM.png_resize_execute(media, target=_RESIZE_TARGET)
+
+
+# ---------------------------------------------------------------------------
+# Audio chunk EXECUTE (round-8): the second modality made real,
+# mirroring multimodal_resize_execute — complete PCM WAV bodies
+# decoded sample-for-sample (np.frombuffer over the header-located
+# data range), 700 ms chunks (deliberately NOT dividing the 1000 ms
+# durations, so every file ends in a partial chunk clipped from
+# header facts), integer count/sum/sum-of-squares per chunk. DuckDB
+# replays the sample formula t -> ((id*13 + t*7) % 65536) - 32768
+# arithmetically; a mismatch convicts the header walk, the byte
+# range, the LE int16 decode, or the chunk clipping.
+# ---------------------------------------------------------------------------
+
+_N_WAV = 36
+_PCM_CHUNK_MS = 700
+
+_PCM_CHUNK_ORACLE = f"""
+WITH a AS (
+    SELECT range AS media_id,
+           (range % 7 + 2) * 1000 AS dur_ms
+    FROM range({_N_WAV})
+),
+c AS (
+    SELECT media_id, dur_ms,
+           CAST(unnest(range((dur_ms + {_PCM_CHUNK_MS} - 1) // {_PCM_CHUNK_MS}))
+                AS BIGINT) AS chunk_idx
+    FROM a
+),
+t AS (
+    SELECT media_id, chunk_idx,
+           CAST(unnest(range(chunk_idx * {_PCM_CHUNK_MS} * 8,
+                             least((chunk_idx + 1) * {_PCM_CHUNK_MS}, dur_ms) * 8))
+                AS BIGINT) AS ti
+    FROM c
+),
+s AS (
+    SELECT media_id, chunk_idx,
+           ((media_id * 13 + ti * 7) % 65536) - 32768 AS v
+    FROM t
+)
+SELECT media_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_s,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq
+FROM s
+GROUP BY media_id, chunk_idx
+"""
+
+
+@register(
+    "multimodal_pcm_chunk_execute",
+    _PCM_CHUNK_ORACLE,
+    doc="REAL WAV PCM sample decode (complete RIFF body, header-located "
+    "data range, LE int16) folded into per-700ms-chunk integer "
+    "count/sum/sum-of-squares — the RMS/loudness building blocks — "
+    "with the partial last chunk clipped from header facts; DuckDB "
+    "replays the sample formula arithmetically (audio execute stage, "
+    "r8; mirrors multimodal_resize_execute)",
+)
+def q_mm_pcm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthetic_wav_corpus(spark, _N_WAV)
+    return MM.wav_pcm_chunk_features(media, chunk_ms=_PCM_CHUNK_MS)

@@ -121,3 +121,75 @@ def test_deflate_stream_is_genuine():
         i += 12 + clen
     raw = zlib.decompress(idat)
     assert len(raw) == h * (1 + w * 3)
+
+
+# --- r8: WAV PCM codec (the audio execute twin) ---------------------------
+
+
+def test_wav_pcm_roundtrip_and_header_facts():
+    import numpy as np
+
+    for mid in (0, 6, 13, 35):
+        wav = M.encode_wav_pcm(mid)
+        info = M.wav_info(wav)
+        n = M.wav_corpus_duration_ms(mid) * 8
+        assert info["duration_ms"] == M.wav_corpus_duration_ms(mid)
+        assert info["n_samples"] == n
+        assert info["data_offset"] == 44
+        s = np.frombuffer(
+            wav, dtype="<i2", count=info["data_size"] // 2,
+            offset=info["data_offset"],
+        ).astype(np.int64)
+        assert (s == M._formula_samples(mid, n)).all()
+
+
+def test_wav_info_data_offset_on_reordered_chunks():
+    # data chunk placed after an extra chunk: offset must track it.
+    body = (100).to_bytes(2, "little") * 8
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    wav = (
+        b"RIFF" + (36 + len(extra) + len(body)).to_bytes(4, "little")
+        + b"WAVEfmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + extra
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+    info = M.wav_info(wav)
+    assert info["data_offset"] == 44 + len(extra)
+    assert info["n_samples"] == 8
+
+
+def test_pcm_chunk_features_partial_last_chunk(spark):
+    rows = (
+        M.wav_pcm_chunk_features(M.synthetic_wav_corpus(spark, 3), chunk_ms=700)
+        .collect()
+    )
+    import numpy as np
+
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_media.items():
+        dur = M.wav_corpus_duration_ms(mid)
+        assert len(rs) == (dur + 699) // 700
+        rs.sort(key=lambda r: r.chunk_idx)
+        # full chunks carry 700*8 samples; the last is the remainder
+        for r in rs[:-1]:
+            assert r.n_samples == 700 * 8
+        assert rs[-1].n_samples == (dur - (len(rs) - 1) * 700) * 8
+        # features equal the direct formula fold
+        n = dur * 8
+        s = M._formula_samples(mid, n)
+        assert sum(r.sum_s for r in rs) == int(s.sum())
+        assert sum(r.sum_sq for r in rs) == int((s * s).sum())
+
+
+def test_pcm_chunk_features_skips_planner_only_payloads(spark):
+    # The legacy synthetic_media WAVs declare a duration but truncate
+    # the body — the execute stage must skip them, not mis-decode.
+    media = M.synthetic_media(spark, 12).where("kind = 'audio'").select(
+        "media_id", "payload"
+    )
+    assert M.wav_pcm_chunk_features(media).count() == 0
