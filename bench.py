@@ -205,6 +205,7 @@ R8_QUERIES = [
     # the suite and joins here with its upgraded oracle)
     "multimodal_resize_execute",
     "multimodal_pcm_chunk_execute",
+    "streaming_stream_stream_right_join",
     "multimodal_decode_features",
     "tpcds_q38_channel_intersect",
     "tpcds_q87_channel_except",

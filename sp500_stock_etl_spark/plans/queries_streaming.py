@@ -1026,3 +1026,81 @@ def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream RIGHT OUTER interval join (round-8 ext) — completes
+# the four-way stream-stream family (inner r2, left r5, full r7):
+# every CLICK emits; the purchase side null-pads once the watermark
+# proves no partner can still arrive. A click's candidate purchases
+# sit in [c_ts - 1h, c_ts), so its outer row is provable once the
+# watermark passes c_ts — comfortably inside the shared 4h cutoff.
+# Same determinism device as the left join with the roles mirrored:
+# the kept rows' PRESENT click timestamps are <= least(per-stream
+# max ts) - 4h, and the oracle applies the identical restriction.
+# ---------------------------------------------------------------------------
+
+_STREAM_STREAM_RIGHT_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events c
+LEFT JOIN events p
+  ON p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND c.ts > p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+  AND c.ts <= (SELECT least(
+                   max(CASE WHEN event_type = 'purchase' THEN ts END),
+                   max(CASE WHEN event_type = 'click' THEN ts END))
+               - INTERVAL 4 HOUR FROM events)
+"""
+
+
+@register(
+    "streaming_stream_stream_right_join",
+    _STREAM_STREAM_RIGHT_ORACLE,
+    doc="watermarked stream-stream RIGHT OUTER interval join (every "
+    "click emits; null purchase once the watermark proves no match "
+    "can arrive) — the mirror of the left join, closing the four-way "
+    "stream-stream family; cutoff 1h inside the emission frontier "
+    "(SURVEY §2.11 ext, r8)",
+)
+def q_stream_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_events_dir(sf_dir)
+    purchases = (
+        SE.read_event_stream(spark, staged)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        SE.read_event_stream(spark, staged)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "rightOuter",
+    ).select("purchase_id", "click_id", "c_ts")
+    out = _run_to_table(spark, joined, "append")
+    from ..io.readers import load_table
+
+    cutoff = _stream_cutoff(load_table(spark, sf_dir, "events"))
+    return (
+        out.join(F.broadcast(cutoff))
+        .where(F.col("c_ts") <= F.col("cutoff"))
+        .select("purchase_id", "click_id")
+    )
