@@ -51,8 +51,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Explicit driver-facing ordering. The verify driver hash-checks the first
 # 50 registry entries against their DuckDB oracles. The window ROTATES
-# each round (round-2 verdict item 1). Round-7 policy (round-6 verdict
-# item 1): (a) queries BORN this round — and queries whose oracle was
+# each round (round-2 verdict item 1). Round-8 policy (unchanged from
+# r7, round-7 verdict item 1): (a) queries BORN this round — and queries whose oracle was
 # UPGRADED this round (the BPE/PQ encode halves) — are inserted at the
 # head the moment they land, so after-rotation debt cannot recur;
 # (b) every remaining slot is the stalest-green fill, GENERATED from
@@ -63,69 +63,62 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tests/test_oracle_parity.py (full-registry parametrize), and output
 # schemas are swept by tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- Round-7 births / oracle upgrades (inserted at birth) ---
-    "corpus_bpe_encode",  # r7: encode half gains a composed-CTE oracle
-    "embedding_pq_encode_init",  # r7: deterministic iters=0 PQ twin, full SQL
-    "dedup_incremental_refresh",  # r7: signature-store incremental dedup
-    "tpcds_q67_rollup_topk",  # r7: TPC-DS-shaped rollup x window
-    "tpcds_q51_cumulative_max",  # r7: TPC-DS-shaped cumulative-max cross
-    "dedup_signature_store_roundtrip",  # r7: persisted band-signature store
-    "corpus_doc_embedding_hybrid_dedup",  # r7: lexical+embedding agreement
-    "dedup_exact_substring",  # r7: Lee-et-al span dedup
-    "kmeans_assign_init",  # r7: deterministic assignment twin
-    "tpcds_q97_channel_overlap",  # r7: full-outer channel census
-    "streaming_stream_stream_full_join",  # r7: completes the family
-    "incremental_agg_maintenance",  # r7: materialized-rollup twin
-    "multimodal_resize_plan",  # r7: vision resize planning
-    "tpcds_q88_multiband_counts",  # r7: scalar-subquery band grid
-    "tpcds_q73_basket_counts",  # r7: group-count range + joinback
-    "tpcds_q93_returns_adjusted",  # r7: returns netting
+    # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
+    # --- decode-features histogram + heavy-hitters certificate) ---
+    "multimodal_resize_execute",  # r8: real PNG pixel decode + resample
+    "multimodal_pcm_chunk_execute",  # r8: real WAV PCM chunk features
+    "tpcds_q38_channel_intersect",  # r8: INTERSECT census
+    "tpcds_q87_channel_except",  # r8: EXCEPT census
+    "tpcds_q14_cross_channel_items",  # r8: INTERSECT under agg
+    "streaming_stream_stream_right_join",  # r8: completes the family
+    "multimodal_decode_features",  # r8 upgrade: hex-digit histogram oracle
+    "token_heavy_hitters_sketch",  # r8 upgrade: exact-slice certificate
     # --- Stalest-green fill (generated 2026-08-14 from
-    # --- CORRECTNESS_r01..r06 by scripts/coverage_report.py; latest
+    # --- CORRECTNESS_r01..r07 by scripts/coverage_report.py; latest
     # --- green round shown; oracle-bearing queries only — rows-only
     # --- classes are invariant-tested locally instead) ---
-    "date_parts_agg",  # r2
-    "dedup_ngram_jaccard",  # r2
-    "doc_fingerprint",  # r2
-    "hierarchical_rollup_daily",  # r2
-    "json_props_agg",  # r2
-    "jsonl_source_agg",  # r2
-    "map_entries_agg",  # r2
-    "range_window_trailing_spend",  # r2
-    "similarity_bruteforce_topk",  # r2
-    "similarity_ivf_topk",  # r2
-    "asof_join_events",  # r3
-    "conditional_agg_suite",  # r3
-    "corpus_balanced_sample",  # r3
-    "corpus_decontamination",  # r3
-    "corpus_mix_sample",  # r3
-    "corpus_pii_redaction",  # r3
-    "corpus_token_budget",  # r3
-    "dedup_prefix_jaccard",  # r3
-    "dq_quarantine_rows",  # r3
-    "dq_violation_counts",  # r3
-    "exact_quantiles",  # r3
-    "grouped_agg_pricing_decimal",  # r3
-    "multimodal_audio_chunk_plan",  # r3
-    "multimodal_frame_sample",  # r3
-    "multimodal_video_decode",  # r3
-    "percent_of_total",  # r3
-    "quote_feed_source_agg",  # r3
-    "range_interval_join",  # r3
-    "ranking_function_suite",  # r3
-    "recursive_cte_calendar",  # r3
-    "skew_salted_join",  # r3
-    "star_chain_q5",  # r3
-    "streaming_corpus_curation",  # r3
-    "streaming_corpus_dedup",  # r3
-    # (streaming_quote_feed_agg / string_functions_suite /
-    # tpch_q10_returned_items / tpch_q11_important_parts /
-    # tpch_q13_custdist / tpch_q19_disjunctive_join /
-    # tpch_q22_idle_segments / tpch_q4_priority_exists /
-    # variant_json_agg / weighted_avg_pricing /
-    # window_navigation_suite, the eleven least-stale r3 fills, were
-    # displaced by r7 births — still re-verified every pytest run
-    # like all non-window queries.)
+    "streaming_quote_feed_agg",  # r3
+    "string_functions_suite",  # r3
+    "tpch_q10_returned_items",  # r3
+    "tpch_q11_important_parts",  # r3
+    "tpch_q13_custdist",  # r3
+    "tpch_q19_disjunctive_join",  # r3
+    "tpch_q22_idle_segments",  # r3
+    "tpch_q4_priority_exists",  # r3
+    "variant_json_agg",  # r3
+    "weighted_avg_pricing",  # r3
+    "window_navigation_suite",  # r3
+    "anti_join_customers",  # r4
+    "broadcast_star_join",  # r4
+    "corpus_boilerplate_segments",  # r4
+    "corpus_chunking",  # r4
+    "corpus_sequence_packing",  # r4
+    "correlated_subqueries",  # r4
+    "cross_join_dims",  # r4
+    "csv_roundtrip_agg",  # r4
+    "cube_agg",  # r4
+    "dedup_embedding_cosine",  # r4
+    "dedup_exact",  # r4
+    "full_outer_reconciliation",  # r4
+    "grouped_agg_pricing",  # r4
+    "grouped_map_value_diff",  # r4
+    "left_outer_enrichment",  # r4
+    "multimodal_metadata_agg",  # r4
+    "null_safe_join",  # r4
+    "orc_roundtrip_agg",  # r4
+    "pivot_event_counts",  # r4
+    "ranking_top3_per_flag",  # r4
+    "rolling_avg_sma7",  # r4
+    "scd2_event_history",  # r4
+    "semi_join_customers",  # r4
+    "session_window_agg",  # r4
+    "set_ops_cohorts",  # r4
+    "similarity_ivf_topk_nprobe2",  # r4
+    "similarity_join_corpus",  # r4
+    "streaming_dedup_keys",  # r4
+    "streaming_dedup_keys_ttl",  # r4
+    "streaming_sliding_sums",  # r4
+    "streaming_static_enrich",  # r4
 )
 
 
