@@ -115,3 +115,35 @@ def test_incremental_equals_batch_restricted(spark, sf_dir):
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_store_queries_concurrent_invocations_are_isolated(spark, sf_dir):
+    """r8 (r7 verdict item 4): two concurrent invocations of the
+    signature-store roundtrip must not collide on store paths or
+    catalog table names — each invocation gets its own temp dir +
+    table token (queries_r7._inc_store_ctx). Runs the full
+    write→append→read cycle from two threads and checks both produce
+    the identical (band-level) result."""
+    import threading
+
+    from sp500_stock_etl_spark.plans.queries_r7 import (
+        q_dedup_signature_store_roundtrip,
+    )
+
+    results: dict[int, list] = {}
+    errors: list[BaseException] = []
+
+    def run(k: int) -> None:
+        try:
+            rows = q_dedup_signature_store_roundtrip(spark, sf_dir).collect()
+            results[k] = sorted((r.band, r.n_rows, r.n_docs, r.sig_checksum) for r in rows)
+        except BaseException as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=run, args=(k,)) for k in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert results[0] and results[0] == results[1]
