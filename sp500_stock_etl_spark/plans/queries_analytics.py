@@ -294,24 +294,86 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r8 oracle upgrade (the token_heavy_hitters_sketch certificate
+# pattern): sketch outputs themselves are estimator artifacts, so the
+# registered output is the deterministic CERTIFICATE — exact counts
+# plus integer flags checking each sketch against its own error
+# contract IN-QUERY: HLL++ estimates within 5×rsd of the exact
+# distinct counts (theoretical relative std dev 1%, generous margin);
+# each approx_percentile result's true rank within 2×(n/accuracy)+1
+# of its target rank (the sketch's rank-error guarantee). The oracle
+# recomputes the exact side and expects all-ones; a broken sketch or
+# merge flips a flag and fails the hash. Raw estimates remain bound-
+# tested in tests/test_sketches.py.
+
+_APPROX_PROFILE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(1 AS INT) AS hll_orders_ok,
+       CAST(1 AS INT) AS hll_parts_ok,
+       CAST(1 AS INT) AS p50_rank_ok,
+       CAST(1 AS INT) AS p95_rank_ok,
+       CAST(1 AS INT) AS p99_rank_ok
+FROM lineitem
+"""
+
+
 @register(
     "approx_monitoring_profile",
-    None,
-    doc="HLL++ approx distinct + t-digest percentiles: the one-pass "
-    "monitoring profile that replaces exact QA aggregates at 100 TB "
-    "(SURVEY §2.8 A2); error-bounded vs exact in tests/test_sketches.py. "
-    "Quantiles are emitted as scalar p50/p95/p99 columns (flat schema, "
-    "no array-typed terminal column).",
+    _APPROX_PROFILE_ORACLE,
+    doc="HLL++ approx distinct + percentile sketches, hash-certified "
+    "in-query (r8 upgrade): exact counts plus partitioning-independent "
+    "flags — HLL within 5x its configured rsd, each approx percentile's "
+    "true rank within the sketch's n/accuracy guarantee — oracle "
+    "expects all-ones (SURVEY §2.8 A2; raw estimates bound-tested in "
+    "tests/test_sketches.py)",
 )
 def q_approx_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_percentile("l_extendedprice", F.lit(0.5), 10000).alias("price_p50"),
-        F.approx_percentile("l_extendedprice", F.lit(0.95), 10000).alias("price_p95"),
-        F.approx_percentile("l_extendedprice", F.lit(0.99), 10000).alias("price_p99"),
+    acc = 10000
+    sketch = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_parts"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), acc).alias("p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), acc).alias("p95"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), acc).alias("p99"),
+    )
+    exact = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    joined = exact.crossJoin(F.broadcast(sketch))
+    # Rank check: count rows strictly below each sketch percentile in
+    # a second conditional pass over the fact (one fused aggregate).
+    ranks = (
+        li.crossJoin(F.broadcast(sketch))
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("p50")).cast("bigint")).alias("below_p50"),
+            F.sum((F.col("l_extendedprice") < F.col("p95")).cast("bigint")).alias("below_p95"),
+            F.sum((F.col("l_extendedprice") < F.col("p99")).cast("bigint")).alias("below_p99"),
+        )
+    )
+
+    def hll_ok(approx, exact_c):
+        err = F.abs(approx.cast("double") / exact_c.cast("double") - 1.0)
+        return (err <= 0.05).cast("int")
+
+    def rank_ok(below, q):
+        target = F.col("n_rows").cast("double") * q
+        slack = F.col("n_rows").cast("double") * 2.0 / acc + 1.0
+        return (F.abs(below.cast("double") - target) <= slack).cast("int")
+
+    return joined.crossJoin(F.broadcast(ranks)).select(
+        "n_rows",
+        "exact_orders",
+        "exact_parts",
+        hll_ok(F.col("a_orders"), F.col("exact_orders")).alias("hll_orders_ok"),
+        hll_ok(F.col("a_parts"), F.col("exact_parts")).alias("hll_parts_ok"),
+        rank_ok(F.col("below_p50"), 0.5).alias("p50_rank_ok"),
+        rank_ok(F.col("below_p95"), 0.95).alias("p95_rank_ok"),
+        rank_ok(F.col("below_p99"), 0.99).alias("p99_rank_ok"),
     )
 
 

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stream_stream_right_join",  # r8: completes the family
     "multimodal_decode_features",  # r8 upgrade: hex-digit histogram oracle
     "token_heavy_hitters_sketch",  # r8 upgrade: exact-slice certificate
+    "approx_monitoring_profile",  # r8 upgrade: sketch error certificate
     # --- Stalest-green fill (generated 2026-08-14 from
     # --- CORRECTNESS_r01..r07 by scripts/coverage_report.py; latest
     # --- green round shown; oracle-bearing queries only — rows-only
@@ -118,7 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_dedup_keys",  # r4
     "streaming_dedup_keys_ttl",  # r4
     "streaming_sliding_sums",  # r4
-    "streaming_static_enrich",  # r4
+    # (streaming_static_enrich, the 42nd fill, was displaced when the
+    # approx_monitoring_profile upgrade joined the head — still
+    # re-verified every pytest run like all non-window queries.)
 )
 
 

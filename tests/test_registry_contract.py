@@ -31,7 +31,10 @@ def test_rows_only_queries_are_documented_exceptions():
     qs = all_queries()
     rows_only = {n for n, q in qs.items() if q.oracle is None}
     assert rows_only == {
-        "approx_monitoring_profile",
+        # (approx_monitoring_profile left this set in r8: the sketch
+        # estimates are now surfaced through the deterministic exact-
+        # counts + error-bound certificate, same pattern as the
+        # heavy-hitters upgrade.)
         "kmeans_embedding_clusters",
         "streaming_running_user_totals",
         "streaming_running_user_totals_ttl",
