@@ -206,6 +206,7 @@ R8_QUERIES = [
     "multimodal_resize_execute",
     "multimodal_pcm_chunk_execute",
     "streaming_stream_stream_right_join",
+    "streaming_running_totals_final",
     "multimodal_decode_features",
     "tpcds_q38_channel_intersect",
     "tpcds_q87_channel_except",

@@ -1104,3 +1104,45 @@ def q_stream_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_ts") <= F.col("cutoff"))
         .select("purchase_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Final-state capstone for the custom stateful family (round-8): the
+# update-mode running-totals exhibits are rows-only BY DESIGN (their
+# emission set depends on micro-batching), but the FINAL state does
+# not — with an integer-cents accumulator the running total is
+# associative-exact, and the last emission per key (max n_events;
+# strictly increasing) equals the batch groupBy no matter how the
+# stream was batched. max_by(total_cents, n_events) projects exactly
+# that, giving the applyInPandasWithState path its first full
+# hash-check against DuckDB.
+# ---------------------------------------------------------------------------
+
+_RUNNING_FINAL_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "streaming_running_totals_final",
+    _RUNNING_FINAL_ORACLE,
+    doc="applyInPandasWithState running totals with BIGINT-cents state, "
+    "projected to the final emission per key (max_by over the strictly "
+    "increasing n_events) — batch-invariant, so the custom stateful "
+    "operator is hash-checked end to end; the double-state update-mode "
+    "twins remain the emission exhibits (SURVEY §2.11/2.12 ext, r8)",
+)
+def q_streaming_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    out = _run_to_table(
+        spark, SE.running_user_totals_cents(stream), "update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_cents", "n_events").alias("total_cents"),
+    )

@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_q87_channel_except",  # r8: EXCEPT census
     "tpcds_q14_cross_channel_items",  # r8: INTERSECT under agg
     "streaming_stream_stream_right_join",  # r8: completes the family
+    "streaming_running_totals_final",  # r8: stateful-op final-state capstone
     "multimodal_decode_features",  # r8 upgrade: hex-digit histogram oracle
     "token_heavy_hitters_sketch",  # r8 upgrade: exact-slice certificate
     "approx_monitoring_profile",  # r8 upgrade: sketch error certificate
@@ -118,9 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_join_corpus",  # r4
     "streaming_dedup_keys",  # r4
     "streaming_dedup_keys_ttl",  # r4
-    "streaming_sliding_sums",  # r4
-    # (streaming_static_enrich, the 42nd fill, was displaced when the
-    # approx_monitoring_profile upgrade joined the head — still
+    # (streaming_sliding_sums and streaming_static_enrich, the 41st/
+    # 42nd fills, were displaced by the approx_monitoring_profile
+    # upgrade and the streaming_running_totals_final birth — still
     # re-verified every pytest run like all non-window queries.)
 )
 

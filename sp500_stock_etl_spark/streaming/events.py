@@ -20,6 +20,7 @@ date-partitioned parquet (io/writers.py) for DPP.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -140,6 +141,44 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_RUNNING_CENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def running_user_totals_cents(events: DataFrame) -> DataFrame:
+    """Integer-state twin of running_user_totals (r8): the per-key
+    accumulator is BIGINT cents (floor(value*100)), so the running
+    total is ASSOCIATIVE-EXACT — no float-sum order dependence across
+    micro-batch boundaries — and the FINAL emission per key (max
+    n_events; n is strictly increasing for a key) equals the batch
+    groupBy regardless of how the stream was batched. That final-state
+    projection is what streaming_running_totals_final hash-checks
+    against DuckDB; the double twin remains the update-mode exhibit."""
+
+    def fn(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100.0).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_RUNNING_CENTS_SCHEMA,
+        stateStructType="n BIGINT, cents BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals_ttl(
     events: DataFrame, ttl_ms: int = 3_600_000, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -218,6 +257,7 @@ def running_user_totals_tws(events: DataFrame, ttl_ms: int | None = None) -> Dat
     Same output contract as running_user_totals, so the two APIs are
     directly comparable in tests."""
     import pandas as pd
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
