@@ -147,6 +147,37 @@ def main() -> None:
     span_dedup_probe(spark, sf_dir, n)
 
 
+def codec_execute_probe(spark, sf_dir: str, n: int) -> None:
+    """Round-8 probe: the two REAL codec execute stages (PNG pixel
+    decode + resample, WAV PCM chunk features) at 1x vs Nx corpus
+    size. Both are shuffle-free mapInPandas stages, so wall should
+    scale with rows/cores — strongly sub-linear at Nx while the
+    32-thread scheduler has headroom, approaching linear once tasks
+    saturate. Row counts must scale exactly with the corpus (one row
+    per image; one row per chunk)."""
+    from sp500_stock_etl_spark.operators.multimodal import (
+        png_resize_execute,
+        synthetic_png_corpus,
+        synthetic_wav_corpus,
+        wav_pcm_chunk_features,
+    )
+
+    for name, base, build in (
+        ("png_resize_execute", 48,
+         lambda k: png_resize_execute(synthetic_png_corpus(spark, 48 * k))),
+        ("wav_pcm_chunk_execute", 36,
+         lambda k: wav_pcm_chunk_features(synthetic_wav_corpus(spark, 36 * k))),
+    ):
+        out = {"probe": name, "sf_dir": sf_dir, "n": n, "base_rows": base}
+        for tag, k in (("1x", 1), ("nx", n)):
+            t = time.time()
+            out[f"rows_{tag}"] = build(k).count()
+            out[f"sec_{tag}"] = round(time.time() - t, 2)
+        out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+        print(json.dumps(out), flush=True)
+
+
+
 def global_rank_probe(spark, sf_dir: str, n: int) -> None:
     """Round-7 probe (r6 verdict item 4): the distributed global-rank /
     global-cumsum operators at 1x vs Nx rows. Two claims under test:

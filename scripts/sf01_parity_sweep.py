@@ -21,30 +21,30 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Round-7 sample: 20 oracle-bearing queries with no prior sf0.1 check,
-# drawn from the stalest driver rounds (r2-r3 greens; see
-# scripts/coverage_report.py stalest_ok).
-R7_SAMPLE = [
-    "date_parts_agg",
-    "doc_fingerprint",
-    "hierarchical_rollup_daily",
-    "json_props_agg",
-    "jsonl_source_agg",
-    "map_entries_agg",
-    "range_window_trailing_spend",
-    "similarity_ivf_topk",
-    "asof_join_events",
-    "conditional_agg_suite",
-    "corpus_balanced_sample",
-    "corpus_decontamination",
-    "corpus_mix_sample",
-    "corpus_pii_redaction",
-    "corpus_token_budget",
-    "dq_quarantine_rows",
-    "dq_violation_counts",
-    "percent_of_total",
-    "quote_feed_source_agg",
-    "ranking_function_suite",
+# Round-8 sample: the r8 births + oracle upgrades plus the stalest
+# r3 greens (freshness maintenance after the r7 full sf0.1
+# certification); results recorded in BASELINE.md SS10.
+R8_SAMPLE = [
+    "multimodal_resize_execute",
+    "multimodal_pcm_chunk_execute",
+    "tpcds_q38_channel_intersect",
+    "tpcds_q87_channel_except",
+    "tpcds_q14_cross_channel_items",
+    "streaming_stream_stream_right_join",
+    "streaming_running_totals_final",
+    "multimodal_decode_features",
+    "token_heavy_hitters_sketch",
+    "approx_monitoring_profile",
+    "streaming_quote_feed_agg",
+    "string_functions_suite",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_custdist",
+    "tpch_q19_disjunctive_join",
+    "tpch_q22_idle_segments",
+    "tpch_q4_priority_exists",
+    "variant_json_agg",
+    "weighted_avg_pricing",
 ]
 
 
@@ -54,7 +54,7 @@ def main() -> None:
     from sp500_stock_etl_spark.plans.registry import all_queries
     from tests.parity import compare, duckdb_connect
 
-    names = sys.argv[1:] or R7_SAMPLE
+    names = sys.argv[1:] or R8_SAMPLE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = (
         SparkSession.builder.master("local[8]")
