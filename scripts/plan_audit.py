@@ -108,6 +108,16 @@ AUDITED = [
     "tpcds_q97_channel_overlap",
     "incremental_agg_maintenance",
     "multimodal_resize_plan",
+    # round 8
+    "multimodal_resize_execute",
+    "multimodal_pcm_chunk_execute",
+    "multimodal_decode_features",
+    "tpcds_q38_channel_intersect",
+    "tpcds_q87_channel_except",
+    "tpcds_q14_cross_channel_items",
+    "token_heavy_hitters_sketch",
+    "approx_monitoring_profile",
+    "streaming_running_totals_final",
 ]
 
 
