@@ -211,6 +211,7 @@ R8_QUERIES = [
     "tpcds_q38_channel_intersect",
     "tpcds_q87_channel_except",
     "tpcds_q14_cross_channel_items",
+    "multimodal_jpeg_decode_execute",
 ]
 
 

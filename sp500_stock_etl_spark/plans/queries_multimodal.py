@@ -540,3 +540,73 @@ GROUP BY media_id, chunk_idx
 def q_mm_pcm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthetic_wav_corpus(spark, _N_WAV)
     return MM.wav_pcm_chunk_features(media, chunk_ms=_PCM_CHUNK_MS)
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode EXECUTE (round-8 extension): the third modality's codec
+# made real — full baseline JPEG entropy decode (Annex-K Huffman
+# tables, bit unstuffing, DC prediction, ZRL/EOB, restart markers)
+# + dequant + float IDCT, per operators/multimodal.py. The corpus
+# places coefficients only on the exact-cosine DCT bases (DC, (0,4),
+# (4,0), (4,4); quant step 8), so every decoded pixel is the integer
+#   128 + D + s4(y)*Fv + s4(x)*Fh + s4(x)*s4(y)*Fc,
+# which DuckDB replays arithmetically with no decoder. Dims are
+# always ODD (partial edge blocks must be cropped on every image),
+# and every third image carries DRI/RSTn restart markers.
+# ---------------------------------------------------------------------------
+
+_N_JPEG = 40
+
+_JPEG_EXEC_ORACLE = f"""
+WITH img AS (
+    SELECT range AS media_id,
+           17 + 2 * ((range * 5) % 23) AS w,
+           17 + 2 * ((range * 11) % 23) AS h
+    FROM range({_N_JPEG})
+),
+xs AS (
+    SELECT media_id, w, h, CAST(unnest(range(w)) AS BIGINT) AS x FROM img
+),
+px AS (
+    SELECT media_id, w, h, x, CAST(unnest(range(h)) AS BIGINT) AS y FROM xs
+),
+c AS (
+    SELECT media_id, w, h,
+           x // 8 AS bx, y // 8 AS by,
+           CASE WHEN x % 4 IN (0, 3) THEN 1 ELSE -1 END AS sx,
+           CASE WHEN y % 4 IN (0, 3) THEN 1 ELSE -1 END AS sy
+    FROM px
+),
+v AS (
+    SELECT media_id, w, h,
+           128 + (media_id + 3 * bx + 5 * by) % 33 - 16
+               + sy * ((media_id + by) % 5 - 2)
+               + sx * ((media_id + bx) % 5 - 2)
+               + sx * sy * ((media_id + bx + by) % 3 - 1) AS lum
+    FROM c
+)
+SELECT media_id,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(lum) AS BIGINT) AS sum_lum,
+       CAST(sum(lum * lum) AS BIGINT) AS sum_sq
+FROM v
+GROUP BY media_id
+"""
+
+
+@register(
+    "multimodal_jpeg_decode_execute",
+    _JPEG_EXEC_ORACLE,
+    doc="REAL baseline JPEG decode (Annex-K Huffman entropy decode, "
+    "0xFF unstuffing, DC prediction, ZRL/EOB, DRI/RSTn restarts, "
+    "dequant, full float IDCT, edge-block crop) over a corpus of "
+    "genuine JPEG files whose pixels are closed-form (exact-cosine "
+    "DCT positions under quant 8) — per-image integer luminance "
+    "checksums replayed arithmetically by DuckDB with no decoder "
+    "(multimodal execute stage, r8 extension)",
+)
+def q_mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthetic_jpeg_corpus(spark, _N_JPEG)
+    return MM.jpeg_decode_features(media)
