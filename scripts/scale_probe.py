@@ -156,7 +156,9 @@ def codec_execute_probe(spark, sf_dir: str, n: int) -> None:
     saturate. Row counts must scale exactly with the corpus (one row
     per image; one row per chunk)."""
     from sp500_stock_etl_spark.operators.multimodal import (
+        jpeg_decode_features,
         png_resize_execute,
+        synthetic_jpeg_corpus,
         synthetic_png_corpus,
         synthetic_wav_corpus,
         wav_pcm_chunk_features,
@@ -167,6 +169,8 @@ def codec_execute_probe(spark, sf_dir: str, n: int) -> None:
          lambda k: png_resize_execute(synthetic_png_corpus(spark, 48 * k))),
         ("wav_pcm_chunk_execute", 36,
          lambda k: wav_pcm_chunk_features(synthetic_wav_corpus(spark, 36 * k))),
+        ("jpeg_decode_execute", 40,
+         lambda k: jpeg_decode_features(synthetic_jpeg_corpus(spark, 40 * k))),
     ):
         out = {"probe": name, "sf_dir": sf_dir, "n": n, "base_rows": base}
         for tag, k in (("1x", 1), ("nx", n)):
