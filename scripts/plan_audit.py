@@ -118,6 +118,7 @@ AUDITED = [
     "token_heavy_hitters_sketch",
     "approx_monitoring_profile",
     "streaming_running_totals_final",
+    "multimodal_jpeg_decode_execute",
 ]
 
 
