@@ -212,6 +212,7 @@ R8_QUERIES = [
     "tpcds_q87_channel_except",
     "tpcds_q14_cross_channel_items",
     "multimodal_jpeg_decode_execute",
+    "multimodal_mjpeg_frame_decode",
 ]
 
 

@@ -119,6 +119,7 @@ AUDITED = [
     "approx_monitoring_profile",
     "streaming_running_totals_final",
     "multimodal_jpeg_decode_execute",
+    "multimodal_mjpeg_frame_decode",
 ]
 
 

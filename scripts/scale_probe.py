@@ -157,7 +157,9 @@ def codec_execute_probe(spark, sf_dir: str, n: int) -> None:
     per image; one row per chunk)."""
     from sp500_stock_etl_spark.operators.multimodal import (
         jpeg_decode_features,
+        mjpeg_frame_decode,
         png_resize_execute,
+        synthetic_avi_corpus,
         synthetic_jpeg_corpus,
         synthetic_png_corpus,
         synthetic_wav_corpus,
@@ -171,6 +173,8 @@ def codec_execute_probe(spark, sf_dir: str, n: int) -> None:
          lambda k: wav_pcm_chunk_features(synthetic_wav_corpus(spark, 36 * k))),
         ("jpeg_decode_execute", 40,
          lambda k: jpeg_decode_features(synthetic_jpeg_corpus(spark, 40 * k))),
+        ("mjpeg_frame_decode", 12,
+         lambda k: mjpeg_frame_decode(synthetic_avi_corpus(spark, 12 * k))),
     ):
         out = {"probe": name, "sf_dir": sf_dir, "n": n, "base_rows": base}
         for tag, k in (("1x", 1), ("nx", n)):

@@ -45,6 +45,8 @@ R8_SAMPLE = [
     "tpch_q4_priority_exists",
     "variant_json_agg",
     "weighted_avg_pricing",
+    "multimodal_jpeg_decode_execute",  # late-r8 birth
+    "multimodal_mjpeg_frame_decode",  # late-r8 birth
 ]
 
 

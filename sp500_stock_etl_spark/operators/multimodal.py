@@ -12,16 +12,17 @@ headers whose facts the DuckDB oracle recomputes arithmetically):
   header-declared duration (feeds audio_chunk_plan);
 - video: MP4 mvhd (timescale/duration) + tkhd (track dims).
 
-Since r8 the CODEC level is real for THREE modalities, with zero
+Since r8 the CODEC level is real for ALL THREE modalities, with zero
 dependencies beyond the stdlib + numpy: PNG pixel decode (zlib
 inflate + all-five-filter unfilter + CRC verify — encode_png/
 decode_png below), WAV PCM sample decode (header-located LE int16
-body — encode_wav_pcm/wav_pcm_chunk_features), and baseline JPEG
-(full Annex-K Huffman entropy decode + dequant + IDCT —
-encode_jpeg_gray/decode_jpeg_gray). Only MP4 track payload decode
-(H.264 et al.) remains out of scope — that genuinely needs codec
-libraries this container lacks; its planning stages (frame
-sampling) are real and oracle-checked from headers.
+body — encode_wav_pcm/wav_pcm_chunk_features), baseline JPEG (full
+Annex-K Huffman entropy decode + dequant + IDCT — encode_jpeg_gray/
+decode_jpeg_gray), and Motion-JPEG video frames in a genuine AVI
+container (encode_avi_mjpeg/avi_info/mjpeg_frame_decode). Only MP4
+track payload decode (H.264 et al.) remains out of scope — that
+genuinely needs codec libraries this container lacks; its planning
+stages (frame sampling) are real and oracle-checked from headers.
 
 Scale notes:
 - binary payloads dominate row size → ``maxPartitionBytes`` (not row
@@ -1329,41 +1330,57 @@ def jpeg_corpus_dims(media_id: int) -> tuple[int, int]:
     return 17 + 2 * ((media_id * 5) % 23), 17 + 2 * ((media_id * 11) % 23)
 
 
-def _jpeg_corpus_block(media_id: int, bx: int, by: int) -> list[int]:
+def _jpeg_seed_block(seed: int, bx: int, by: int) -> list[int]:
+    """Formula coefficients for one block, parameterized by an
+    arbitrary seed (the JPEG corpus uses media_id; the MJPEG video
+    corpus uses a per-frame seed)."""
     nat = [0] * 64
-    nat[_JPEG_POS_DC] = (media_id + 3 * bx + 5 * by) % 33 - 16
-    nat[_JPEG_POS_H4] = (media_id + bx) % 5 - 2
-    nat[_JPEG_POS_V4] = (media_id + by) % 5 - 2
-    nat[_JPEG_POS_44] = (media_id + bx + by) % 3 - 1
+    nat[_JPEG_POS_DC] = (seed + 3 * bx + 5 * by) % 33 - 16
+    nat[_JPEG_POS_H4] = (seed + bx) % 5 - 2
+    nat[_JPEG_POS_V4] = (seed + by) % 5 - 2
+    nat[_JPEG_POS_44] = (seed + bx + by) % 3 - 1
     return nat
 
 
-def jpeg_corpus_pixel(media_id: int, x: int, y: int) -> int:
+def _jpeg_corpus_block(media_id: int, bx: int, by: int) -> list[int]:
+    return _jpeg_seed_block(media_id, bx, by)
+
+
+def jpeg_seed_pixel(seed: int, x: int, y: int) -> int:
     """The closed-form ground truth every oracle replays."""
     bx, by = x // 8, y // 8
     sx = 1 if x % 4 in (0, 3) else -1
     sy = 1 if y % 4 in (0, 3) else -1
     return (
         128
-        + (media_id + 3 * bx + 5 * by) % 33 - 16
-        + sy * ((media_id + by) % 5 - 2)
-        + sx * ((media_id + bx) % 5 - 2)
-        + sx * sy * ((media_id + bx + by) % 3 - 1)
+        + (seed + 3 * bx + 5 * by) % 33 - 16
+        + sy * ((seed + by) % 5 - 2)
+        + sx * ((seed + bx) % 5 - 2)
+        + sx * sy * ((seed + bx + by) % 3 - 1)
     )
+
+
+def jpeg_corpus_pixel(media_id: int, x: int, y: int) -> int:
+    return jpeg_seed_pixel(media_id, x, y)
+
+
+def encode_jpeg_from_seed(seed: int, w: int, h: int, restart_interval: int = 0) -> bytes:
+    """One formula-content baseline JPEG at arbitrary dims."""
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    blocks = [
+        _jpeg_seed_block(seed, bx, by)
+        for by in range(nby)
+        for bx in range(nbx)
+    ]
+    return encode_jpeg_gray(w, h, blocks, restart_interval=restart_interval)
 
 
 def encode_jpeg_corpus(media_id: int) -> bytes:
     """One REAL baseline JPEG: formula coefficients, restart markers
     every 4 MCUs on every third image so the DRI/RSTn path runs."""
     w, h = jpeg_corpus_dims(media_id)
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    blocks = [
-        _jpeg_corpus_block(media_id, bx, by)
-        for by in range(nby)
-        for bx in range(nbx)
-    ]
     ri = 4 if media_id % 3 == 0 else 0
-    return encode_jpeg_gray(w, h, blocks, restart_interval=ri)
+    return encode_jpeg_from_seed(media_id, w, h, restart_interval=ri)
 
 
 def synthetic_jpeg_corpus(spark, n: int = 40) -> DataFrame:
@@ -1426,3 +1443,244 @@ def jpeg_decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(gen, JPEG_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL Motion-JPEG video decode in an AVI container (round-8
+# extension): with a real baseline-JPEG decoder in hand, one VIDEO
+# codec path becomes honestly decodable with zero codec libraries —
+# MJPG-in-AVI, where every frame is a complete baseline JPEG inside a
+# '00dc' chunk of the RIFF 'movi' list. The writer emits a genuine
+# AVI (RIFF/LIST nesting, avih + strh/strf stream headers, word-
+# aligned frame chunks, idx1 index); the parser is a general nested
+# RIFF LIST walk that reads header facts (dims, fps, frame count)
+# AND locates each frame's byte range — so the planning stage (frame
+# sampling from header facts) and the execute stage (range-sliced
+# per-frame JPEG decode) mirror the audio chunk planner contract
+# exactly. H.264-in-MP4 remains the one genuinely library-bound gap.
+#
+# Scale: identical to the other execute stages — per-row CPU-bound
+# mapInPandas, no shuffle; at 100 TB the frame table (video, frame,
+# byte-range) fans out one-frame-per-task after a header-only plan.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(cid: bytes, data: bytes) -> bytes:
+    """One RIFF chunk with the mandatory word-alignment pad byte."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return cid + len(data).to_bytes(4, "little") + data + pad
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def encode_avi_mjpeg(width: int, height: int, frames: list[bytes],
+                     fps: int = 24) -> bytes:
+    """A REAL AVI file: RIFF('AVI ') > LIST(hdrl)(avih, LIST(strl)(
+    strh 'vids'/'MJPG', strf BITMAPINFOHEADER)) + LIST(movi)(00dc
+    frames, word-aligned) + idx1."""
+    n = len(frames)
+    usec_per_frame = 1_000_000 // fps
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = (
+        usec_per_frame.to_bytes(4, "little")
+        + (max_bytes * fps).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")          # padding granularity
+        + (0x10).to_bytes(4, "little")       # AVIF_HASINDEX
+        + n.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")          # initial frames
+        + (1).to_bytes(4, "little")          # streams
+        + max_bytes.to_bytes(4, "little")    # suggested buffer
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + b"\x00" * 16                       # reserved
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + (0).to_bytes(4, "little")          # flags
+        + (0).to_bytes(4, "little")          # priority + language
+        + (0).to_bytes(4, "little")          # initial frames
+        + (1).to_bytes(4, "little")          # scale
+        + fps.to_bytes(4, "little")          # rate (fps = rate/scale)
+        + (0).to_bytes(4, "little")          # start
+        + n.to_bytes(4, "little")            # length in frames
+        + max_bytes.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality: default
+        + (0).to_bytes(4, "little")          # sample size
+        + (0).to_bytes(2, "little") * 2      # rcFrame left, top
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (width * height * 3).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    movi = _riff_list(b"movi", movi_body)
+    # idx1: one entry per frame, offsets relative to the movi list's
+    # 'movi' fourcc (the classic AVI 1.0 convention).
+    idx_entries = []
+    off = 4
+    for f in frames:
+        idx_entries.append(
+            b"00dc" + (0x10).to_bytes(4, "little")  # AVIIF_KEYFRAME
+            + off.to_bytes(4, "little") + len(f).to_bytes(4, "little")
+        )
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def avi_info(payload: bytes) -> dict | None:
+    """Header facts + per-frame byte ranges from a RIFF AVI: nested
+    LIST walk for avih/strh/strf, then the movi list's 00dc/00db
+    chunks give (offset, size) per frame. Returns {width, height,
+    fps, n_frames_declared, frames: [(abs_offset, size)]} or None if
+    not an AVI. Frame ranges come from the CHUNK WALK (the idx1
+    index is optional in the wild); declared counts come from the
+    header, so a planner can run on a header-only prefix."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    out: dict = {"frames": []}
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            cid = payload[i : i + 4]
+            csz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body_lo, body_hi = i + 8, min(i + 8 + csz, hi)
+            if cid == b"LIST" and body_hi - body_lo >= 4:
+                ltype = payload[body_lo : body_lo + 4]
+                if ltype in (b"hdrl", b"strl", b"movi"):
+                    walk(body_lo + 4, body_hi)
+            elif cid == b"avih" and body_hi - body_lo >= 40:
+                out["usec_per_frame"] = int.from_bytes(
+                    payload[body_lo : body_lo + 4], "little")
+                out["n_frames_declared"] = int.from_bytes(
+                    payload[body_lo + 16 : body_lo + 20], "little")
+                out["width"] = int.from_bytes(
+                    payload[body_lo + 32 : body_lo + 36], "little")
+                out["height"] = int.from_bytes(
+                    payload[body_lo + 36 : body_lo + 40], "little")
+            elif cid == b"strh" and body_hi - body_lo >= 32:
+                if payload[body_lo : body_lo + 4] == b"vids":
+                    out["handler"] = payload[body_lo + 4 : body_lo + 8]
+                    scale = int.from_bytes(
+                        payload[body_lo + 20 : body_lo + 24], "little")
+                    rate = int.from_bytes(
+                        payload[body_lo + 24 : body_lo + 28], "little")
+                    if scale:
+                        out["fps"] = rate // scale
+            elif cid in (b"00dc", b"00db"):
+                out["frames"].append((body_lo, csz))
+            i += 8 + csz + (csz & 1)  # word alignment
+
+    walk(12, len(payload))
+    if "width" not in out:
+        return None
+    return out
+
+
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_lum", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def avi_corpus_dims(video_id: int) -> tuple[int, int]:
+    """Always odd, like the JPEG corpus: every frame has partial
+    edge blocks."""
+    return 17 + 2 * ((video_id * 3) % 23), 17 + 2 * ((video_id * 7) % 23)
+
+
+def avi_corpus_n_frames(video_id: int) -> int:
+    return 6 + video_id % 5
+
+
+def avi_frame_seed(video_id: int, frame: int) -> int:
+    """Per-frame formula seed — distinct content per frame so a
+    frame-indexing bug cannot cancel out in the checksums."""
+    return video_id * 31 + 97 * frame
+
+
+def encode_avi_corpus(video_id: int) -> bytes:
+    w, h = avi_corpus_dims(video_id)
+    frames = [
+        encode_jpeg_from_seed(avi_frame_seed(video_id, f), w, h)
+        for f in range(avi_corpus_n_frames(video_id))
+    ]
+    return encode_avi_mjpeg(w, h, frames)
+
+
+def synthetic_avi_corpus(spark, n: int = 12) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                [(int(i), encode_avi_corpus(int(i))) for i in batch["id"]],
+                columns=["video_id", "payload"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.range(n).mapInPandas(gen, schema)
+
+
+def mjpeg_frame_decode(media: DataFrame, every_k: int = 3) -> DataFrame:
+    """The video execute stage: AVI chunk walk locates frame byte
+    ranges, every k-th frame's JPEG is range-sliced and fully decoded
+    (baseline Huffman + IDCT), per-frame integer luminance checksums
+    out. mapInPandas, shuffle-free; non-AVI or non-MJPG payloads are
+    dropped."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for video_id, payload in zip(batch["video_id"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                info = avi_info(payload)
+                if info is None or info.get("handler") != b"MJPG":
+                    continue
+                for f in range(0, len(info["frames"]), every_k):
+                    off, size = info["frames"][f]
+                    decoded = decode_jpeg_gray(payload[off : off + size])
+                    if decoded is None:
+                        continue
+                    w, h, img = decoded
+                    px = img.astype(np.int64)
+                    rows.append(
+                        (
+                            int(video_id), f, w, h,
+                            int(px.sum()), int((px * px).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "video_id", "frame_index", "width", "height",
+                    "sum_lum", "sum_sq",
+                ],
+            )
+
+    return media.mapInPandas(gen, AVI_FRAME_SCHEMA)

@@ -7,10 +7,13 @@ the synthetic corpus embeds genuine headers, so the decode-facing
 queries are fully oracle-checked: DuckDB recomputes the same header
 facts arithmetically. A value mismatch means the byte-level header
 construction or the parser is wrong. Since r8 the codec-level step is
-REAL for two modalities end to end: PNG pixel decode (stdlib zlib
-inflate + per-scanline unfilter → multimodal_resize_execute) and WAV
-PCM sample decode (header-located LE int16 body →
-multimodal_pcm_chunk_execute), each hash-checked against a DuckDB
+REAL for all three modalities end to end: PNG pixel decode (stdlib
+zlib inflate + per-scanline unfilter → multimodal_resize_execute),
+WAV PCM sample decode (header-located LE int16 body →
+multimodal_pcm_chunk_execute), baseline JPEG decode (Annex-K Huffman
++ IDCT → multimodal_jpeg_decode_execute), and Motion-JPEG video
+frames from a genuine AVI container (→
+multimodal_mjpeg_frame_decode), each hash-checked against a DuckDB
 arithmetic replay of the corpus formulas. The byte-histogram feature
 is also hash-checked (hex-digit oracle); nothing in this family is
 rows-only anymore. The metadata-only query stays fully native and
@@ -610,3 +613,81 @@ GROUP BY media_id
 def q_mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthetic_jpeg_corpus(spark, _N_JPEG)
     return MM.jpeg_decode_features(media)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG video frame decode EXECUTE (round-8 extension): the video
+# codec path made honestly real — Motion-JPEG in a genuine AVI/RIFF
+# container (nested LIST walk, word-aligned 00dc frame chunks, idx1),
+# every sampled frame fully decoded by the baseline-JPEG codec. Frame
+# content varies per frame (seed = video*31 + 97*frame), so a
+# frame-indexing bug cannot cancel in the checksums. Plan/execute
+# mirrors the audio chunk planner: header facts (dims, fps, declared
+# frame count) come from a prefix-readable header walk; the execute
+# stage range-slices each sampled frame. H.264-in-MP4 remains the one
+# library-bound gap.
+# ---------------------------------------------------------------------------
+
+_N_AVI = 12
+_FRAME_K = 3
+
+_MJPEG_EXEC_ORACLE = f"""
+WITH vids AS (
+    SELECT range AS video_id,
+           17 + 2 * ((range * 3) % 23) AS w,
+           17 + 2 * ((range * 7) % 23) AS h,
+           6 + range % 5 AS nf
+    FROM range({_N_AVI})
+),
+fr AS (
+    SELECT video_id, w, h,
+           CAST(unnest(range(0, nf, {_FRAME_K})) AS BIGINT) AS f
+    FROM vids
+),
+xs AS (
+    SELECT video_id, w, h, f, CAST(unnest(range(w)) AS BIGINT) AS x FROM fr
+),
+px AS (
+    SELECT video_id, w, h, f, x, CAST(unnest(range(h)) AS BIGINT) AS y FROM xs
+),
+c AS (
+    SELECT video_id, w, h, f,
+           video_id * 31 + 97 * f AS s,
+           x // 8 AS bx, y // 8 AS by,
+           CASE WHEN x % 4 IN (0, 3) THEN 1 ELSE -1 END AS sx,
+           CASE WHEN y % 4 IN (0, 3) THEN 1 ELSE -1 END AS sy
+    FROM px
+),
+v AS (
+    SELECT video_id, w, h, f,
+           128 + (s + 3 * bx + 5 * by) % 33 - 16
+               + sy * ((s + by) % 5 - 2)
+               + sx * ((s + bx) % 5 - 2)
+               + sx * sy * ((s + bx + by) % 3 - 1) AS lum
+    FROM c
+)
+SELECT video_id,
+       CAST(f AS INT) AS frame_index,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       CAST(sum(lum) AS BIGINT) AS sum_lum,
+       CAST(sum(lum * lum) AS BIGINT) AS sum_sq
+FROM v
+GROUP BY video_id, f
+"""
+
+
+@register(
+    "multimodal_mjpeg_frame_decode",
+    _MJPEG_EXEC_ORACLE,
+    doc="REAL Motion-JPEG video decode from a genuine AVI container: "
+    "nested RIFF LIST walk (avih/strh/strf + word-aligned 00dc frame "
+    "chunks) locates per-frame byte ranges, every 3rd frame is fully "
+    "decoded by the baseline-JPEG codec (Huffman + IDCT), per-frame "
+    "integer luminance checksums replayed arithmetically by DuckDB "
+    "from the per-frame seed formula (video execute stage, r8 "
+    "extension)",
+)
+def q_mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthetic_avi_corpus(spark, _N_AVI)
+    return MM.mjpeg_frame_decode(media, every_k=_FRAME_K)

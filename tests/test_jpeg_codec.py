@@ -183,3 +183,62 @@ def test_marker_byte_inside_scan_raises():
     payload[sos + 12 : sos + 12] = b"\xff\xd9"
     with pytest.raises(ValueError):
         M.decode_jpeg_gray(bytes(payload))
+
+
+# --- AVI / Motion-JPEG container (r8 extension) ---------------------------
+
+
+def test_avi_header_facts_and_frame_ranges():
+    frames = [M.encode_jpeg_from_seed(s, 25, 19) for s in (5, 6, 7)]
+    payload = M.encode_avi_mjpeg(25, 19, frames, fps=24)
+    info = M.avi_info(payload)
+    assert info is not None
+    assert (info["width"], info["height"]) == (25, 19)
+    assert info["handler"] == b"MJPG" and info["fps"] == 24
+    assert info["n_frames_declared"] == 3 == len(info["frames"])
+    for f, (off, size) in enumerate(info["frames"]):
+        assert payload[off : off + size] == frames[f]
+
+
+def test_avi_word_alignment_pads_odd_frames():
+    # An odd-length frame chunk must be padded; the NEXT frame's range
+    # must still be located correctly.
+    frames = [M.encode_jpeg_from_seed(s, 17, 17) for s in (1, 2)]
+    odd = next((f for f in frames if len(f) % 2), None)
+    if odd is None:  # force an odd length via a COM-free tail tweak
+        frames[0] += b"\x00"  # trailing pad after EOI is legal garbage
+    payload = M.encode_avi_mjpeg(17, 17, frames)
+    info = M.avi_info(payload)
+    assert len(info["frames"]) == 2
+    for f, (off, size) in enumerate(info["frames"]):
+        assert payload[off : off + size] == frames[f]
+
+
+def test_avi_corpus_sampled_frames_match_formula():
+    vid = 4
+    payload = M.encode_avi_corpus(vid)
+    info = M.avi_info(payload)
+    w, h = M.avi_corpus_dims(vid)
+    for f in range(0, M.avi_corpus_n_frames(vid), 3):
+        off, size = info["frames"][f]
+        _, _, img = M.decode_jpeg_gray(payload[off : off + size])
+        s = M.avi_frame_seed(vid, f)
+        for x, y in [(0, 0), (w - 1, h - 1), (w // 2, h // 3)]:
+            assert int(img[y, x]) == M.jpeg_seed_pixel(s, x, y)
+
+
+def test_avi_rejects_foreign_payloads():
+    assert M.avi_info(b"") is None
+    assert M.avi_info(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert M.avi_info(M.encode_jpeg_corpus(0)) is None
+
+
+def test_avi_frame_content_differs_across_frames():
+    # Distinct per-frame seeds: a frame-indexing bug cannot cancel.
+    payload = M.encode_avi_corpus(2)
+    info = M.avi_info(payload)
+    imgs = [
+        M.decode_jpeg_gray(payload[o : o + s])[2].tobytes()
+        for o, s in info["frames"][:3]
+    ]
+    assert len(set(imgs)) == 3
