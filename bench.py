@@ -213,6 +213,9 @@ R8_QUERIES = [
     "tpcds_q14_cross_channel_items",
     "multimodal_jpeg_decode_execute",
     "multimodal_mjpeg_frame_decode",
+    "quality_classifier_inference",
+    "corpus_domain_mixture",
+    "unpivot_measures_long",
 ]
 
 

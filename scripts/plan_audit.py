@@ -120,6 +120,9 @@ AUDITED = [
     "streaming_running_totals_final",
     "multimodal_jpeg_decode_execute",
     "multimodal_mjpeg_frame_decode",
+    "quality_classifier_inference",
+    "corpus_domain_mixture",
+    "unpivot_measures_long",
 ]
 
 

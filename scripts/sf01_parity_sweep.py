@@ -47,6 +47,9 @@ R8_SAMPLE = [
     "weighted_avg_pricing",
     "multimodal_jpeg_decode_execute",  # late-r8 birth
     "multimodal_mjpeg_frame_decode",  # late-r8 birth
+    "quality_classifier_inference",  # late-r8 birth
+    "corpus_domain_mixture",  # late-r8 birth
+    "unpivot_measures_long",  # late-r8 birth
 ]
 
 
