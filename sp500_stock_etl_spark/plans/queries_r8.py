@@ -259,18 +259,11 @@ FROM logits
 """
 
 
-@register(
-    "quality_classifier_inference",
-    _QUALITY_CLASSIFIER_ORACLE,
-    doc="logistic-regression quality classifier applied as pure Catalyst "
-    "expressions: literal trained weights x integer-ppm text features -> "
-    "micro-logit, clamped piecewise-linear sigmoid (non-negative operand "
-    "before the divide so Spark div == DuckDB //), keep decision; the "
-    "fasttext-filter role of LLM pipelines as a map-side codegen "
-    "projection, no UDF (late r8)",
-)
-def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def classifier_scores(docs: DataFrame) -> DataFrame:
+    """The classifier as a reusable STATELESS projection over any
+    (doc_id, text) frame — batch or stream (it contains no aggregate,
+    no window, no state), which is what lets the streaming twin reuse
+    the identical Catalyst expressions AND the identical oracle."""
     t = norm_text(F.col("text"))
     staged = docs.select(
         "doc_id",
@@ -329,6 +322,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+@register(
+    "quality_classifier_inference",
+    _QUALITY_CLASSIFIER_ORACLE,
+    doc="logistic-regression quality classifier applied as pure Catalyst "
+    "expressions: literal trained weights x integer-ppm text features -> "
+    "micro-logit, clamped piecewise-linear sigmoid (non-negative operand "
+    "before the divide so Spark div == DuckDB //), keep decision; the "
+    "fasttext-filter role of LLM pipelines as a map-side codegen "
+    "projection, no UDF (late r8)",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_scores(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -1146,3 +1146,36 @@ def q_streaming_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("total_cents", "n_events").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the late-r8 quality classifier: the model is a
+# STATELESS Catalyst projection (no aggregate, no window, no state),
+# so it rides Structured Streaming completely unchanged — same
+# expression tree, append mode, zero state store — and the BATCH
+# oracle checks the stream bit-for-bit. This is the deployment shape
+# of a pretraining quality filter: score documents as they arrive,
+# keep/drop before they ever hit the corpus store.
+# ---------------------------------------------------------------------------
+
+
+def _attach_streaming_classifier() -> None:
+    from .queries_r8 import _QUALITY_CLASSIFIER_ORACLE, classifier_scores
+
+    @register(
+        "streaming_quality_classifier",
+        _QUALITY_CLASSIFIER_ORACLE,
+        doc="the quality-classifier projection applied to an arriving "
+        "document stream (append mode, stateless — no watermark or state "
+        "store needed); availableNow result equals the batch operator so "
+        "the identical integer-fixed-point oracle checks the stream end "
+        "to end (SURVEY §2.11 x late-r8 classifier)",
+    )
+    def q_streaming_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = _read_document_stream(
+            spark, _stage_documents_dir(sf_dir)
+        ).select("doc_id", "text")
+        return _run_to_table(spark, classifier_scores(stream), "append")
+
+
+_attach_streaming_classifier()
