@@ -216,6 +216,8 @@ R8_QUERIES = [
     "quality_classifier_inference",
     "corpus_domain_mixture",
     "unpivot_measures_long",
+    "streaming_quality_classifier",
+    "quality_threshold_calibration",
 ]
 
 

@@ -220,12 +220,16 @@ def _qc_stop_list() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 
-_QUALITY_CLASSIFIER_ORACLE = f"""
-WITH tokd AS (
-    SELECT doc_id, {sql_norm_text('text')} AS t FROM documents
+def _qc_scores_ctes(carry: str = "") -> str:
+    """The classifier oracle's CTE chain ending in a ``scores``
+    relation (doc_id{carry}, logit_micro, prob_ppm, keep) so dependent
+    oracles (per-domain calibration) replay the IDENTICAL arithmetic;
+    ``carry`` is an extra projected column list like ``, source``."""
+    return f"""tokd AS (
+    SELECT doc_id{carry}, {sql_norm_text('text')} AS t FROM documents
 ),
 feats AS (
-    SELECT doc_id,
+    SELECT doc_id{carry},
            len(string_split(t, ' ')) AS n_tokens,
            len(list_distinct(string_split(t, ' '))) AS n_distinct,
            len(list_filter(string_split(t, ' '),
@@ -235,38 +239,52 @@ feats AS (
     FROM tokd
 ),
 ppm AS (
-    SELECT doc_id, n_tokens,
+    SELECT doc_id{carry}, n_tokens,
            1000000 * n_distinct // n_tokens AS ttr_ppm,
            1000000 * stop_hits // n_tokens AS stop_ppm,
            1000000 * punct // n_chars AS punct_ppm
     FROM feats WHERE n_tokens > 0 AND n_chars > 0
 ),
 logits AS (
-    SELECT doc_id,
+    SELECT doc_id{carry},
            CAST({_QC_BIAS}
                 + {_QC_W_TTR} * ttr_ppm
                 + {_QC_W_STOP} * stop_ppm
                 + {_QC_W_PUNCT} * punct_ppm
                 + {_QC_W_LEN} * least(n_tokens, 200) AS BIGINT) AS logit_micro
     FROM ppm
-)
-SELECT doc_id,
-       logit_micro,
-       CAST(greatest(0, least(8000000, logit_micro + 4000000)) // 8
-            AS BIGINT) AS prob_ppm,
-       CAST(CASE WHEN logit_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-FROM logits
+),
+scores AS (
+    SELECT doc_id{carry},
+           logit_micro,
+           CAST(greatest(0, least(8000000, logit_micro + 4000000)) // 8
+                AS BIGINT) AS prob_ppm,
+           CAST(CASE WHEN logit_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM logits
+)"""
+
+
+_QUALITY_CLASSIFIER_ORACLE = f"""
+WITH {_qc_scores_ctes()}
+SELECT doc_id, logit_micro, prob_ppm, keep FROM scores
 """
 
 
-def classifier_scores(docs: DataFrame) -> DataFrame:
+def classifier_scores(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The classifier as a reusable STATELESS projection over any
     (doc_id, text) frame — batch or stream (it contains no aggregate,
     no window, no state), which is what lets the streaming twin reuse
-    the identical Catalyst expressions AND the identical oracle."""
+    the identical Catalyst expressions AND the identical oracle.
+
+    ``carry`` names extra input columns to pass through unchanged
+    (e.g. the domain for per-domain calibration) — carrying them in
+    the projection is free and avoids a corpus self-join later.
+    """
+    carry = tuple(carry)
     t = norm_text(F.col("text"))
     staged = docs.select(
         "doc_id",
+        *carry,
         F.split(t, " ").alias("toks"),
         F.length(F.regexp_replace(t, r"[a-z0-9\s]", "")).cast("bigint").alias("punct"),
         F.length(t).cast("bigint").alias("n_chars"),
@@ -274,6 +292,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
     n_tokens = F.size("toks").cast("bigint")
     feats = staged.select(
         "doc_id",
+        *carry,
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
         F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS["en"])))
@@ -288,6 +307,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
     # its divide for the same reason.
     ppm = feats.select(
         "doc_id",
+        *carry,
         "n_tokens",
         F.expr("1000000 * n_distinct div n_tokens").alias("ttr_ppm"),
         F.expr("1000000 * stop_hits div n_tokens").alias("stop_ppm"),
@@ -301,7 +321,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
         + F.lit(_QC_W_LEN) * F.least(F.col("n_tokens"), F.lit(200).cast("bigint"))
     ).cast("bigint")
     return (
-        ppm.select("doc_id", logit.alias("logit_micro"))
+        ppm.select("doc_id", *carry, logit.alias("logit_micro"))
         .withColumn(
             "_shifted",
             F.greatest(
@@ -314,6 +334,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
+            *carry,
             "logit_micro",
             F.expr("_shifted div 8").cast("bigint").alias("prob_ppm"),
             F.when(F.col("logit_micro") >= 0, F.lit(1))
@@ -493,3 +514,92 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.count("*").cast("bigint").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quality-THRESHOLD calibration (the step after classifier
+# inference in a real pretraining pipeline: a single global cutoff
+# over-prunes domains whose score distribution sits low — news prose
+# scores differently from forum text — so the keep threshold is
+# calibrated PER DOMAIN as an exact order statistic: the k-th smallest
+# micro-logit with k = 3n/10 + 1, i.e. "drop the bottom ~30% of each
+# domain"). Everything is integer: the scores are the classifier's
+# fixed-point micro-logits and the threshold is an element of the
+# score multiset, so the oracle replays it bit-for-bit.
+#
+# Scale: exact per-group order statistics need a per-domain sort —
+# one window shuffle partitioned by domain (parallel across domains;
+# a skewed mega-domain would switch to approx/sampled calibration,
+# documented trade-off). The threshold relation is domain-cardinality,
+# broadcast back; the final aggregate is #domains rows.
+# ---------------------------------------------------------------------------
+
+_QUALITY_CALIBRATION_ORACLE = f"""
+WITH {_qc_scores_ctes(", source")},
+ranked AS (
+    SELECT source, doc_id, logit_micro, keep,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY logit_micro, doc_id) AS rnk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM scores
+),
+thresholds AS (
+    SELECT source, logit_micro AS threshold_micro
+    FROM ranked WHERE rnk = 3 * n // 10 + 1
+)
+SELECT r.source AS domain,
+       CAST(max(r.n) AS BIGINT) AS n_docs,
+       CAST(max(t.threshold_micro) AS BIGINT) AS threshold_micro,
+       CAST(sum(CASE WHEN r.logit_micro >= t.threshold_micro
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_cal,
+       CAST(sum(r.keep) AS BIGINT) AS n_kept_model
+FROM ranked r JOIN thresholds t ON r.source = t.source
+GROUP BY r.source
+"""
+
+
+@register(
+    "quality_threshold_calibration",
+    _QUALITY_CALIBRATION_ORACLE,
+    doc="per-domain calibration of the quality classifier's keep "
+    "threshold: exact k-th-smallest micro-logit per domain (k = 3n/10 "
+    "+ 1, deterministic doc_id tie-break), domain-cardinality threshold "
+    "relation broadcast back, per-domain kept counts vs the global "
+    "model cutoff; one per-domain window sort + one tiny aggregate "
+    "(late r8)",
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scores = classifier_scores(docs, carry=("source",)).select(
+        "doc_id", "source", "logit_micro", "keep"
+    )
+    ranked = scores.select(
+        "source",
+        "doc_id",
+        "logit_micro",
+        "keep",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.asc("logit_micro"), F.asc("doc_id")
+            )
+        )
+        .alias("rnk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    thresholds = ranked.where(F.col("rnk") == F.expr("3 * n div 10 + 1")).select(
+        "source", F.col("logit_micro").alias("threshold_micro")
+    )
+    joined = ranked.join(F.broadcast(thresholds), "source")
+    return joined.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("threshold_micro").cast("bigint").alias("threshold_micro"),
+        F.sum(
+            F.when(F.col("logit_micro") >= F.col("threshold_micro"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_kept_cal"),
+        F.sum("keep").cast("bigint").alias("n_kept_model"),
+    ).withColumnRenamed("source", "domain")
