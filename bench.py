@@ -218,6 +218,7 @@ R8_QUERIES = [
     "unpivot_measures_long",
     "streaming_quality_classifier",
     "quality_threshold_calibration",
+    "multimodal_adpcm_decode_execute",
 ]
 
 

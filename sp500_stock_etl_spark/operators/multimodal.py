@@ -1684,3 +1684,203 @@ def mjpeg_frame_decode(media: DataFrame, every_k: int = 3) -> DataFrame:
             )
 
     return media.mapInPandas(gen, AVI_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL IMA-ADPCM audio codec (round-8 extension): the COMPRESSED-audio
+# twin of the PCM execute stage — 4-bit IMA ADPCM (the WAV fmt-0x11 /
+# DVI4 scheme: public IMA spec, also RFC 3551 §4.5.1), decoded with
+# the genuine predictor/step-index table walk. Unlike PCM, every
+# output sample depends on ALL previous nibbles in its block (clamped
+# integer state), so a correct hash certifies the sequential decode
+# loop, not just byte addressing.
+#
+# Oracle contract: the corpus nibbles are a closed-form function of
+# (media_id, block, position), and the DECODE is deterministic integer
+# state — so DuckDB replays the identical walk with a RECURSIVE CTE
+# (65 iterations, one row per block per step), an independent second
+# implementation of the state machine. The step/index TABLES are
+# imported by both sides from the constants below (not retyped), so
+# parity convicts the walk, the clamps, the nibble unpacking, the
+# block framing, and the WAV header math — a table transcription slip
+# is the one shared input parity cannot see (pinned instead by the
+# spec-shape test: 89 strictly-increasing steps, 7 .. 32767).
+#
+# Scale design: identical to the other execute stages — per-row
+# CPU-bound map work behind Arrow-batched mapInPandas, no shuffle;
+# block features are integers so downstream aggregation is
+# order-independent.
+# ---------------------------------------------------------------------------
+
+# IMA ADPCM step-size table (89 entries) and index-adjust table —
+# public spec constants shared by encoder, decoder, and oracle SQL.
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]  # indexed by nibble & 7
+
+_ADPCM_BLOCK_ALIGN = 36  # 4-byte block header + 32 nibble bytes
+_ADPCM_NIBBLES = (_ADPCM_BLOCK_ALIGN - 4) * 2  # 64 -> 65 samples/block
+_ADPCM_RATE = 8000
+
+
+def adpcm_corpus_blocks(media_id: int) -> int:
+    return media_id % 4 + 2
+
+
+def _adpcm_nibble(media_id: int, block: int, j: int) -> int:
+    """Corpus nibble formula — replayed literally by the oracle."""
+    return (media_id * 7 + block * 5 + j * 3) % 16
+
+
+def _adpcm_block_init(media_id: int, block: int) -> tuple[int, int]:
+    pred = ((media_id * 131 + block * 71) % 65536) - 32768
+    idx = (media_id * 3 + block * 7) % 89
+    return pred, idx
+
+
+def encode_wav_adpcm(media_id: int) -> bytes:
+    """A COMPLETE IMA-ADPCM WAV: fmt (tag 0x11, cbSize=2 with
+    samplesPerBlock), fact chunk, and block-structured data — each
+    block a (predictor int16 LE, step index u8, reserved u8) header
+    followed by packed nibbles, LOW nibble first per the spec."""
+    n_blocks = adpcm_corpus_blocks(media_id)
+    samples_per_block = _ADPCM_NIBBLES + 1
+    blocks = bytearray()
+    for b in range(n_blocks):
+        pred, idx = _adpcm_block_init(media_id, b)
+        blocks += pred.to_bytes(2, "little", signed=True)
+        blocks += bytes([idx, 0])
+        for byte_i in range(_ADPCM_BLOCK_ALIGN - 4):
+            lo = _adpcm_nibble(media_id, b, 2 * byte_i)
+            hi = _adpcm_nibble(media_id, b, 2 * byte_i + 1)
+            blocks.append(lo | (hi << 4))
+    data = bytes(blocks)
+    byte_rate = _ADPCM_RATE * _ADPCM_BLOCK_ALIGN // samples_per_block
+    fmt_body = (
+        (0x11).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")  # mono
+        + _ADPCM_RATE.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + _ADPCM_BLOCK_ALIGN.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")  # bits per (compressed) sample
+        + (2).to_bytes(2, "little")  # cbSize
+        + samples_per_block.to_bytes(2, "little")
+    )
+    fact = b"fact" + (4).to_bytes(4, "little") + (
+        samples_per_block * n_blocks
+    ).to_bytes(4, "little")
+    riff_size = 4 + (8 + len(fmt_body)) + len(fact) + (8 + len(data))
+    return (
+        b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + fact
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def decode_adpcm_block(block: bytes) -> tuple[list[int], int]:
+    """Decode ONE IMA-ADPCM block (general: any block size). Returns
+    (samples, final step index) — samples start with the header
+    sample, then one per nibble."""
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    idx = block[2]
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0xF, byte >> 4):
+            step = IMA_STEP_TABLE[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + IMA_INDEX_TABLE[nib & 7]))
+            out.append(pred)
+    return out, idx
+
+
+def synthetic_adpcm_corpus(spark, n: int = 30) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                [(int(i), encode_wav_adpcm(int(i))) for i in batch["id"]],
+                columns=["media_id", "payload"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.range(n).mapInPandas(gen, schema)
+
+
+ADPCM_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("block_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("end_pred", T.LongType()),
+        T.StructField("end_index", T.LongType()),
+    ]
+)
+
+
+def adpcm_block_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-audio decode: header walk locates the data
+    range (fmt tag must be 0x11), each block_align-sized block is
+    decoded with the full IMA state walk, and per-block integer
+    features are emitted — sums certify every sample, end_pred /
+    end_index certify the FINAL state (a mid-block slip cannot
+    cancel out of both)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                info = wav_info(payload)
+                if info is None or info["audio_format"] != 0x11:
+                    continue
+                if info["channels"] != 1 or info["bits_per_sample"] != 4:
+                    continue
+                off, size, ba = (
+                    info["data_offset"], info["data_size"], info["block_align"]
+                )
+                if off is None or len(payload) < off + size or ba <= 4:
+                    continue
+                for b in range(size // ba):
+                    block = payload[off + b * ba : off + (b + 1) * ba]
+                    samples, end_idx = decode_adpcm_block(block)
+                    s = sum(samples)
+                    sq = sum(v * v for v in samples)
+                    rows.append(
+                        (
+                            int(media_id), b, len(samples),
+                            int(s), int(sq), int(samples[-1]), int(end_idx),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "block_idx", "n_samples",
+                    "sum_s", "sum_sq", "end_pred", "end_index",
+                ],
+            )
+
+    return media.mapInPandas(gen, ADPCM_BLOCK_SCHEMA)

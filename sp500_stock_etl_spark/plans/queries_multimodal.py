@@ -691,3 +691,97 @@ GROUP BY video_id, f
 def q_mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthetic_avi_corpus(spark, _N_AVI)
     return MM.mjpeg_frame_decode(media, every_k=_FRAME_K)
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM decode EXECUTE (late r8): the COMPRESSED-audio codec made
+# real — 4-bit IMA ADPCM (WAV fmt 0x11) with the genuine
+# predictor/step-index state walk, so every decoded sample depends on
+# all prior nibbles in its block; a correct hash certifies the
+# sequential state machine, not just byte addressing. The oracle is
+# an INDEPENDENT second implementation of the decoder: a DuckDB
+# recursive CTE (one row per block per step, 64 iterations) replaying
+# the walk from the corpus's closed-form nibbles. The step/index
+# tables are imported from operators/multimodal.py, not retyped —
+# shared constants are the one input parity cannot check (pinned by
+# the spec-shape test in tests/test_adpcm_codec.py instead).
+# ---------------------------------------------------------------------------
+
+_N_ADPCM = 30
+_ADPCM_NIB = MM._ADPCM_NIBBLES
+_ADPCM_STEPS_SQL = "[" + ", ".join(str(v) for v in MM.IMA_STEP_TABLE) + "]"
+_ADPCM_IDXADJ_SQL = "[" + ", ".join(str(v) for v in MM.IMA_INDEX_TABLE) + "]"
+
+_ADPCM_ORACLE = f"""
+WITH RECURSIVE
+files AS (
+    SELECT range AS media_id, range % 4 + 2 AS n_blocks
+    FROM range({_N_ADPCM})
+),
+blocks AS (
+    SELECT media_id,
+           CAST(unnest(range(n_blocks)) AS BIGINT) AS block_idx
+    FROM files
+),
+init AS (
+    SELECT media_id, block_idx,
+           CAST(((media_id * 131 + block_idx * 71) % 65536) - 32768
+                AS BIGINT) AS pred0,
+           CAST((media_id * 3 + block_idx * 7) % 89 AS BIGINT) AS idx0
+    FROM blocks
+),
+walk(media_id, block_idx, j, pred, idx, sum_s, sum_sq) AS (
+    SELECT media_id, block_idx, CAST(0 AS BIGINT), pred0, idx0,
+           pred0, pred0 * pred0
+    FROM init
+    UNION ALL
+    SELECT media_id, block_idx, j + 1, new_pred,
+           greatest(0, least(88,
+               idx + ({_ADPCM_IDXADJ_SQL})[(nib % 8) + 1])),
+           sum_s + new_pred, sum_sq + new_pred * new_pred
+    FROM (
+        SELECT media_id, block_idx, j, idx, sum_s, sum_sq, nib,
+               greatest(-32768, least(32767,
+                   pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END
+               )) AS new_pred
+        FROM (
+            SELECT *,
+                   step // 8
+                   + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+                   + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                   + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+                   AS diff
+            FROM (
+                SELECT *,
+                       ({_ADPCM_STEPS_SQL})[idx + 1] AS step,
+                       (media_id * 7 + block_idx * 5 + j * 3) % 16 AS nib
+                FROM walk WHERE j < {_ADPCM_NIB}
+            ) s1
+        ) s2
+    ) s3
+)
+SELECT media_id,
+       CAST(block_idx AS INT) AS block_idx,
+       CAST({_ADPCM_NIB} + 1 AS BIGINT) AS n_samples,
+       CAST(sum_s AS BIGINT) AS sum_s,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       CAST(pred AS BIGINT) AS end_pred,
+       CAST(idx AS BIGINT) AS end_index
+FROM walk WHERE j = {_ADPCM_NIB}
+"""
+
+
+@register(
+    "multimodal_adpcm_decode_execute",
+    _ADPCM_ORACLE,
+    doc="REAL IMA-ADPCM compressed-audio decode (WAV fmt 0x11, genuine "
+    "predictor/step-index table walk with both clamps, low-nibble-first "
+    "unpacking) folded to per-block integer sums plus the FINAL "
+    "predictor and step index — end-state columns make a mid-block "
+    "slip uncancelable; the oracle re-implements the decoder as a "
+    "DuckDB recursive CTE over the corpus's closed-form nibbles "
+    "(late r8)",
+)
+def q_mm_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthetic_adpcm_corpus(spark, _N_ADPCM)
+    return MM.adpcm_block_features(media)
