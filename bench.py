@@ -219,6 +219,8 @@ R8_QUERIES = [
     "streaming_quality_classifier",
     "quality_threshold_calibration",
     "multimodal_adpcm_decode_execute",
+    "recursive_bom_rollup",
+    "recursive_functional_walk",
 ]
 
 

@@ -603,3 +603,98 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept_cal"),
         F.sum("keep").cast("bigint").alias("n_kept_model"),
     ).withColumnRenamed("source", "domain")
+
+
+# ---------------------------------------------------------------------------
+# NATIVE RECURSIVE CTEs (late r8): Spark 4.x executes WITH RECURSIVE
+# as an iterative union-loop — each iteration a fully distributed
+# join/projection — so bounded-depth hierarchy walks (BOM rollups,
+# org-chart climbs, fixed-horizon graph walks) are now declarative,
+# and the portable SQL text is BOTH the Spark query and the DuckDB
+# oracle (TPC-batch convention: the engines execute the identical
+# statement).
+#
+# Verified engine boundary: Spark 4.1 supports only UNION ALL
+# recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE raised for
+# UNION-distinct), so cycle-safe unbounded reachability still belongs
+# to the operator library's connected-components loops
+# (operators/dedup.py, documented crossover ~diameter 15); these
+# queries are the bounded-depth declarative complement, with every
+# recursion capped by an explicit depth/ancestor guard.
+#
+# Scale: per-iteration work is one distributed equi-join (parent or
+# successor key) over the frontier; depth is log(tree) / a constant,
+# so the iteration count — Spark's recursion limit and the 100 TB
+# cost model both key off it — is bounded by design. All arithmetic
+# is integer cents, so parity is exact.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_BOM_SQL = """
+WITH RECURSIVE chain(part_id, anc, depth, chain_cents) AS (
+    SELECT p_partkey, p_partkey, 0,
+           CAST(floor(p_retailprice * 100) AS BIGINT)
+    FROM part WHERE p_size = 50
+    UNION ALL
+    SELECT c.part_id, p.p_partkey, c.depth + 1,
+           c.chain_cents + CAST(floor(p.p_retailprice * 100) AS BIGINT)
+    FROM chain c JOIN part p
+      ON p.p_partkey = CAST(floor((c.anc - 1) / 2) AS BIGINT)
+    WHERE c.anc > 0
+)
+SELECT part_id,
+       CAST(depth AS BIGINT) AS depth,
+       chain_cents
+FROM chain WHERE anc = 0
+"""
+
+
+@register(
+    "recursive_bom_rollup",
+    _RECURSIVE_BOM_SQL,
+    doc="native WITH RECURSIVE (Spark 4.x iterative union-loop): "
+    "BOM-style assembly-cost rollup climbing the implicit binary part "
+    "hierarchy (parent = floor((k-1)/2)) from a filtered leaf set to "
+    "the root, accumulating exact integer cents; one distributed "
+    "parent-key join per level, depth bounded at log2(#parts); "
+    "portable SQL text is query and oracle (late r8)",
+)
+def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_BOM_SQL)
+
+
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE walk(start_key, cur, step, bal_cents, n_supp) AS (
+    SELECT s_suppkey, s_suppkey, 0,
+           CAST(floor(s_acctbal * 100) AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier)
+    FROM supplier WHERE s_suppkey % 7 = 0
+    UNION ALL
+    SELECT w.start_key, s.s_suppkey, w.step + 1,
+           w.bal_cents + CAST(floor(s.s_acctbal * 100) AS BIGINT),
+           w.n_supp
+    FROM walk w JOIN supplier s
+      ON s.s_suppkey = (w.cur * 7 + 3) % w.n_supp
+    WHERE w.step < 12
+)
+SELECT start_key, cur AS end_key, bal_cents
+FROM walk WHERE step = 12
+"""
+
+
+@register(
+    "recursive_functional_walk",
+    _RECURSIVE_WALK_SQL,
+    doc="native WITH RECURSIVE fixed-horizon graph walk: from each "
+    "seed supplier, follow the functional successor edge "
+    "(cur*7+3 mod N, re-joining the supplier table every step) for "
+    "exactly 12 hops, accumulating integer-cents balances along the "
+    "path — the referral-chain / escalation-path shape; cycles are "
+    "harmless because the horizon, not visited-set dedup, bounds the "
+    "recursion (Spark 4.1 rejects UNION-distinct recursion — "
+    "boundary pinned in tests); portable SQL text is query and "
+    "oracle (late r8)",
+)
+def q_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_WALK_SQL)
