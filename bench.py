@@ -221,6 +221,9 @@ R8_QUERIES = [
     "multimodal_adpcm_decode_execute",
     "recursive_bom_rollup",
     "recursive_functional_walk",
+    "lateral_topk_per_customer",
+    "listagg_supplier_directory",
+    "sql_udf_order_cents",
 ]
 
 

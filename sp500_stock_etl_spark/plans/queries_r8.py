@@ -698,3 +698,121 @@ FROM walk WHERE step = 12
 def q_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4.x SQL-surface births (late r8): correlated LATERAL join,
+# ordered-set listagg, and SQL-defined UDFs — three API families the
+# registry exercised only on the ORACLE side until now.
+# ---------------------------------------------------------------------------
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(floor(t.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM customer c JOIN LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON true
+WHERE c.c_custkey % 100 = 0
+"""
+
+
+@register(
+    "lateral_topk_per_customer",
+    _LATERAL_TOPK_SQL,
+    doc="correlated JOIN LATERAL with per-customer ORDER BY ... LIMIT 2 "
+    "(the top-k-per-entity idiom written the SQL-standard way): "
+    "Catalyst DECORRELATES it into WindowGroupLimit — map-side partial "
+    "top-k pruning BEFORE the shuffle, then a broadcast join; no "
+    "nested loop anywhere (plan-pinned). Portable SQL text is query "
+    "and oracle; deterministic key tie-break (late r8)",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# listagg (Spark 4.x) vs string_agg (DuckDB): same ordered-set
+# semantics, different spellings — the one family where the texts
+# must differ. The deterministic WITHIN GROUP order makes the
+# concatenation exact; md5 keeps the row narrow.
+
+_LISTAGG_ORACLE = """
+SELECT n_name,
+       md5(string_agg(s_name, '|' ORDER BY s_name)) AS names_md5,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register(
+    "listagg_supplier_directory",
+    _LISTAGG_ORACLE,
+    doc="ordered-set string aggregation: Spark 4.x listagg(...) WITHIN "
+    "GROUP (ORDER BY ...) per nation, md5-projected; DuckDB replays "
+    "with string_agg(... ORDER BY ...) — the explicit order makes the "
+    "concatenation deterministic, the md5 hash makes any element or "
+    "order slip a value mismatch (late r8)",
+)
+def q_listagg_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               md5(listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name))
+                   AS names_md5,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+# SQL-defined UDF (Spark 4.x CREATE FUNCTION ... RETURN expr): the
+# function body is pure SQL, so Catalyst INLINES it — unlike Python
+# UDFs there is no serialization boundary, no Arrow hop, full
+# codegen; this is the right tool for shared scalar business logic.
+# The oracle inlines the identical expression by hand, proving the
+# inlining is semantics-preserving.
+
+_SQL_UDF_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_udf_order_cents",
+    _SQL_UDF_ORACLE,
+    doc="SQL-defined scalar UDF (Spark 4.x CREATE TEMPORARY FUNCTION "
+    "... RETURN expr) used inside a grouped aggregate: the body is "
+    "inlined by Catalyst — no serialization boundary, stays in "
+    "whole-stage codegen, unlike any Python UDF; the oracle hand-"
+    "inlines the same expression so parity certifies the inlining "
+    "(late r8)",
+)
+def q_sql_udf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(x * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(sum(order_cents(o_totalprice)) AS BIGINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -74,3 +74,30 @@ def test_walk_fixed_horizon(spark):
         total += bal[cur]
     got = {r["start_key"]: (r["end_key"], r["bal_cents"]) for r in rows}
     assert got[seed] == (cur, total)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL ... LIMIT 2 must be decorrelated into
+    WindowGroupLimit (map-side partial top-k before the shuffle) +
+    an equi-join — never a nested-loop or cartesian plan."""
+    from sp500_stock_etl_spark.plans.queries_r8 import q_lateral_topk
+
+    plan = (
+        q_lateral_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_udf_is_inlined(spark):
+    """The SQL-defined UDF must leave NO udf call in the physical
+    plan — the body is inlined into the aggregate expression."""
+    from sp500_stock_etl_spark.plans.queries_r8 import q_sql_udf_cents
+
+    plan = (
+        q_sql_udf_cents(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "order_cents" not in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FLOOR" in plan.upper()
