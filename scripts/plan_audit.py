@@ -123,6 +123,13 @@ AUDITED = [
     "quality_classifier_inference",
     "corpus_domain_mixture",
     "unpivot_measures_long",
+    "quality_threshold_calibration",
+    "multimodal_adpcm_decode_execute",
+    "recursive_bom_rollup",
+    "recursive_functional_walk",
+    "lateral_topk_per_customer",
+    "listagg_supplier_directory",
+    "sql_udf_order_cents",
 ]
 
 
