@@ -224,6 +224,8 @@ R8_QUERIES = [
     "lateral_topk_per_customer",
     "listagg_supplier_directory",
     "sql_udf_order_cents",
+    "tpcds_q36_rollup_rank",
+    "tpcds_q49_dual_rank_report",
 ]
 
 

@@ -816,3 +816,102 @@ def q_sql_udf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS batch 4 (late r8): the two reporting shapes the suite still
+# lacked — rank-WITHIN-rollup-level (Q36) and dual-rank OR-filtered
+# channel reports (Q49). TPC-batch convention: portable SQL text is
+# query and oracle. NULLS FIRST is explicit everywhere a rollup NULL
+# can reach an ORDER BY (Spark defaults NULLS FIRST, DuckDB NULLS
+# LAST — implicit ordering would silently diverge).
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q36_SQL = """
+WITH agg AS (
+    SELECT p_type, p_brand,
+           grouping(p_type) + grouping(p_brand) AS lochierarchy,
+           grouping(p_brand) AS g_brand,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(sum(CAST(floor(l_quantity * p_retailprice * 100)
+                    AS BIGINT)) AS BIGINT) AS cost_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ROLLUP (p_type, p_brand)
+)
+SELECT coalesce(p_type, '(all)') AS p_type,
+       coalesce(p_brand, '(all)') AS p_brand,
+       CAST(lochierarchy AS BIGINT) AS lochierarchy,
+       rev_cents, cost_cents,
+       CAST(rank() OVER (
+            PARTITION BY lochierarchy,
+                         CASE WHEN g_brand = 1 THEN p_type END
+            ORDER BY rev_cents - cost_cents ASC,
+                     p_type ASC NULLS FIRST,
+                     p_brand ASC NULLS FIRST) AS BIGINT) AS rank_within_parent
+FROM agg
+"""
+
+
+@register(
+    "tpcds_q36_rollup_rank",
+    _TPCDS_Q36_SQL,
+    doc="TPC-DS Q36 shape: gross-margin ROLLUP over the (type, brand) "
+    "hierarchy with rank-WITHIN-PARENT — the window partitions on the "
+    "GROUPING level plus the parent key (CASE on grouping(brand)), so "
+    "each hierarchy level ranks its own children; exact integer-cents "
+    "margin ordering with key tie-breaks, explicit NULLS FIRST; "
+    "portable SQL text is query and oracle (late r8)",
+)
+def q_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q36_SQL)
+
+
+_TPCDS_Q49_SQL = """
+WITH base AS (
+    SELECT l_returnflag AS channel, p_brand,
+           CAST(sum(CASE WHEN l_discount > 0
+                    THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS disc_qty,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS tot_qty,
+           CAST(sum(CASE WHEN l_discount > 0
+                    THEN CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS disc_amt_cents,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS tot_amt_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_returnflag, p_brand
+),
+ranked AS (
+    SELECT *,
+           rank() OVER (PARTITION BY channel
+                        ORDER BY CAST(disc_qty AS DOUBLE) / tot_qty,
+                                 p_brand) AS qty_rank,
+           rank() OVER (PARTITION BY channel
+                        ORDER BY CAST(disc_amt_cents AS DOUBLE) / tot_amt_cents,
+                                 p_brand) AS amt_rank
+    FROM base
+)
+SELECT channel, p_brand, disc_qty, tot_qty, disc_amt_cents, tot_amt_cents,
+       CAST(qty_rank AS BIGINT) AS qty_rank,
+       CAST(amt_rank AS BIGINT) AS amt_rank
+FROM ranked
+WHERE qty_rank <= 10 OR amt_rank <= 10
+"""
+
+
+@register(
+    "tpcds_q49_dual_rank_report",
+    _TPCDS_Q49_SQL,
+    doc="TPC-DS Q49 shape: per-channel dual ratio ranking (discounted "
+    "quantity share and discounted currency share, two rank() windows "
+    "over the same partition) with the OR-filter keeping items in "
+    "either top-10, reported across all channels; ratio ORDER BY is "
+    "IEEE division of exact integers (correctly rounded in both "
+    "engines) with key tie-breaks; portable SQL text is query and "
+    "oracle (late r8)",
+)
+def q_tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q49_SQL)
