@@ -65,6 +65,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
+    # late-r8 births, newest first:
+    "tpcds_q49_dual_rank_report",  # late r8: dual-rank OR report
+    "tpcds_q36_rollup_rank",  # late r8: rank within rollup parent
+    "sql_udf_order_cents",  # late r8: inlined SQL-defined UDF
+    "listagg_supplier_directory",  # late r8: ordered-set listagg
+    "lateral_topk_per_customer",  # late r8: decorrelated JOIN LATERAL
+    "recursive_functional_walk",  # late r8: native WITH RECURSIVE
+    "recursive_bom_rollup",  # late r8: native WITH RECURSIVE
+    "multimodal_adpcm_decode_execute",  # late r8: real IMA-ADPCM decode
+    "quality_threshold_calibration",  # late r8: per-domain order stat
+    "streaming_quality_classifier",  # late r8: stateless stream twin
+    "unpivot_measures_long",  # late r8: Expand-based melt
+    "corpus_domain_mixture",  # late r8: largest-remainder allocation
+    "quality_classifier_inference",  # late r8: Catalyst model inference
+    "multimodal_mjpeg_frame_decode",  # late r8: real AVI/MJPEG frames
+    "multimodal_jpeg_decode_execute",  # late r8: real baseline JPEG
+    # earlier r8 births/upgrades:
     "multimodal_resize_execute",  # r8: real PNG pixel decode + resample
     "multimodal_pcm_chunk_execute",  # r8: real WAV PCM chunk features
     "tpcds_q38_channel_intersect",  # r8: INTERSECT census
@@ -104,25 +121,11 @@ _PRIORITY: tuple[str, ...] = (
     "full_outer_reconciliation",  # r4
     "grouped_agg_pricing",  # r4
     "grouped_map_value_diff",  # r4
-    "left_outer_enrichment",  # r4
-    "multimodal_metadata_agg",  # r4
-    "null_safe_join",  # r4
-    "orc_roundtrip_agg",  # r4
-    "pivot_event_counts",  # r4
-    "ranking_top3_per_flag",  # r4
-    "rolling_avg_sma7",  # r4
-    "scd2_event_history",  # r4
-    "semi_join_customers",  # r4
-    "session_window_agg",  # r4
-    "set_ops_cohorts",  # r4
-    "similarity_ivf_topk_nprobe2",  # r4
-    "similarity_join_corpus",  # r4
-    "streaming_dedup_keys",  # r4
-    "streaming_dedup_keys_ttl",  # r4
-    # (streaming_sliding_sums and streaming_static_enrich, the 41st/
-    # 42nd fills, were displaced by the approx_monitoring_profile
-    # upgrade and the streaming_running_totals_final birth — still
-    # re-verified every pytest run like all non-window queries.)
+    # (the 26th-40th fills — left_outer_enrichment through
+    # streaming_dedup_keys_ttl, all r4 greens — were displaced by the
+    # fifteen late-r8 births above, exactly as the births-at-head
+    # policy demands; like every non-window query they remain
+    # re-verified on each pytest run by test_oracle_parity.)
 )
 
 
