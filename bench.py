@@ -226,6 +226,7 @@ R8_QUERIES = [
     "sql_udf_order_cents",
     "tpcds_q36_rollup_rank",
     "tpcds_q49_dual_rank_report",
+    "quantile_sketch_certificate",
 ]
 
 

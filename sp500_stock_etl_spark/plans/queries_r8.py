@@ -915,3 +915,132 @@ WHERE qty_rank <= 10 OR amt_rank <= 10
 def q_tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_TPCDS_Q49_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Quantile-SKETCH certificate (late r8): the approx-percentile twin of
+# token_heavy_hitters_sketch's Misra-Gries certificate. Spark's
+# percentile_approx (Greenwald-Khanna summaries, mergeable — the one-
+# pass 100 TB quantile path) returns values whose exact rank may vary
+# with partitioning, so the raw estimates can never be hash-checked.
+# The registered output is the sketch's CERTIFICATE instead: for each
+# target quantile, the EXACT order statistic (computed with the
+# distributed global-rank pattern — range-sort + per-partition offset,
+# no single-task window) plus integer flags the sketch must satisfy
+# under ANY partitioning — the returned value is an element of the
+# multiset, and its exact-rank interval intersects the GK guarantee
+# band (target +- n/accuracy). The oracle recomputes the exact
+# statistics and expects literal 1s: a broken sketch flips a flag and
+# fails the hash. The 5x map-side fan-out for the rank counts shrinks
+# immediately in partial aggregation (5 groups).
+# ---------------------------------------------------------------------------
+
+_QSK_PERMILLE = (100, 250, 500, 750, 900)
+_QSK_ACCURACY = 1000
+
+_QUANTILE_CERT_ORACLE = f"""
+WITH cents AS (
+    SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+           o_orderkey AS k
+    FROM orders
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cents),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c, k) AS r FROM cents
+),
+qs AS (
+    SELECT CAST(unnest([{", ".join(str(q) for q in _QSK_PERMILLE)}])
+                AS BIGINT) AS q_permille
+)
+SELECT q.q_permille,
+       CAST(q.q_permille * (n.n - 1) // 1000 + 1 AS BIGINT) AS target_rank,
+       (SELECT c FROM ranked
+        WHERE r = q.q_permille * (n.n - 1) // 1000 + 1) AS exact_cents,
+       CAST(1 AS INT) AS sk_value_is_element,
+       CAST(1 AS INT) AS sk_within_bound
+FROM qs q, n
+"""
+
+
+@register(
+    "quantile_sketch_certificate",
+    _QUANTILE_CERT_ORACLE,
+    doc="percentile_approx (mergeable GK summaries, the one-pass 100 TB "
+    "quantile path) hash-certified in-query: output = exact order "
+    "statistics at 5 target quantiles (distributed global-rank, no "
+    "single-task window) + partitioning-independent invariant flags "
+    "(returned value is a data element; its exact-rank interval meets "
+    "the n/accuracy guarantee band); oracle expects all-ones "
+    "(late r8; mirrors token_heavy_hitters_sketch)",
+)
+def q_quantile_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window_metrics import with_global_rank
+
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        F.col("o_orderkey").alias("k"),
+    )
+    n_row = cents.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    # The sketch under certification: one pass, mergeable summaries.
+    probs = [q / 1000.0 for q in _QSK_PERMILLE]
+    approx_row = cents.agg(
+        F.percentile_approx(
+            "c", F.array(*[F.lit(p) for p in probs]), F.lit(_QSK_ACCURACY)
+        ).alias("vs")
+    )
+    qv = (
+        approx_row.crossJoin(F.broadcast(n_row))
+        .select(
+            "n",
+            F.posexplode(
+                F.arrays_zip(
+                    F.array(
+                        *[F.lit(q).cast("bigint") for q in _QSK_PERMILLE]
+                    ).alias("q_permille"),
+                    F.col("vs").alias("v"),
+                )
+            ),
+        )
+        .select(
+            F.col("col.q_permille").alias("q_permille"),
+            F.col("col.v").alias("v"),
+            F.expr("col.q_permille * (n - 1) div 1000 + 1")
+            .cast("bigint")
+            .alias("t"),
+            F.expr(f"n div {_QSK_ACCURACY} + 1").cast("bigint").alias("bound"),
+        )
+    )
+    # Exact-rank counts of each sketch value: 5x map-side fan-out,
+    # collapsed by partial agg before the 5-group shuffle.
+    counts = (
+        cents.crossJoin(F.broadcast(qv.select("q_permille", "v")))
+        .groupBy("q_permille")
+        .agg(
+            F.sum((F.col("c") < F.col("v")).cast("bigint")).alias("r_lt"),
+            F.sum((F.col("c") <= F.col("v")).cast("bigint")).alias("r_le"),
+            F.max((F.col("c") == F.col("v")).cast("int")).alias("is_elem"),
+        )
+    )
+    # Exact order statistics at the target ranks — distributed rank,
+    # then a 5-row broadcast semi-lookup.
+    ranked = with_global_rank(cents, ["c", "k"], rank_col="r")
+    exacts = ranked.join(
+        F.broadcast(qv.select("q_permille", "t")), F.col("r") == F.col("t")
+    ).select("q_permille", F.col("c").alias("exact_cents"))
+    return (
+        qv.join(counts, "q_permille")
+        .join(exacts, "q_permille")
+        .select(
+            "q_permille",
+            F.col("t").alias("target_rank"),
+            "exact_cents",
+            F.col("is_elem").cast("int").alias("sk_value_is_element"),
+            (
+                (F.col("r_le") >= F.col("t") - F.col("bound"))
+                & (F.col("r_lt") + 1 <= F.col("t") + F.col("bound"))
+            )
+            .cast("int")
+            .alias("sk_within_bound"),
+        )
+    )

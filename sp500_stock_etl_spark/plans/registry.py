@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "quantile_sketch_certificate",  # late r8: GK-sketch certificate
     "tpcds_q49_dual_rank_report",  # late r8: dual-rank OR report
     "tpcds_q36_rollup_rank",  # late r8: rank within rollup parent
     "sql_udf_order_cents",  # late r8: inlined SQL-defined UDF
@@ -120,10 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",  # r4
     "full_outer_reconciliation",  # r4
     "grouped_agg_pricing",  # r4
-    "grouped_map_value_diff",  # r4
-    # (the 26th-40th fills — left_outer_enrichment through
+    # (the 25th-40th fills — left_outer_enrichment through
     # streaming_dedup_keys_ttl, all r4 greens — were displaced by the
-    # fifteen late-r8 births above, exactly as the births-at-head
+    # sixteen late-r8 births above, exactly as the births-at-head
     # policy demands; like every non-window query they remain
     # re-verified on each pytest run by test_oracle_parity.)
 )
