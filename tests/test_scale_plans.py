@@ -122,6 +122,48 @@ def test_partitioned_table_prunes_statically_and_dynamically(spark, sf_dir, tmp_
     assert "dynamicpruning" in dplan, dplan[:2000]
 
 
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """The OTHER runtime-filtering path besides DPP: Catalyst's
+    InjectRuntimeFilter builds a bloom_filter_agg over the SELECTIVE
+    (creation) side of a shuffle join and applies might_contain on the
+    fact side BEFORE the shuffle — at 100 TB this is what keeps a
+    selective dim filter from shuffling the whole fact table when the
+    layout is not partitioned by the join key (DPP's prerequisite).
+    Default thresholds (10 GB application-side scan) are sized for
+    real clusters, so the test lowers them to make the rule fire at
+    test scale, then checks the rewrite fires AND preserves results.
+    """
+    import sp500_stock_etl_spark.io.readers as R
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 50)
+    q = li.join(part, F.col("l_partkey") == F.col("p_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.sum("l_quantity").alias("q"))
+    baseline = sorted((r["l_partkey"], r["q"]) for r in q.collect())
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q2 = li.join(part, F.col("l_partkey") == F.col("p_partkey")).groupBy(
+            "l_partkey"
+        ).agg(F.sum("l_quantity").alias("q"))
+        opt = q2._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert "might_contain" in opt, opt[:2000]
+        filtered = sorted((r["l_partkey"], r["q"]) for r in q2.collect())
+        assert filtered == baseline  # the filter may only PRUNE probes
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
+
+
 def test_no_pathological_plans_anywhere(spark, sf_dir):
     """Fleet-wide physical-plan audit: no registry query may compile to
     a cartesian product (except the one that IS one) or row-at-a-time
