@@ -145,6 +145,7 @@ def main() -> None:
     global_rank_probe(spark, sf_dir, n)
     incremental_refresh_probe(spark, sf_dir, n)
     span_dedup_probe(spark, sf_dir, n)
+    calibration_probe(spark, sf_dir, n)
 
 
 def codec_execute_probe(spark, sf_dir: str, n: int) -> None:
@@ -1058,3 +1059,68 @@ def triangle_probe(spark, sf_dir: str, n: int) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def calibration_probe(spark, sf_dir: str, n: int) -> None:
+    """Late-r8 probe: per-domain threshold calibration at 1x vs Nx
+    corpus. Two exact invariants under N-plication of every document
+    (doc_id shifted, source kept): (a) each domain's threshold VALUE
+    is unchanged — the k = 3m/10 + 1 order statistic of an N-duplicated
+    multiset lands on the same element (ceil(k_N / N) == k_1 for any
+    N, m); (b) kept counts scale EXACTLY N-fold (the keep rule is
+    value-based, not rank-based). Wall tracks the per-domain sort,
+    which distributes across domains."""
+    from sp500_stock_etl_spark.plans.queries_r8 import q_quality_calibration
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(k: int):
+        if k == 1:
+            src = docs
+        else:
+            src = replicate(docs, k, ["doc_id"])
+        src.createOrReplaceTempView("__calib_probe_docs__")
+        # reuse the registered plan body over the replicated frame
+        from sp500_stock_etl_spark.plans.queries_r8 import classifier_scores
+        from pyspark.sql import Window
+
+        scores = classifier_scores(
+            src.select("doc_id", "source", "text"), carry=("source",)
+        ).select("source", "doc_id", "logit_micro", "keep")
+        ranked = scores.select(
+            "source",
+            "logit_micro",
+            "keep",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.asc("logit_micro"), F.asc("doc_id")
+                )
+            )
+            .alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("m"),
+        )
+        thr = ranked.where(F.col("rnk") == F.expr("3 * m div 10 + 1")).select(
+            "source", F.col("logit_micro").alias("thr")
+        )
+        joined = ranked.join(F.broadcast(thr), "source")
+        return joined.groupBy("source").agg(
+            F.max("thr").alias("thr"),
+            F.sum((F.col("logit_micro") >= F.col("thr")).cast("bigint")).alias(
+                "kept"
+            ),
+        )
+
+    out = {"probe": "quality_threshold_calibration", "sf_dir": sf_dir, "n": n}
+    t = time.time()
+    r1 = {r["source"]: (r["thr"], r["kept"]) for r in run(1).collect()}
+    out["sec_1x"] = round(time.time() - t, 2)
+    t = time.time()
+    rn = {r["source"]: (r["thr"], r["kept"]) for r in run(n).collect()}
+    out["sec_nx"] = round(time.time() - t, 2)
+    out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    out["thresholds_invariant"] = all(
+        rn[s][0] == r1[s][0] for s in r1
+    )
+    out["kept_exact_nfold"] = all(rn[s][1] == n * r1[s][1] for s in r1)
+    print(json.dumps(out), flush=True)
