@@ -227,6 +227,7 @@ R8_QUERIES = [
     "tpcds_q36_rollup_rank",
     "tpcds_q49_dual_rank_report",
     "quantile_sketch_certificate",
+    "session_window_dynamic_gap",
 ]
 
 

@@ -1179,3 +1179,77 @@ def _attach_streaming_classifier() -> None:
 
 
 _attach_streaming_classifier()
+
+
+# ---------------------------------------------------------------------------
+# DYNAMIC-GAP session windows (late r8): F.session_window accepts a
+# per-EVENT gap expression (purchases hold a session open 40 min,
+# browse events only 15), which fixed-gap sessionization cannot
+# express — the session end is max(ts_i + gap_i) over its members and
+# an event joins iff it arrives strictly before that frontier. The
+# oracle is the gaps-and-islands replay generalized to a running
+# MAX-of-interval-ends (not lag-of-ts): new session iff
+# ts >= max(prev ends) over the (ts, event_id) order.
+# ---------------------------------------------------------------------------
+
+_DYN_SESSION_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           ts + CASE WHEN event_type = 'purchase'
+                THEN INTERVAL 40 MINUTE ELSE INTERVAL 15 MINUTE END AS ed
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, ed, event_id,
+           CASE WHEN max(ed) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR ts >= max(ed) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS new_sess
+    FROM e
+),
+sess AS (
+    SELECT user_id, ts, ed,
+           sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ed) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register(
+    "session_window_dynamic_gap",
+    _DYN_SESSION_ORACLE,
+    doc="per-user session windows with a DYNAMIC per-event gap "
+    "(purchase 40 min, other events 15) via F.session_window over a "
+    "gap expression; the oracle generalizes gaps-and-islands to a "
+    "running max of interval ENDS — session end is max(ts+gap) over "
+    "members, events join strictly before that frontier (late r8; "
+    "SURVEY §2.11 ext)",
+)
+def q_session_windows_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("40 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
