@@ -228,6 +228,7 @@ R8_QUERIES = [
     "tpcds_q49_dual_rank_report",
     "quantile_sketch_certificate",
     "session_window_dynamic_gap",
+    "streaming_session_windows",
 ]
 
 

@@ -1253,3 +1253,76 @@ def q_session_windows_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING session windows (late r8): session_counts has been the
+# operator since r3 but only its batch twin was registered — append
+# mode emits a session only once the WATERMARK passes its end, so the
+# raw emitted set depends on internal frontier mechanics (measured:
+# emitted == batch EXACTLY on the closed region {end <= max(ts)-2h},
+# boundary sessions withheld). The registered contract therefore
+# filters BOTH sides at a frontier strictly inside the watermark
+# (max(ts) - 2h - 1min): every session the stream may legally have
+# flushed or withheld near the boundary is excluded on both sides —
+# the same determinism device as the stream-stream join cutoffs.
+# ---------------------------------------------------------------------------
+
+_STREAM_SESSION_ORACLE = """
+WITH gapped AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM gapped
+),
+sess AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+WHERE session_end <= (SELECT max(ts) - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+                      FROM events)
+"""
+
+
+@register(
+    "streaming_session_windows",
+    _STREAM_SESSION_ORACLE,
+    doc="per-user session windows on an arriving event stream (append "
+    "mode: a session emits only when the watermark passes its end), "
+    "deterministically compared on the closed region — both engine "
+    "and oracle keep sessions ending at least watermark-delay+margin "
+    "before max event time, the stream-stream-join frontier device "
+    "(late r8; SURVEY §2.11)",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
+    out = _run_to_table(spark, SE.session_counts(stream, "30 minutes"), "append")
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS 1 MINUTE")).alias("c"))
+        .collect()[0]["c"]
+    )  # one scalar, k-bounded driver collect like the kmeans seeds
+    return out.where(F.col("session_end") <= F.lit(cutoff)).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
