@@ -229,6 +229,7 @@ R8_QUERIES = [
     "quantile_sketch_certificate",
     "session_window_dynamic_gap",
     "streaming_session_windows",
+    "arrow_native_batch_stats",
 ]
 
 

@@ -1044,3 +1044,66 @@ def q_quantile_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sk_within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-NATIVE batch UDF surface (late r8): mapInArrow is the lowest-
+# overhead Python boundary Spark has — RecordBatches flow straight
+# into pyarrow.compute kernels with NO pandas materialization (the
+# pandas_udf/mapInPandas paths each pay an Arrow<->pandas conversion
+# per batch). The registry exercises every other §2.12 surface
+# (pandas_udf, mapInPandas, grouped map, UDTF); this completes it.
+# The kernels here are exact integer facts (utf8 byte length, space
+# count) so DuckDB replays them with strlen/replace arithmetic.
+# ---------------------------------------------------------------------------
+
+_ARROW_NATIVE_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+           AS total_spaces
+FROM documents
+GROUP BY lang
+"""
+
+
+@register(
+    "arrow_native_batch_stats",
+    _ARROW_NATIVE_ORACLE,
+    doc="mapInArrow (Arrow-native batch UDF — pyarrow.compute kernels "
+    "on RecordBatches, zero pandas conversion) computing per-doc utf8 "
+    "byte length and space count, aggregated per lang; completes the "
+    "SURVEY §2.12 Python-boundary matrix alongside pandas_udf / "
+    "mapInPandas / grouped-map / UDTF (late r8)",
+)
+def q_arrow_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t["lang"].combine_chunks(),
+                    pc.binary_length(
+                        t["text"].combine_chunks().cast(pa.binary())
+                    ).cast(pa.int64()),
+                    pc.count_substring(t["text"].combine_chunks(), " ").cast(
+                        pa.int64()
+                    ),
+                ],
+                names=["lang", "n_bytes", "n_spaces"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    mapped = docs.mapInArrow(
+        kernel, "lang string, n_bytes bigint, n_spaces bigint"
+    )
+    return mapped.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("n_spaces").cast("bigint").alias("total_spaces"),
+    )
