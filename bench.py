@@ -230,6 +230,7 @@ R8_QUERIES = [
     "session_window_dynamic_gap",
     "streaming_session_windows",
     "arrow_native_batch_stats",
+    "arrow_grouped_apply_stats",
 ]
 
 

@@ -1107,3 +1107,65 @@ def q_arrow_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.sum("n_spaces").cast("bigint").alias("total_spaces"),
     )
+
+
+# applyInArrow — the GROUPED Arrow-native cell: each language's docs
+# arrive as one pyarrow.Table (no pandas), and the kernel computes a
+# whole-group order statistic (discrete low median of byte lengths —
+# something a plain aggregate can't do without a sort) in Arrow
+# compute. Oracle replays with a per-group row_number.
+
+_ARROW_GROUPED_ORACLE = """
+WITH b AS (
+    SELECT lang, strlen(text) AS nb FROM documents
+),
+r AS (
+    SELECT lang, nb,
+           row_number() OVER (PARTITION BY lang ORDER BY nb) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM b
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN nb END) AS BIGINT)
+           AS median_bytes,
+       CAST(max(nb) AS BIGINT) AS max_bytes
+FROM r GROUP BY lang
+"""
+
+
+@register(
+    "arrow_grouped_apply_stats",
+    _ARROW_GROUPED_ORACLE,
+    doc="applyInArrow (grouped Arrow-native UDF — each group one "
+    "pyarrow.Table, zero pandas) computing the discrete low-median "
+    "byte length per language, a whole-group order statistic that "
+    "justifies the grouped shape; oracle replays via per-group "
+    "row_number (late r8; §2.12 matrix)",
+)
+def q_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def fn(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        lang = t["lang"][0].as_py()
+        nb = pc.binary_length(
+            t["text"].combine_chunks().cast(pa.binary())
+        ).cast(pa.int64())
+        sorted_nb = pc.array_sort_indices(nb)
+        n = len(nb)
+        median = nb[sorted_nb[(n + 1) // 2 - 1].as_py()].as_py()
+        return pa.table(
+            {
+                "lang": [lang],
+                "n_docs": pa.array([n], pa.int64()),
+                "median_bytes": pa.array([median], pa.int64()),
+                "max_bytes": pa.array([pc.max(nb).as_py()], pa.int64()),
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return docs.groupBy("lang").applyInArrow(
+        fn, "lang string, n_docs bigint, median_bytes bigint, max_bytes bigint"
+    )

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "arrow_grouped_apply_stats",  # late r8: applyInArrow surface
     "arrow_native_batch_stats",  # late r8: mapInArrow surface
     "streaming_session_windows",  # late r8: append-mode session flush
     "session_window_dynamic_gap",  # late r8: per-event gap sessions
@@ -120,10 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "cross_join_dims",  # r4
     "csv_roundtrip_agg",  # r4
     "cube_agg",  # r4
-    "dedup_embedding_cosine",  # r4
-    # (the 22nd-40th fills — left_outer_enrichment through
+    # (the 21st-40th fills — left_outer_enrichment through
     # streaming_dedup_keys_ttl, all r4 greens — were displaced by the
-    # nineteen late-r8 births above, exactly as the births-at-head
+    # twenty late-r8 births above, exactly as the births-at-head
     # policy demands; like every non-window query they remain
     # re-verified on each pytest run by test_oracle_parity.)
 )
