@@ -231,6 +231,7 @@ R8_QUERIES = [
     "streaming_session_windows",
     "arrow_native_batch_stats",
     "arrow_grouped_apply_stats",
+    "arrow_scalar_udf_stats",
 ]
 
 

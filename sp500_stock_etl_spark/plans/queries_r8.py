@@ -1169,3 +1169,52 @@ def q_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInArrow(
         fn, "lang string, n_docs bigint, median_bytes bigint, max_bytes bigint"
     )
+
+
+# arrow_udf — the SCALAR Arrow-native cell (Spark 4.x): a vectorized
+# column UDF whose batches are pyarrow Arrays end to end, usable
+# inside ordinary projections unlike mapInArrow. Same exact-integer
+# contract: count of a literal substring, replayed by the oracle with
+# replace() arithmetic.
+
+_ARROW_SCALAR_ORACLE = """
+SELECT lang,
+       CAST(sum(length(text) - length(replace(text, 'e', ''))) AS BIGINT)
+           AS total_e,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
+import pyarrow as pa  # noqa: E402  (module-level so PEP-563 string
+# annotations on arrow_udf kernels resolve via function __globals__)
+
+
+@register(
+    "arrow_scalar_udf_stats",
+    _ARROW_SCALAR_ORACLE,
+    doc="scalar arrow_udf (Spark 4.x vectorized Arrow column UDF — "
+    "pyarrow Array in, Array out, inside a normal projection) counting "
+    "a literal substring per doc, aggregated per lang; the third "
+    "Arrow-native cell beside mapInArrow / applyInArrow (late r8; "
+    "§2.12 matrix)",
+)
+def q_arrow_scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("bigint")
+    def count_e(text: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        return pc.count_substring(text, "e").cast(pa.int64())
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return (
+        docs.select("lang", count_e("text").alias("n_e"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_e").cast("bigint").alias("total_e"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
