@@ -130,6 +130,14 @@ AUDITED = [
     "lateral_topk_per_customer",
     "listagg_supplier_directory",
     "sql_udf_order_cents",
+    "tpcds_q36_rollup_rank",
+    "tpcds_q49_dual_rank_report",
+    "quantile_sketch_certificate",
+    "session_window_dynamic_gap",
+    "streaming_session_windows",
+    "arrow_native_batch_stats",
+    "arrow_grouped_apply_stats",
+    "arrow_scalar_udf_stats",
 ]
 
 
