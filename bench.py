@@ -232,6 +232,7 @@ R8_QUERIES = [
     "arrow_native_batch_stats",
     "arrow_grouped_apply_stats",
     "arrow_scalar_udf_stats",
+    "streaming_session_dynamic_gap",
 ]
 
 

@@ -1326,3 +1326,87 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+# Streaming twin of the DYNAMIC-gap sessions: F.session_window over a
+# per-event gap expression rides Structured Streaming unchanged, and
+# the same closed-region frontier device makes append emission
+# deterministic — the oracle is the dynamic-gap gaps-and-islands
+# replay filtered at the identical cutoff.
+
+_STREAM_DYN_SESSION_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           ts + CASE WHEN event_type = 'purchase'
+                THEN INTERVAL 40 MINUTE ELSE INTERVAL 15 MINUTE END AS ed
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, ed, event_id,
+           CASE WHEN max(ed) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR ts >= max(ed) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS new_sess
+    FROM e
+),
+sess AS (
+    SELECT user_id, ts, ed,
+           sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ed) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+WHERE session_end <= (SELECT max(ts) - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+                      FROM events)
+"""
+
+
+@register(
+    "streaming_session_dynamic_gap",
+    _STREAM_DYN_SESSION_ORACLE,
+    doc="DYNAMIC-gap session windows on an arriving stream (purchase "
+    "40 min, others 15 — per-event gap expression in streaming "
+    "session_window), append emission compared deterministically on "
+    "the closed region behind the watermark frontier; oracle = the "
+    "dynamic gaps-and-islands replay at the identical cutoff "
+    "(late r8; SURVEY §2.11)",
+)
+def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("40 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    out = _run_to_table(spark, windowed, "append")
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS 1 MINUTE")).alias("c"))
+        .collect()[0]["c"]
+    )
+    return out.where(F.col("session_end") <= F.lit(cutoff))
