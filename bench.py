@@ -233,6 +233,7 @@ R8_QUERIES = [
     "arrow_grouped_apply_stats",
     "arrow_scalar_udf_stats",
     "streaming_session_dynamic_gap",
+    "streaming_sessions_multibatch",
 ]
 
 

@@ -1410,3 +1410,87 @@ def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["c"]
     )
     return out.where(F.col("session_end") <= F.lit(cutoff))
+
+
+# ---------------------------------------------------------------------------
+# MULTI-BATCH incremental processing (late r8): every other streaming
+# query stages ONE file, so availableNow runs ONE data microbatch and
+# the watermark advances once — the cross-batch machinery (watermark
+# ADVANCEMENT, incremental append emission, state carried between
+# batches, sessions spanning batch boundaries) never executes. This
+# query stages the events table as FOUR ts-ordered weekly chunks and
+# reads with maxFilesPerTrigger=1, so the engine runs 4 microbatches
+# with a genuinely advancing watermark; sessions that straddle a
+# chunk boundary must be merged from carried state. The result
+# contract is the same closed-region frontier compare — if cross-
+# batch state merge or eviction is wrong, the hash breaks. A
+# companion test pins that >= 4 microbatches actually ran.
+# ---------------------------------------------------------------------------
+
+
+def _stage_events_multibatch(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as ts-ordered weekly chunk files (0.parquet..),
+    oldest mtime first so FileStreamSource processes them in order."""
+    import shutil
+    import glob as _glob
+
+    from ..io.readers import load_table
+
+    d = tempfile.mkdtemp(prefix="sg_events_mb_")
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    conds = [
+        F.col("ts") < cuts[0],
+        (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+        (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
+        F.col("ts") >= cuts[2],
+    ]
+    for i, cond in enumerate(conds):
+        tmp = f"{d}/_w{i}"
+        ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")
+        if part:
+            shutil.move(part[0], f"{d}/{i:03d}.parquet")
+            os.utime(f"{d}/{i:03d}.parquet", (1700000000 + i, 1700000000 + i))
+        shutil.rmtree(tmp)
+    return d
+
+
+@register(
+    "streaming_sessions_multibatch",
+    _STREAM_SESSION_ORACLE,  # same contract as the single-batch twin
+    doc="the session-window stream processed as FOUR ts-ordered "
+    "microbatches (weekly chunk files, maxFilesPerTrigger=1): the "
+    "watermark advances per batch, append emission is genuinely "
+    "incremental, and sessions straddling chunk boundaries merge from "
+    "carried state — same closed-region oracle as the single-batch "
+    "twin, so a cross-batch state bug breaks the hash (late r8; "
+    "SURVEY §2.11)",
+)
+def q_streaming_sessions_multibatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..io.readers import load_table
+
+    from ..io.readers import _normalize_event_ts
+
+    staged = _stage_events_multibatch(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+    )
+    out = _run_to_table(spark, SE.session_counts(stream, "30 minutes"), "append")
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS 1 MINUTE")).alias("c"))
+        .collect()[0]["c"]
+    )
+    return out.where(F.col("session_end") <= F.lit(cutoff)).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -21,3 +21,70 @@ def test_stream_stream_outer_joins_parity_at_sparse_scale(spark):
         q = all_queries()[name]
         ok, msg = compare(q.spark_fn(spark, sf), con, q.oracle)
         assert ok, f"{name}: {msg}"
+
+
+def test_multibatch_sessions_really_run_multiple_batches(spark):
+    """streaming_sessions_multibatch's whole point is cross-batch
+    state: four ts-ordered chunk files with maxFilesPerTrigger=1 must
+    produce >= 4 data microbatches with an ADVANCING watermark, and
+    the incremental append emission must equal both the single-batch
+    twin and the batch gaps-and-islands (the registered oracle checks
+    the latter; this pins the mechanism)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sp500_stock_etl_spark.plans.queries_streaming import (
+        _stage_events_multibatch,
+    )
+    from sp500_stock_etl_spark.streaming import events as SE
+    from sp500_stock_etl_spark.io.readers import _normalize_event_ts, load_table
+
+    sf = "/root/testdata/sf0.001"
+    staged = _stage_events_multibatch(spark, sf)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+    )
+    sess = SE.session_counts(stream, "30 minutes")
+    ck = tempfile.mkdtemp(prefix="sg_ck_mb_")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("mb_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    progress = q.recentProgress
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 4, f"expected >=4 data batches, got {len(data_batches)}"
+    # the watermark must strictly advance across the data batches
+    wms = [p["eventTime"].get("watermark") for p in progress]
+    wms = [w for w in wms if w and not w.startswith("1970")]
+    assert wms == sorted(wms) and len(set(wms)) >= 3, wms
+    # incremental emission equals the single-batch twin on the closed region
+    ev = load_table(spark, sf, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS 1 MINUTE")).alias("c")
+    ).collect()[0]["c"]
+    mb = {
+        tuple(r)
+        for r in spark.table("mb_sessions")
+        .where(F.col("session_end") <= F.lit(cutoff))
+        .collect()
+    }
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("w.start", "w.end", "user_id", "n_events")
+        .where(F.col("end") <= F.lit(cutoff))
+    )
+    expected = {
+        (r["start"], r["end"], r["user_id"], r["n_events"]) for r in batch.collect()
+    }
+    assert mb == expected
