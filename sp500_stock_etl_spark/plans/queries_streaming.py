@@ -1430,13 +1430,19 @@ def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stage_events_multibatch(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as ts-ordered weekly chunk files (0.parquet..),
-    oldest mtime first so FileStreamSource processes them in order."""
+    oldest mtime first so FileStreamSource processes them in order.
+    Unlike the symlink staging these are REAL copies, so the dir is
+    atexit-reaped — repeated bench/sweep runs must not accumulate
+    corpus-sized chunk sets in /tmp (same rule as the r7 signature
+    stores)."""
+    import atexit
     import shutil
     import glob as _glob
 
     from ..io.readers import load_table
 
     d = tempfile.mkdtemp(prefix="sg_events_mb_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
     conds = [
