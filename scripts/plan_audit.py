@@ -138,6 +138,8 @@ AUDITED = [
     "arrow_native_batch_stats",
     "arrow_grouped_apply_stats",
     "arrow_scalar_udf_stats",
+    "streaming_session_dynamic_gap",
+    "streaming_sessions_multibatch",
 ]
 
 
