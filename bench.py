@@ -234,6 +234,7 @@ R8_QUERIES = [
     "arrow_scalar_udf_stats",
     "streaming_session_dynamic_gap",
     "streaming_sessions_multibatch",
+    "basket_association_rules",
 ]
 
 

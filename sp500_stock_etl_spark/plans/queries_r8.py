@@ -1218,3 +1218,57 @@ def q_arrow_scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket ASSOCIATION RULES (late r8): frequent co-occurring
+# item pairs with support counts — the rule-mining family (distinct
+# from the graph-shaped triangle/basket counting): candidate pairs
+# come from a self-equi-join on the basket key with an item-order
+# predicate (each unordered pair once), so pair volume is
+# sum_b k_b(k_b-1)/2 — bounded by basket sizes, never |items|^2.
+# Confidence is reported as its exact integer (numerator,
+# denominator) pair, not a float division. At 100 TB the same plan
+# holds: pair expansion is map-side within the basket-key join, the
+# support HAVING prunes before the final dimension joins, and a
+# skewed mega-basket would be capped/salted (documented trade-off;
+# TPC baskets are naturally bounded).
+# ---------------------------------------------------------------------------
+
+_ASSOC_RULES_SQL = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item_support AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup
+    FROM baskets GROUP BY l_partkey
+),
+pair_support AS (
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+           CAST(count(*) AS BIGINT) AS sup_ab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.sup_ab,
+       sa.sup AS sup_a, sb.sup AS sup_b
+FROM pair_support p
+JOIN item_support sa ON sa.l_partkey = p.item_a
+JOIN item_support sb ON sb.l_partkey = p.item_b
+"""
+
+
+@register(
+    "basket_association_rules",
+    _ASSOC_RULES_SQL,
+    doc="market-basket association rules: frequent item PAIRS by "
+    "basket self-join (item_a < item_b gives each unordered pair "
+    "once; pair volume bounded by per-basket sizes, not item-count "
+    "squared), min-support HAVING before the item-support joins, "
+    "confidence reported as exact integer numerator/denominator; "
+    "portable SQL text is query and oracle (late r8)",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_ASSOC_RULES_SQL)

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "basket_association_rules",  # late r8: rule mining pairs
     "streaming_sessions_multibatch",  # late r8: cross-batch state
     "streaming_session_dynamic_gap",  # late r8: dynamic-gap stream twin
     "arrow_scalar_udf_stats",  # late r8: scalar arrow_udf surface
@@ -120,10 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_boilerplate_segments",  # r4
     "corpus_chunking",  # r4
     "corpus_sequence_packing",  # r4
-    "correlated_subqueries",  # r4
-    # (the 18th-40th fills — left_outer_enrichment through
+    # (the 17th-40th fills — left_outer_enrichment through
     # streaming_dedup_keys_ttl, all r4 greens — were displaced by the
-    # twenty-three late-r8 births above, exactly as the births-at-head
+    # twenty-four late-r8 births above, exactly as the births-at-head
     # policy demands; like every non-window query they remain
     # re-verified on each pytest run by test_oracle_parity.)
 )
