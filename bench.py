@@ -235,6 +235,12 @@ R8_QUERIES = [
     "streaming_session_dynamic_gap",
     "streaming_sessions_multibatch",
     "basket_association_rules",
+    "indicator_bollinger_bands",
+    "indicator_rsi_cutler",
+    "indicator_ewma_fold",
+    "indicator_max_drawdown",
+    "tpcds_q51_cumulative_crossover",
+    "tpcds_q57_monthly_deviation",
 ]
 
 

@@ -140,6 +140,12 @@ AUDITED = [
     "arrow_scalar_udf_stats",
     "streaming_session_dynamic_gap",
     "streaming_sessions_multibatch",
+    "indicator_bollinger_bands",
+    "indicator_rsi_cutler",
+    "indicator_ewma_fold",
+    "indicator_max_drawdown",
+    "tpcds_q51_cumulative_crossover",
+    "tpcds_q57_monthly_deviation",
 ]
 
 

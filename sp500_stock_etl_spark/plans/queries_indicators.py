@@ -1,0 +1,369 @@
+"""Technical-indicator suite over the stock view — the analytics a
+user of an S&P-500 ETL actually runs downstream of the reference DAG
+(dags/sp500_dag.py.py computes prev_close/pct_change at :161-176 and
+stops there; Bollinger bands, RSI, EWMA smoothing and drawdown are
+the canonical next layer of that pipeline).
+
+Stock view convention (shared with rolling_avg_sma7 /
+sma_crossover_signals): symbol = l_partkey, trade_date =
+date(l_shipdate), close = l_extendedprice, deterministic row order
+(trade_date, order_key, line_number). Prices enter integer CENTS via
+``CAST(floor(close * 100) AS BIGINT)`` — both engines floor the same
+IEEE double, so every downstream comparison is exact integer
+arithmetic with zero float-order dependence.
+
+Scale design (100 TB):
+- Bollinger / RSI / drawdown are single-pass window functions over a
+  ``PARTITION BY symbol`` sort — ONE shuffle keyed by symbol, then
+  frame-local arithmetic; the per-symbol group-to-scalar reduction
+  reuses the same partitioning (no second shuffle under AQE).
+- Band/threshold predicates are cross-multiplied into pure BIGINT
+  comparisons (e.g. ``(c*n - s)^2 > k^2 * (n*q - s^2)``) so no sqrt
+  or float division ever enters a filter — survivor sets are
+  deterministic across engines and partitionings. Magnitude bound:
+  cents <= ~1.1e7, so every intermediate stays < 2e17 << 2^63.
+- The EWMA fold is the one inherently-sequential recurrence; it runs
+  as a pure Catalyst ``aggregate()`` HOF over a per-symbol
+  ``array_sort(collect_list(struct(...)))`` — JVM codegen, no Python
+  boundary — bounded by the per-symbol series length (trading days,
+  ~10^4 worst case), never by corpus size. Same boundedness argument
+  as the BPE-encode fold (queries_r6) and the ADPCM state walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.readers import load_table
+from .registry import register
+
+# Shared stock-view SQL prefix (oracle side). Engine side builds the
+# identical frame with the DataFrame API.
+_STOCK_CTE = """
+stock AS (
+    SELECT l_partkey AS symbol,
+           CAST(l_shipdate AS DATE) AS trade_date,
+           l_orderkey AS order_key,
+           l_linenumber AS line_number,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+)
+"""
+
+
+def _stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("trade_date"),
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (20-period, k=2), exact-integer band breaks.
+# mean = s/n, sigma^2 = (n*q - s^2)/n^2 over the 20-row frame; a close
+# outside mean +/- 2*sigma is detected WITHOUT sqrt by comparing
+# (c*n - s)^2 against 4*(n*q - s^2) — all BIGINT, all exact.
+# ---------------------------------------------------------------------------
+
+_BOLLINGER_ORACLE = f"""
+WITH {_STOCK_CTE},
+framed AS (
+    SELECT symbol, cents,
+           count(*) OVER w AS n,
+           sum(cents) OVER w AS s,
+           sum(cents * cents) OVER w AS q
+    FROM stock
+    WINDOW w AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+    )
+),
+flagged AS (
+    SELECT symbol, s,
+           CASE WHEN (cents * n - s) > 0
+                 AND (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s)
+                THEN 1 ELSE 0 END AS up_break,
+           CASE WHEN (cents * n - s) < 0
+                 AND (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s)
+                THEN 1 ELSE 0 END AS down_break
+    FROM framed
+    WHERE n = 20
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_full_windows,
+       CAST(sum(up_break) AS BIGINT) AS n_upper_breaks,
+       CAST(sum(down_break) AS BIGINT) AS n_lower_breaks,
+       CAST(sum(s) AS BIGINT) AS frame_sum_checksum
+FROM flagged
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_bollinger_bands",
+    _BOLLINGER_ORACLE,
+    doc="Bollinger 20/2 band breaks in exact BIGINT arithmetic — "
+    "sqrt-free cross-multiplied band test, one symbol-keyed shuffle, "
+    "frame-local window math (r8 indicators suite)",
+)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date", "order_key", "line_number")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    c = F.col("cents")
+    framed = st.select(
+        "symbol",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(c * c).over(w).alias("q"),
+    ).where(F.col("n") == 20)
+    dev = c * F.col("n") - F.col("s")
+    var4 = 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    flagged = framed.select(
+        "symbol",
+        "s",
+        F.when((dev > 0) & (dev * dev > var4), 1).otherwise(0).alias("up_break"),
+        F.when((dev < 0) & (dev * dev > var4), 1).otherwise(0).alias("down_break"),
+    )
+    return flagged.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_full_windows"),
+        F.sum("up_break").alias("n_upper_breaks"),
+        F.sum("down_break").alias("n_lower_breaks"),
+        F.sum("s").alias("frame_sum_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cutler's RSI (14-period, SMA smoothing — the EWMA-free variant, so
+# the whole indicator is window arithmetic). RSI = 100*G/(G+L) never
+# materializes as a float: overbought (RSI>70) is 10*G > 7*(G+L),
+# oversold (RSI<30) is 10*G < 3*(G+L) — exact BIGINT cross-products.
+# ---------------------------------------------------------------------------
+
+_RSI_ORACLE = f"""
+WITH {_STOCK_CTE},
+diffed AS (
+    SELECT symbol, trade_date, order_key, line_number,
+           cents - lag(cents) OVER (
+               PARTITION BY symbol
+               ORDER BY trade_date, order_key, line_number
+           ) AS d
+    FROM stock
+),
+framed AS (
+    SELECT symbol,
+           count(d) OVER f AS nd,
+           sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER f AS g,
+           sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER f AS l
+    FROM diffed
+    WINDOW f AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+    )
+),
+flagged AS (
+    SELECT symbol, g, l,
+           CASE WHEN 10 * g > 7 * (g + l) THEN 1 ELSE 0 END AS overbought,
+           CASE WHEN 10 * g < 3 * (g + l) THEN 1 ELSE 0 END AS oversold
+    FROM framed
+    WHERE nd = 14 AND g + l > 0
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_signals,
+       CAST(sum(overbought) AS BIGINT) AS n_overbought,
+       CAST(sum(oversold) AS BIGINT) AS n_oversold,
+       CAST(sum(g) AS BIGINT) AS gain_checksum,
+       CAST(sum(l) AS BIGINT) AS loss_checksum
+FROM flagged
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_rsi_cutler",
+    _RSI_ORACLE,
+    doc="Cutler's 14-period RSI with overbought/oversold thresholds as "
+    "exact BIGINT cross-products (10G>7(G+L) / 10G<3(G+L)) — lag diff "
+    "+ one ROWS frame, single symbol-keyed shuffle (r8 indicators suite)",
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    order = ["trade_date", "order_key", "line_number"]
+    wlag = Window.partitionBy("symbol").orderBy(*order)
+    f = wlag.rowsBetween(-13, Window.currentRow)
+    d = F.col("cents") - F.lag("cents").over(wlag)
+    diffed = st.select("symbol", *order, d.alias("d"))
+    framed = diffed.select(
+        "symbol",
+        F.count("d").over(f).alias("nd"),
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0)).over(f).alias("g"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0)).over(f).alias("l"),
+    ).where((F.col("nd") == 14) & (F.col("g") + F.col("l") > 0))
+    g, l = F.col("g"), F.col("l")
+    flagged = framed.select(
+        "symbol",
+        "g",
+        "l",
+        F.when(10 * g > 7 * (g + l), 1).otherwise(0).alias("overbought"),
+        F.when(10 * g < 3 * (g + l), 1).otherwise(0).alias("oversold"),
+    )
+    return flagged.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_signals"),
+        F.sum("overbought").alias("n_overbought"),
+        F.sum("oversold").alias("n_oversold"),
+        F.sum("g").alias("gain_checksum"),
+        F.sum("l").alias("loss_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point EWMA (alpha = 1/4): e_1 = c_1; e_t = (3*e_{t-1} + c_t)
+# div 4 — integer floor division makes the recurrence exactly
+# replayable. Engine side: Catalyst aggregate() HOF over the sorted
+# per-symbol series (JVM codegen, zero Python). Oracle side: DuckDB
+# recursive CTE walks the identical recurrence (the ADPCM-decoder
+# oracle pattern, queries_r8). Output carries the final state AND the
+# running sum of every intermediate EWMA value, so a single mis-step
+# anywhere in the fold breaks the hash.
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE {_STOCK_CTE},
+base AS (
+    SELECT symbol, cents,
+           row_number() OVER (
+               PARTITION BY symbol
+               ORDER BY trade_date, order_key, line_number
+           ) AS rn,
+           count(*) OVER (PARTITION BY symbol) AS n
+    FROM stock
+),
+walk(symbol, rn, n, acc, s) AS (
+    SELECT symbol, rn, n, cents, cents FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.symbol, b.rn, b.n,
+           (3 * w.acc + b.cents) // 4,
+           w.s + (3 * w.acc + b.cents) // 4
+    FROM walk w
+    JOIN base b ON b.symbol = w.symbol AND b.rn = w.rn + 1
+)
+SELECT symbol,
+       CAST(acc AS BIGINT) AS ewma_final,
+       CAST(s AS BIGINT) AS ewma_sum,
+       CAST(n AS BIGINT) AS n_obs
+FROM walk
+WHERE rn = n
+"""
+
+
+@register(
+    "indicator_ewma_fold",
+    _EWMA_ORACLE,
+    doc="Fixed-point EWMA (alpha=1/4, integer floor recurrence) as a "
+    "Catalyst aggregate() fold over array_sort(collect_list(struct)) — "
+    "inherently-sequential smoothing kept JVM-side and bounded by "
+    "series length, oracled by a DuckDB recursive-CTE replay of the "
+    "identical recurrence (r8 indicators suite)",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _stock(spark, sf_dir)
+    # Sort keys lead the struct so array_sort's lexicographic order IS
+    # the deterministic row order; (order_key, line_number) is unique,
+    # so ties cannot occur.
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct("trade_date", "order_key", "line_number", "cents")
+        )
+    )
+    per_symbol = st.groupBy("symbol").agg(arr.alias("series"))
+    fold = F.expr(
+        """
+        aggregate(
+            series,
+            named_struct('acc', CAST(0 AS BIGINT),
+                         's',   CAST(0 AS BIGINT),
+                         'cnt', CAST(0 AS BIGINT)),
+            (st, x) -> named_struct(
+                'acc', CASE WHEN st.cnt = 0 THEN x.cents
+                            ELSE (3 * st.acc + x.cents) div 4 END,
+                's',   st.s + CASE WHEN st.cnt = 0 THEN x.cents
+                                   ELSE (3 * st.acc + x.cents) div 4 END,
+                'cnt', st.cnt + 1)
+        )
+        """
+    )
+    return per_symbol.select(
+        "symbol",
+        fold.alias("st"),
+    ).select(
+        "symbol",
+        F.col("st.acc").alias("ewma_final"),
+        F.col("st.s").alias("ewma_sum"),
+        F.col("st.cnt").alias("n_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown: running peak minus close, all integer cents. The
+# classic risk metric the reference's pct_change layer feeds into.
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = f"""
+WITH {_STOCK_CTE},
+tracked AS (
+    SELECT symbol, cents,
+           max(cents) OVER (
+               PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - cents AS dd
+    FROM stock
+)
+SELECT symbol,
+       CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+       CAST(sum(dd) AS BIGINT) AS drawdown_sum,
+       CAST(max(cents) AS BIGINT) AS peak_cents,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM tracked
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_max_drawdown",
+    _DRAWDOWN_ORACLE,
+    doc="Per-symbol maximum drawdown from the running peak, exact "
+    "integer cents — one cumulative-max window + a co-partitioned "
+    "group reduction, single shuffle (r8 indicators suite)",
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date", "order_key", "line_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tracked = st.select(
+        "symbol",
+        "cents",
+        (F.max("cents").over(w) - F.col("cents")).alias("dd"),
+    )
+    return tracked.groupBy("symbol").agg(
+        F.max("dd").alias("max_drawdown_cents"),
+        F.sum("dd").alias("drawdown_sum"),
+        F.max("cents").alias("peak_cents"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

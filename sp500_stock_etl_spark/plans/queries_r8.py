@@ -1272,3 +1272,148 @@ JOIN item_support sb ON sb.l_partkey = p.item_b
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_ASSOC_RULES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS batch 5 — the two window-over-join shapes still absent.
+#
+# Q51 shape: per-entity cumulative daily revenue in TWO channels,
+# FULL OUTER joined on (entity, day), each side's cumulative carried
+# across the other side's missing days by a running MAX over the
+# joined timeline, then the crossover rows where the web cumulative
+# overtakes store. Q57 shape below. Portable SQL text is query and
+# oracle, like every TPC batch.
+#
+# Scale notes: the per-channel cumulative, the full-outer join, and
+# the post-join running max all key on user_id — ONE hash
+# partitioning reused across the three stages under AQE; the daily
+# pre-aggregation shrinks the join inputs map-side first. All money
+# is BIGINT cents (floor(value*100)); a float cumulative would make
+# the crossover set order-dependent.
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q51_SQL = """
+WITH click_daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+purchase_daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+click_cum AS (
+    SELECT user_id, d,
+           sum(cents) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM click_daily
+),
+purchase_cum AS (
+    SELECT user_id, d,
+           sum(cents) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM purchase_daily
+),
+joined AS (
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.d, p.d) AS d,
+           c.cum AS click_cum_raw,
+           p.cum AS purchase_cum_raw
+    FROM click_cum c
+    FULL OUTER JOIN purchase_cum p
+      ON c.user_id = p.user_id AND c.d = p.d
+),
+carried AS (
+    SELECT user_id, d,
+           max(click_cum_raw) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS click_cum,
+           max(purchase_cum_raw) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS purchase_cum
+    FROM joined
+)
+SELECT user_id, CAST(d AS DATE) AS d,
+       CAST(click_cum AS BIGINT) AS click_cum,
+       CAST(purchase_cum AS BIGINT) AS purchase_cum
+FROM carried
+WHERE click_cum IS NOT NULL AND purchase_cum IS NOT NULL
+  AND click_cum > purchase_cum
+"""
+
+
+@register(
+    "tpcds_q51_cumulative_crossover",
+    _TPCDS_Q51_SQL,
+    doc="TPC-DS Q51 shape: per-user cumulative daily cents in two "
+    "channels, FULL OUTER join on (user, day), running-MAX carry "
+    "across each side's missing days, crossover filter — one "
+    "user-keyed partitioning reused by cumulative windows, join and "
+    "carry under AQE; portable SQL is query and oracle (late r8)",
+)
+def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q51_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q57 shape: monthly channel revenue vs the channel-year average, the
+# deviation filter kept EXACT (10*|n*sum_m - year_total| > year_total
+# instead of abs(sum/avg - 1) > 0.1 — no float average in a
+# predicate), neighbor months attached by the rank self-join exactly
+# as Q57's v2 does (not lag/lead — the join-by-rank formulation is
+# the shape this batch adds).
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q57_SQL = """
+WITH monthly AS (
+    SELECT event_type,
+           CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS yr,
+           CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS mo,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+    FROM events
+    GROUP BY 1, 2, 3
+),
+v1 AS (
+    SELECT event_type, yr, mo, cents,
+           sum(cents) OVER (PARTITION BY event_type, yr) AS year_total,
+           count(*) OVER (PARTITION BY event_type, yr) AS n_months,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY yr, mo
+           ) AS rn
+    FROM monthly
+)
+SELECT v.event_type, v.yr, v.mo,
+       CAST(v.cents AS BIGINT) AS month_cents,
+       CAST(v.year_total AS BIGINT) AS year_total,
+       CAST(prev.cents AS BIGINT) AS prev_cents,
+       CAST(nxt.cents AS BIGINT) AS next_cents
+FROM v1 v
+JOIN v1 prev ON prev.event_type = v.event_type AND prev.rn = v.rn - 1
+JOIN v1 nxt  ON nxt.event_type = v.event_type AND nxt.rn = v.rn + 1
+WHERE v.year_total > 0
+  AND 10 * abs(v.n_months * v.cents - v.year_total) > v.year_total
+"""
+
+
+@register(
+    "tpcds_q57_monthly_deviation",
+    _TPCDS_Q57_SQL,
+    doc="TPC-DS Q57 shape: monthly channel cents vs channel-year "
+    "average with the deviation predicate cross-multiplied into "
+    "exact BIGINT (10*|n*sum - total| > total), neighbor months via "
+    "the rank self-join of Q57's v2; portable SQL is query and "
+    "oracle (late r8)",
+)
+def q_tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q57_SQL)

@@ -66,6 +66,12 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "tpcds_q51_cumulative_crossover",  # late r8: full-outer cumulative carry
+    "tpcds_q57_monthly_deviation",  # late r8: exact deviation + rank join
+    "indicator_ewma_fold",  # late r8: Catalyst EWMA fold vs recursive-CTE
+    "indicator_bollinger_bands",  # late r8: sqrt-free integer band breaks
+    "indicator_rsi_cutler",  # late r8: RSI thresholds as cross-products
+    "indicator_max_drawdown",  # late r8: running-peak drawdown
     "basket_association_rules",  # late r8: rule mining pairs
     "streaming_sessions_multibatch",  # late r8: cross-batch state
     "streaming_session_dynamic_gap",  # late r8: dynamic-gap stream twin
@@ -115,15 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q4_priority_exists",  # r3
     "variant_json_agg",  # r3
     "weighted_avg_pricing",  # r3
-    "window_navigation_suite",  # r3
-    "anti_join_customers",  # r4
-    "broadcast_star_join",  # r4
-    "corpus_boilerplate_segments",  # r4
-    "corpus_chunking",  # r4
-    "corpus_sequence_packing",  # r4
-    # (the 17th-40th fills — left_outer_enrichment through
+    # (the 10th-40th fills — window_navigation_suite through
     # streaming_dedup_keys_ttl, all r4 greens — were displaced by the
-    # twenty-four late-r8 births above, exactly as the births-at-head
+    # thirty late-r8 births above, exactly as the births-at-head
     # policy demands; like every non-window query they remain
     # re-verified on each pytest run by test_oracle_parity.)
 )
@@ -143,6 +143,7 @@ def all_queries() -> dict[str, Query]:
     from . import queries_r6  # noqa: F401
     from . import queries_r7  # noqa: F401
     from . import queries_r8  # noqa: F401
+    from . import queries_indicators  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in _PRIORITY:

@@ -1,0 +1,99 @@
+"""Indicator-suite invariants (plans/queries_indicators.py).
+
+The oracle parity sweep already proves Spark == DuckDB on the test
+corpora; these tests pin the SEMANTICS against straight Python
+replays on adversarial series, so both engines agreeing on a wrong
+recurrence cannot slip through (the same belt-and-braces as
+test_bpe_fold_oracle / test_adpcm_codec).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# The fold expression under test, applied to an explicit series.
+_FOLD = """
+aggregate(
+    series,
+    named_struct('acc', CAST(0 AS BIGINT),
+                 's',   CAST(0 AS BIGINT),
+                 'cnt', CAST(0 AS BIGINT)),
+    (st, x) -> named_struct(
+        'acc', CASE WHEN st.cnt = 0 THEN x.cents
+                    ELSE (3 * st.acc + x.cents) div 4 END,
+        's',   st.s + CASE WHEN st.cnt = 0 THEN x.cents
+                           ELSE (3 * st.acc + x.cents) div 4 END,
+        'cnt', st.cnt + 1)
+)
+"""
+
+
+def _ewma_py(cents: list[int]) -> tuple[int, int]:
+    acc = s = 0
+    for i, c in enumerate(cents):
+        acc = c if i == 0 else (3 * acc + c) // 4
+        s += acc
+    return acc, s
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=11_000_000), min_size=1, max_size=60))
+def test_ewma_fold_matches_python_replay(spark, cents):
+    df = spark.createDataFrame(
+        [([{"cents": c} for c in cents],)], "series array<struct<cents:bigint>>"
+    )
+    row = df.select(F.expr(_FOLD).alias("st")).select("st.acc", "st.s", "st.cnt").first()
+    acc, s = _ewma_py(cents)
+    assert (row["acc"], row["s"], row["cnt"]) == (acc, s, len(cents))
+
+
+def test_bollinger_cross_multiply_equals_float_band(spark):
+    # The sqrt-free BIGINT band test must agree with the textbook
+    # float formulation |c - mean| > 2*sigma on a series that sits
+    # exactly at, just inside, and just outside the band.
+    import math
+    import random
+
+    rng = random.Random(7)
+    cents = [rng.randrange(0, 11_000_000) for _ in range(200)]
+    n = 20
+    for t in range(n - 1, len(cents)):
+        frame = cents[t - n + 1 : t + 1]
+        s, q, c = sum(frame), sum(x * x for x in frame), cents[t]
+        dev, var4 = c * n - s, 4 * (n * q - s * s)
+        got_up = dev > 0 and dev * dev > var4
+        got_dn = dev < 0 and dev * dev > var4
+        mean = s / n
+        sigma = math.sqrt(q / n - mean * mean)
+        assert got_up == (c > mean and (c - mean) ** 2 > 4 * sigma**2)
+        assert got_dn == (c < mean and (mean - c) ** 2 > 4 * sigma**2)
+
+
+def test_rsi_threshold_cross_products():
+    # 10G > 7(G+L) iff RSI = 100G/(G+L) > 70, exactly, including the
+    # boundary where RSI == 70 (not overbought) and == 30 (not oversold).
+    for g in range(0, 50):
+        for l in range(0, 50):
+            if g + l == 0:
+                continue
+            rsi = 100 * g / (g + l)
+            assert (10 * g > 7 * (g + l)) == (rsi > 70)
+            assert (10 * g < 3 * (g + l)) == (rsi < 30)
+
+
+def test_indicator_queries_single_shuffle(spark):
+    # Bollinger / RSI / drawdown: the window sort and the per-symbol
+    # reduction must share ONE symbol-keyed exchange — a second
+    # exchange would mean the groupBy re-shuffled what the window
+    # already partitioned.
+    from sp500_stock_etl_spark.plans.queries_indicators import (
+        q_bollinger,
+        q_drawdown,
+        q_rsi,
+    )
+
+    for fn in (q_bollinger, q_rsi, q_drawdown):
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange <= 1, f"{fn.__name__}: {n_exchange} hash exchanges\n{plan}"
