@@ -241,6 +241,10 @@ R8_QUERIES = [
     "indicator_max_drawdown",
     "tpcds_q51_cumulative_crossover",
     "tpcds_q57_monthly_deviation",
+    "indicator_advance_decline",
+    "indicator_market_beta",
+    "indicator_vwap_daily",
+    "indicator_sma_backtest",
 ]
 
 

@@ -146,6 +146,9 @@ AUDITED = [
     "indicator_max_drawdown",
     "tpcds_q51_cumulative_crossover",
     "tpcds_q57_monthly_deviation",
+    "indicator_advance_decline",
+    "indicator_market_beta",
+    "indicator_sma_backtest",
 ]
 
 

@@ -367,3 +367,383 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("peak_cents"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 2 — cross-series indicators: market breadth, rolling beta vs
+# the market, daily VWAP, and an SMA-crossover BACKTEST (position
+# state machine). The per-DATE market series these use is bounded by
+# the trading calendar (~10^4 rows at any corpus size), so its global
+# date-ordered window is a constant-size tail stage, not a scale
+# risk; everything corpus-sized stays symbol- or date-partitioned.
+# ---------------------------------------------------------------------------
+
+# Advance/decline line: per symbol-day direction vs previous close,
+# per-date breadth counts, cumulative (adv - dec) over the calendar.
+_ADVANCE_DECLINE_ORACLE = f"""
+WITH {_STOCK_CTE},
+daily AS (
+    SELECT symbol, trade_date, sum(cents) AS sc
+    FROM stock GROUP BY symbol, trade_date
+),
+dirs AS (
+    SELECT trade_date,
+           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS d
+    FROM daily
+),
+breadth AS (
+    SELECT trade_date,
+           sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS advances,
+           sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS declines,
+           sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS unchanged
+    FROM dirs
+    WHERE d IS NOT NULL
+    GROUP BY trade_date
+)
+SELECT CAST(trade_date AS DATE) AS trade_date,
+       CAST(advances AS BIGINT) AS advances,
+       CAST(declines AS BIGINT) AS declines,
+       CAST(unchanged AS BIGINT) AS unchanged,
+       CAST(sum(advances - declines) OVER (
+           ORDER BY trade_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS ad_line
+FROM breadth
+"""
+
+
+@register(
+    "indicator_advance_decline",
+    _ADVANCE_DECLINE_ORACLE,
+    doc="market-breadth advance/decline line: symbol-partitioned lag "
+    "for direction, date-keyed breadth counts, then the cumulative "
+    "A/D line over the calendar-bounded date series — the only "
+    "unpartitioned window runs over ~10^4 calendar rows regardless "
+    "of corpus size (r8 indicators wave 2)",
+)
+def q_advance_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    wlag = Window.partitionBy("symbol").orderBy("trade_date")
+    d = (F.col("sc") - F.lag("sc").over(wlag)).alias("d")
+    dirs = daily.select("trade_date", d).where(F.col("d").isNotNull())
+    breadth = dirs.groupBy("trade_date").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("advances"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).alias("declines"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).alias("unchanged"),
+    )
+    wcal = Window.orderBy("trade_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return breadth.select(
+        "trade_date",
+        "advances",
+        "declines",
+        "unchanged",
+        F.sum(F.col("advances") - F.col("declines")).over(wcal).alias("ad_line"),
+    )
+
+
+# Rolling market beta (20-day), sign/threshold tests kept exact:
+# with x = symbol daily-notional diff, y = market-average diff,
+# cov_n = n*Sxy - Sx*Sy and var_n = n*Syy - Sy*Sy share the same n^2
+# denominator, so beta > 1 is cov_n > var_n and beta > 0 is
+# cov_n > 0 — pure BIGINT (bounds: |x| <= 2.2e7, |y| <= 9e6,
+# n = 20 => every term < 1e17 << 2^63).
+_MARKET_BETA_ORACLE = f"""
+WITH {_STOCK_CTE},
+daily AS (
+    SELECT symbol, trade_date, sum(cents) AS sc
+    FROM stock GROUP BY symbol, trade_date
+),
+mkt AS (
+    SELECT trade_date, sum(sc) // count(*) AS ma
+    FROM daily GROUP BY trade_date
+),
+mdiff AS (
+    SELECT trade_date,
+           ma - lag(ma) OVER (ORDER BY trade_date) AS y
+    FROM mkt
+),
+sdiff AS (
+    SELECT symbol, trade_date,
+           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS x
+    FROM daily
+),
+paired AS (
+    SELECT s.symbol, s.trade_date, s.x, m.y
+    FROM sdiff s JOIN mdiff m ON m.trade_date = s.trade_date
+    WHERE s.x IS NOT NULL AND m.y IS NOT NULL
+),
+framed AS (
+    SELECT symbol,
+           count(*) OVER f AS n,
+           sum(x * y) OVER f AS sxy,
+           sum(x) OVER f AS sx,
+           sum(y) OVER f AS sy,
+           sum(y * y) OVER f AS syy
+    FROM paired
+    WINDOW f AS (
+        PARTITION BY symbol ORDER BY trade_date
+        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+    )
+),
+tested AS (
+    SELECT symbol,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS pos_beta,
+           CASE WHEN n * sxy - sx * sy > n * syy - sy * sy
+                THEN 1 ELSE 0 END AS high_beta,
+           n * sxy - sx * sy AS cov_n
+    FROM framed
+    WHERE n = 20 AND n * syy - sy * sy > 0
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(pos_beta) AS BIGINT) AS n_pos_beta,
+       CAST(sum(high_beta) AS BIGINT) AS n_high_beta,
+       CAST(sum(cov_n) AS BIGINT) AS cov_checksum
+FROM tested
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_market_beta",
+    _MARKET_BETA_ORACLE,
+    doc="rolling 20-day beta vs the market-average series: two "
+    "aligned diff series joined on date, covariance/variance "
+    "cross-multiplied into exact BIGINT sign and beta>1 tests (same "
+    "n^2 denominator cancels); market series is calendar-bounded, "
+    "corpus work stays symbol-partitioned (r8 indicators wave 2)",
+)
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    mkt = daily.groupBy("trade_date").agg(
+        F.expr("sum(sc) div count(*)").alias("ma")
+    )
+    wcal = Window.orderBy("trade_date")
+    mdiff = mkt.select(
+        "trade_date", (F.col("ma") - F.lag("ma").over(wcal)).alias("y")
+    ).where(F.col("y").isNotNull())
+    wsym = Window.partitionBy("symbol").orderBy("trade_date")
+    sdiff = daily.select(
+        "symbol",
+        "trade_date",
+        (F.col("sc") - F.lag("sc").over(wsym)).alias("x"),
+    ).where(F.col("x").isNotNull())
+    paired = sdiff.join(F.broadcast(mdiff), "trade_date")
+    f = wsym.rowsBetween(-19, Window.currentRow)
+    x, y = F.col("x"), F.col("y")
+    framed = paired.select(
+        "symbol",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum(x * y).over(f).alias("sxy"),
+        F.sum(x).over(f).alias("sx"),
+        F.sum(y).over(f).alias("sy"),
+        F.sum(y * y).over(f).alias("syy"),
+    )
+    n, sxy, sx, sy, syy = (F.col(c) for c in ("n", "sxy", "sx", "sy", "syy"))
+    cov_n, var_n = n * sxy - sx * sy, n * syy - sy * sy
+    tested = framed.where((n == 20) & (var_n > 0)).select(
+        "symbol",
+        F.when(cov_n > 0, 1).otherwise(0).alias("pos_beta"),
+        F.when(cov_n > var_n, 1).otherwise(0).alias("high_beta"),
+        cov_n.alias("cov_n"),
+    )
+    return tested.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("pos_beta").alias("n_pos_beta"),
+        F.sum("high_beta").alias("n_high_beta"),
+        F.sum("cov_n").alias("cov_checksum"),
+    )
+
+
+# Daily VWAP kept as exact integer fractions, reduced per symbol.
+_VWAP_ORACLE = """
+WITH px AS (
+    SELECT l_partkey AS symbol,
+           CAST(l_shipdate AS DATE) AS trade_date,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(floor(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+),
+vwap AS (
+    SELECT symbol, trade_date,
+           sum(cents * qty) AS num, sum(qty) AS den
+    FROM px GROUP BY symbol, trade_date
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(num) AS BIGINT) AS num_total,
+       CAST(sum(den) AS BIGINT) AS den_total,
+       CAST(max(num // den) AS BIGINT) AS max_daily_vwap_cents
+FROM vwap
+WHERE den > 0
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_vwap_daily",
+    _VWAP_ORACLE,
+    doc="daily VWAP as exact integer fractions (num = sum cents*qty, "
+    "den = sum qty; floor-div only at the final projection) reduced "
+    "per symbol — one partial-agg shuffle (r8 indicators wave 2)",
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    px = li.select(
+        F.col("l_partkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("trade_date"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    vwap = px.groupBy("symbol", "trade_date").agg(
+        F.sum(F.col("cents") * F.col("qty")).alias("num"),
+        F.sum("qty").alias("den"),
+    )
+    return (
+        vwap.where(F.col("den") > 0)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("num").alias("num_total"),
+            F.sum("den").alias("den_total"),
+            F.max(F.expr("num div den")).alias("max_daily_vwap_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SMA-crossover backtest: fast(5) over slow(20) moving-average
+# signal, long/flat position state machine walked per symbol, P&L in
+# exact integer cents. The signal is a pure window comparison kept
+# exact by cross-multiplying the two frame means (sf5*n20 > ss20*n5);
+# the inherently-sequential position walk is the Catalyst aggregate()
+# fold (same boundedness as the EWMA fold), oracled by a DuckDB
+# recursive-CTE replay of the identical state machine.
+# ---------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = f"""
+WITH RECURSIVE {_STOCK_CTE},
+sig AS (
+    SELECT symbol, cents,
+           CASE WHEN count(*) OVER ws = 20
+                 AND sum(cents) OVER wf * 20 > sum(cents) OVER ws * count(*) OVER wf
+                THEN 1 ELSE 0 END AS long_sig,
+           row_number() OVER (
+               PARTITION BY symbol
+               ORDER BY trade_date, order_key, line_number
+           ) AS rn,
+           count(*) OVER (PARTITION BY symbol) AS n
+    FROM stock
+    WINDOW wf AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+    ), ws AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+    )
+),
+walk(symbol, rn, n, pos, entry, pnl, trades, last_c) AS (
+    SELECT symbol, rn, n, long_sig,
+           CASE WHEN long_sig = 1 THEN cents ELSE 0 END,
+           0, long_sig, cents
+    FROM sig WHERE rn = 1
+    UNION ALL
+    SELECT s.symbol, s.rn, s.n,
+           s.long_sig,
+           CASE WHEN w.pos = 0 AND s.long_sig = 1 THEN s.cents
+                WHEN w.pos = 1 AND s.long_sig = 1 THEN w.entry
+                ELSE 0 END,
+           w.pnl + CASE WHEN w.pos = 1 AND s.long_sig = 0
+                        THEN s.cents - w.entry ELSE 0 END,
+           w.trades + CASE WHEN w.pos = 0 AND s.long_sig = 1
+                           THEN 1 ELSE 0 END,
+           s.cents
+    FROM walk w
+    JOIN sig s ON s.symbol = w.symbol AND s.rn = w.rn + 1
+)
+SELECT symbol,
+       CAST(pnl AS BIGINT) AS realized_pnl_cents,
+       CAST(trades AS BIGINT) AS n_trades,
+       CAST(pos AS BIGINT) AS final_pos,
+       CAST(CASE WHEN pos = 1 THEN last_c - entry ELSE 0 END AS BIGINT)
+           AS unrealized_cents,
+       CAST(n AS BIGINT) AS n_obs
+FROM walk
+WHERE rn = n
+"""
+
+
+@register(
+    "indicator_sma_backtest",
+    _BACKTEST_ORACLE,
+    doc="SMA 5/20 crossover backtest: exact cross-multiplied signal "
+    "(sf5*n20 > ss20*nf), long/flat position state machine with "
+    "integer-cents realized/unrealized P&L walked per symbol by a "
+    "Catalyst aggregate() fold over the sorted series, oracled by a "
+    "recursive-CTE replay of the identical machine (r8 indicators "
+    "wave 2)",
+)
+def q_sma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    order = ["trade_date", "order_key", "line_number"]
+    w = Window.partitionBy("symbol").orderBy(*order)
+    wf, ws = w.rowsBetween(-4, 0), w.rowsBetween(-19, 0)
+    long_sig = F.when(
+        (F.count(F.lit(1)).over(ws) == 20)
+        & (
+            F.sum("cents").over(wf) * 20
+            > F.sum("cents").over(ws) * F.count(F.lit(1)).over(wf)
+        ),
+        1,
+    ).otherwise(0)
+    sig = st.select("symbol", *order, "cents", long_sig.alias("long_sig"))
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct("trade_date", "order_key", "line_number", "cents", "long_sig")
+        )
+    )
+    per_symbol = sig.groupBy("symbol").agg(arr.alias("series"))
+    fold = F.expr(
+        """
+        aggregate(
+            series,
+            named_struct('pos', CAST(0 AS BIGINT), 'entry', CAST(0 AS BIGINT),
+                         'pnl', CAST(0 AS BIGINT), 'trades', CAST(0 AS BIGINT),
+                         'last_c', CAST(0 AS BIGINT), 'cnt', CAST(0 AS BIGINT)),
+            (st, x) -> named_struct(
+                'pos',   CAST(x.long_sig AS BIGINT),
+                'entry', CASE WHEN st.pos = 0 AND x.long_sig = 1 THEN x.cents
+                              WHEN st.pos = 1 AND x.long_sig = 1 THEN st.entry
+                              ELSE CAST(0 AS BIGINT) END,
+                'pnl',   st.pnl + CASE WHEN st.pos = 1 AND x.long_sig = 0
+                                       THEN x.cents - st.entry
+                                       ELSE CAST(0 AS BIGINT) END,
+                'trades', st.trades + CASE WHEN st.pos = 0 AND x.long_sig = 1
+                                           THEN CAST(1 AS BIGINT)
+                                           ELSE CAST(0 AS BIGINT) END,
+                'last_c', x.cents,
+                'cnt',    st.cnt + 1)
+        )
+        """
+    )
+    folded = per_symbol.select("symbol", fold.alias("st"))
+    return folded.select(
+        "symbol",
+        F.col("st.pnl").alias("realized_pnl_cents"),
+        F.col("st.trades").alias("n_trades"),
+        F.col("st.pos").alias("final_pos"),
+        F.when(F.col("st.pos") == 1, F.col("st.last_c") - F.col("st.entry"))
+        .otherwise(0)
+        .alias("unrealized_cents"),
+        F.col("st.cnt").alias("n_obs"),
+    )

@@ -66,6 +66,10 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "indicator_sma_backtest",  # late r8: position state-machine fold
+    "indicator_market_beta",  # late r8: exact rolling beta tests
+    "indicator_advance_decline",  # late r8: market breadth A/D line
+    "indicator_vwap_daily",  # late r8: exact-fraction VWAP
     "tpcds_q51_cumulative_crossover",  # late r8: full-outer cumulative carry
     "tpcds_q57_monthly_deviation",  # late r8: exact deviation + rank join
     "indicator_ewma_fold",  # late r8: Catalyst EWMA fold vs recursive-CTE
@@ -117,11 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q11_important_parts",  # r3
     "tpch_q13_custdist",  # r3
     "tpch_q19_disjunctive_join",  # r3
-    "tpch_q22_idle_segments",  # r3
-    "tpch_q4_priority_exists",  # r3
-    "variant_json_agg",  # r3
-    "weighted_avg_pricing",  # r3
-    # (the 10th-40th fills — window_navigation_suite through
+    # (the 6th-40th fills — tpch_q22_idle_segments through
     # streaming_dedup_keys_ttl, all r4 greens — were displaced by the
     # thirty late-r8 births above, exactly as the births-at-head
     # policy demands; like every non-window query they remain

@@ -97,3 +97,81 @@ def test_indicator_queries_single_shuffle(spark):
         plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
         n_exchange = plan.count("Exchange hashpartitioning")
         assert n_exchange <= 1, f"{fn.__name__}: {n_exchange} hash exchanges\n{plan}"
+
+
+_BT_FOLD = """
+aggregate(
+    series,
+    named_struct('pos', CAST(0 AS BIGINT), 'entry', CAST(0 AS BIGINT),
+                 'pnl', CAST(0 AS BIGINT), 'trades', CAST(0 AS BIGINT),
+                 'last_c', CAST(0 AS BIGINT), 'cnt', CAST(0 AS BIGINT)),
+    (st, x) -> named_struct(
+        'pos',   CAST(x.long_sig AS BIGINT),
+        'entry', CASE WHEN st.pos = 0 AND x.long_sig = 1 THEN x.cents
+                      WHEN st.pos = 1 AND x.long_sig = 1 THEN st.entry
+                      ELSE CAST(0 AS BIGINT) END,
+        'pnl',   st.pnl + CASE WHEN st.pos = 1 AND x.long_sig = 0
+                               THEN x.cents - st.entry
+                               ELSE CAST(0 AS BIGINT) END,
+        'trades', st.trades + CASE WHEN st.pos = 0 AND x.long_sig = 1
+                                   THEN CAST(1 AS BIGINT)
+                                   ELSE CAST(0 AS BIGINT) END,
+        'last_c', x.cents,
+        'cnt',    st.cnt + 1)
+)
+"""
+
+
+def _backtest_py(rows: list[tuple[int, int]]) -> tuple[int, int, int]:
+    pos = entry = pnl = trades = 0
+    for c, sig in rows:
+        if pos == 0 and sig == 1:
+            entry, trades = c, trades + 1
+        elif pos == 1 and sig == 0:
+            pnl += c - entry
+            entry = 0
+        pos = sig
+    return pnl, trades, pos
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11_000_000),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_backtest_fold_matches_python_state_machine(spark, rows):
+    df = spark.createDataFrame(
+        [([{"cents": c, "long_sig": s} for c, s in rows],)],
+        "series array<struct<cents:bigint,long_sig:int>>",
+    )
+    r = df.select(F.expr(_BT_FOLD).alias("st")).select(
+        "st.pnl", "st.trades", "st.pos"
+    ).first()
+    assert (r["pnl"], r["trades"], r["pos"]) == _backtest_py(rows)
+
+
+def test_beta_cross_multiply_matches_float_beta(spark):
+    # cov_n > var_n iff beta > 1 and cov_n > 0 iff beta > 0, on a
+    # window where var > 0 — the exact tests must agree with the
+    # float covariance/variance ratio.
+    import random
+
+    rng = random.Random(11)
+    for _ in range(200):
+        xs = [rng.randrange(-22_000_000, 22_000_000) for _ in range(20)]
+        ys = [rng.randrange(-9_000_000, 9_000_000) for _ in range(20)]
+        n = 20
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sx, sy, syy = sum(xs), sum(ys), sum(b * b for b in ys)
+        cov_n, var_n = n * sxy - sx * sy, n * syy - sy * sy
+        if var_n <= 0:
+            continue
+        beta = cov_n / var_n
+        assert (cov_n > 0) == (beta > 0)
+        assert (cov_n > var_n) == (beta > 1)
