@@ -1124,3 +1124,65 @@ def calibration_probe(spark, sf_dir: str, n: int) -> None:
     )
     out["kept_exact_nfold"] = all(rn[s][1] == n * r1[s][1] for s in r1)
     print(json.dumps(out), flush=True)
+
+
+def indicator_fold_probe(spark, sf_dir: str, n: int) -> None:
+    """Late-r8 probe: the two sequential-fold indicators (fixed-point
+    EWMA and the SMA-crossover backtest) under symbol-space
+    N-plication — the realistic 100 TB growth axis (more symbols,
+    same series length). Two checks: (a) wall stays ~flat per symbol
+    (the folds are embarrassingly parallel across symbols; no stage
+    depends on symbol count); (b) results are EXACTLY invariant —
+    every replica symbol carries the original's series, so the
+    distinct (result-tuple -> count) histogram at Nx must be the 1x
+    histogram with every count multiplied by N."""
+    from sp500_stock_etl_spark.plans.queries_indicators import (
+        _stock,
+        backtest_frame,
+        ewma_fold_frame,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stock_of(k: int) -> DataFrame:
+        src = li if k == 1 else replicate(li, k, ["l_partkey"])
+        return src.select(
+            F.col("l_partkey").alias("symbol"),
+            F.to_date("l_shipdate").alias("trade_date"),
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+
+    out = {"probe": "indicator_folds", "sf_dir": sf_dir, "n": n}
+    for tag, frame_fn, cols in (
+        ("ewma", ewma_fold_frame, ["ewma_final", "ewma_sum", "n_obs"]),
+        (
+            "backtest",
+            backtest_frame,
+            ["realized_pnl_cents", "n_trades", "final_pos", "unrealized_cents"],
+        ),
+    ):
+        t = time.time()
+        h1 = {
+            tuple(r[c] for c in cols): r["cnt"]
+            for r in frame_fn(stock_of(1))
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        out[f"{tag}_sec_1x"] = round(time.time() - t, 2)
+        t = time.time()
+        hn = {
+            tuple(r[c] for c in cols): r["cnt"]
+            for r in frame_fn(stock_of(n))
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        out[f"{tag}_sec_nx"] = round(time.time() - t, 2)
+        out[f"{tag}_sec_ratio"] = round(
+            out[f"{tag}_sec_nx"] / max(out[f"{tag}_sec_1x"], 0.01), 2
+        )
+        out[f"{tag}_exact_nfold"] = hn == {k: n * v for k, v in h1.items()}
+    print(json.dumps(out), flush=True)

@@ -278,7 +278,10 @@ WHERE rn = n
     "identical recurrence (r8 indicators suite)",
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = _stock(spark, sf_dir)
+    return ewma_fold_frame(_stock(spark, sf_dir))
+
+
+def ewma_fold_frame(st: DataFrame) -> DataFrame:
     # Sort keys lead the struct so array_sort's lexicographic order IS
     # the deterministic row order; (order_key, line_number) is unique,
     # so ties cannot occur.
@@ -692,9 +695,12 @@ WHERE rn = n
     "wave 2)",
 )
 def q_sma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return backtest_frame(_stock(spark, sf_dir))
+
+
+def backtest_frame(st: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
-    st = _stock(spark, sf_dir)
     order = ["trade_date", "order_key", "line_number"]
     w = Window.partitionBy("symbol").orderBy(*order)
     wf, ws = w.rowsBetween(-4, 0), w.rowsBetween(-19, 0)
