@@ -245,6 +245,10 @@ R8_QUERIES = [
     "indicator_market_beta",
     "indicator_vwap_daily",
     "indicator_sma_backtest",
+    "indicator_stochastic_k",
+    "indicator_obv",
+    "indicator_portfolio_var",
+    "streaming_vwap_daily",
 ]
 
 

@@ -149,6 +149,7 @@ AUDITED = [
     "indicator_advance_decline",
     "indicator_market_beta",
     "indicator_sma_backtest",
+    "indicator_portfolio_var",
 ]
 
 

@@ -753,3 +753,242 @@ def backtest_frame(st: DataFrame) -> DataFrame:
         .alias("unrealized_cents"),
         F.col("st.cnt").alias("n_obs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3 — stochastic oscillator, on-balance volume, and historical
+# portfolio VaR (the risk capstone: exact order statistic over the
+# calendar-bounded daily P&L series via the distributed global-rank
+# pattern, never a single-task global window).
+# ---------------------------------------------------------------------------
+
+# Stochastic %K (14): rolling low/high frames; %K>80 and %K<20 kept
+# exact by cross-multiplication (5*(c-low) vs 4*(high-low) / (high-low)).
+_STOCHASTIC_ORACLE = f"""
+WITH {_STOCK_CTE},
+framed AS (
+    SELECT symbol, cents,
+           count(*) OVER f AS n,
+           min(cents) OVER f AS lo,
+           max(cents) OVER f AS hi
+    FROM stock
+    WINDOW f AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+    )
+),
+flagged AS (
+    SELECT symbol,
+           cents - lo AS span_up,
+           hi - lo AS range_k,
+           CASE WHEN 5 * (cents - lo) > 4 * (hi - lo) THEN 1 ELSE 0 END
+               AS overbought,
+           CASE WHEN 5 * (cents - lo) < (hi - lo) THEN 1 ELSE 0 END
+               AS oversold
+    FROM framed
+    WHERE n = 14 AND hi > lo
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_signals,
+       CAST(sum(overbought) AS BIGINT) AS n_overbought,
+       CAST(sum(oversold) AS BIGINT) AS n_oversold,
+       CAST(sum(span_up) AS BIGINT) AS span_checksum,
+       CAST(sum(range_k) AS BIGINT) AS range_checksum
+FROM flagged
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_stochastic_k",
+    _STOCHASTIC_ORACLE,
+    doc="stochastic %K(14) with overbought/oversold as exact BIGINT "
+    "cross-products over rolling min/max frames — one symbol-keyed "
+    "shuffle (r8 indicators wave 3)",
+)
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    f = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date", "order_key", "line_number")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    framed = st.select(
+        "symbol",
+        "cents",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.min("cents").over(f).alias("lo"),
+        F.max("cents").over(f).alias("hi"),
+    ).where((F.col("n") == 14) & (F.col("hi") > F.col("lo")))
+    up = F.col("cents") - F.col("lo")
+    rng = F.col("hi") - F.col("lo")
+    flagged = framed.select(
+        "symbol",
+        up.alias("span_up"),
+        rng.alias("range_k"),
+        F.when(5 * up > 4 * rng, 1).otherwise(0).alias("overbought"),
+        F.when(5 * up < rng, 1).otherwise(0).alias("oversold"),
+    )
+    return flagged.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_signals"),
+        F.sum("overbought").alias("n_overbought"),
+        F.sum("oversold").alias("n_oversold"),
+        F.sum("span_up").alias("span_checksum"),
+        F.sum("range_k").alias("range_checksum"),
+    )
+
+
+# On-balance volume: cumulative sign(price diff) * quantity, exact.
+_OBV_ORACLE = """
+WITH px AS (
+    SELECT l_partkey AS symbol,
+           CAST(l_shipdate AS DATE) AS trade_date,
+           l_orderkey AS order_key,
+           l_linenumber AS line_number,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(floor(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+),
+diffed AS (
+    SELECT symbol, trade_date, order_key, line_number, qty,
+           cents - lag(cents) OVER w AS d
+    FROM px
+    WINDOW w AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+    )
+),
+obv AS (
+    SELECT symbol,
+           sum(CASE WHEN d > 0 THEN qty WHEN d < 0 THEN -qty ELSE 0 END)
+               OVER (
+                   PARTITION BY symbol
+                   ORDER BY trade_date, order_key, line_number
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v
+    FROM diffed
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(max(v) AS BIGINT) AS obv_max,
+       CAST(min(v) AS BIGINT) AS obv_min,
+       CAST(sum(v) AS BIGINT) AS obv_checksum
+FROM obv
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_obv",
+    _OBV_ORACLE,
+    doc="on-balance volume: cumulative sign(diff)*qty per symbol, all "
+    "BIGINT — lag + running sum in one symbol-keyed sort (r8 "
+    "indicators wave 3)",
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    px = li.select(
+        F.col("l_partkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("trade_date"),
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    order = ["trade_date", "order_key", "line_number"]
+    w = Window.partitionBy("symbol").orderBy(*order)
+    diffed = px.select(
+        "symbol", *order, "qty", (F.col("cents") - F.lag("cents").over(w)).alias("d")
+    )
+    delta = (
+        F.when(F.col("d") > 0, F.col("qty"))
+        .when(F.col("d") < 0, -F.col("qty"))
+        .otherwise(0)
+    )
+    obv = diffed.select(
+        "symbol",
+        F.sum(delta)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("v"),
+    )
+    return obv.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max("v").alias("obv_max"),
+        F.min("v").alias("obv_min"),
+        F.sum("v").alias("obv_checksum"),
+    )
+
+
+# Historical-simulation portfolio VaR: the portfolio's daily P&L is
+# the cross-symbol sum of daily-notional diffs; VaR95 is the EXACT
+# k-th smallest daily P&L with k = n div 20 + 1. The daily series is
+# calendar-bounded, but the order statistic still uses the
+# distributed global-rank pattern (range-sort + offsets) rather than
+# a single-task global window — same discipline as
+# feature_equidepth_histogram.
+_PORTFOLIO_VAR_ORACLE = f"""
+WITH {_STOCK_CTE},
+daily AS (
+    SELECT symbol, trade_date, sum(cents) AS sc
+    FROM stock GROUP BY symbol, trade_date
+),
+sdiff AS (
+    SELECT symbol, trade_date,
+           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS x
+    FROM daily
+),
+pnl AS (
+    SELECT trade_date, sum(x) AS p
+    FROM sdiff WHERE x IS NOT NULL
+    GROUP BY trade_date
+),
+ranked AS (
+    SELECT trade_date, p,
+           row_number() OVER (ORDER BY p, trade_date) AS rn,
+           count(*) OVER () AS n
+    FROM pnl
+)
+SELECT CAST(trade_date AS DATE) AS var_day,
+       CAST(p AS BIGINT) AS var95_cents,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(rn AS BIGINT) AS k
+FROM ranked
+WHERE rn = n // 20 + 1
+"""
+
+
+@register(
+    "indicator_portfolio_var",
+    _PORTFOLIO_VAR_ORACLE,
+    doc="historical-simulation portfolio VaR95: cross-symbol daily "
+    "P&L, exact k-th smallest (k = n div 20 + 1) via the distributed "
+    "global-rank pattern over the calendar-bounded series — no "
+    "single-task global window (r8 indicators wave 3)",
+)
+def q_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.window_metrics import with_global_rank
+
+    st = _stock(spark, sf_dir)
+    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    wsym = Window.partitionBy("symbol").orderBy("trade_date")
+    sdiff = daily.select(
+        "symbol", "trade_date", (F.col("sc") - F.lag("sc").over(wsym)).alias("x")
+    ).where(F.col("x").isNotNull())
+    pnl = sdiff.groupBy("trade_date").agg(F.sum("x").alias("p"))
+    ranked = with_global_rank(pnl, ["p", "trade_date"], rank_col="rn")
+    total = pnl.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(F.broadcast(total))
+        .where(F.col("rn") == F.expr("n div 20 + 1"))
+        .select(
+            F.col("trade_date").alias("var_day"),
+            F.col("p").alias("var95_cents"),
+            F.col("n").alias("n_days"),
+            F.col("rn").alias("k"),
+        )
+    )

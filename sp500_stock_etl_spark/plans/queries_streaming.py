@@ -1500,3 +1500,68 @@ def q_streaming_sessions_multibatch(
         "session_end",
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the indicator family's VWAP (late r8): daily
+# per-symbol VWAP computed ON THE STREAM — tumbling 1-day event-time
+# windows over a lineitem file-stream, exact integer num/den
+# fractions, complete mode so the oracle is the plain batch rollup
+# (same contract as streaming_tumbling_counts; production would run
+# append+watermark with the frontier compare, but the EXACTNESS
+# exhibit wants every window). Day boundaries are safe because
+# harden() pins the session to UTC.
+# ---------------------------------------------------------------------------
+
+_STREAMING_VWAP_ORACLE = f"""
+WITH px AS (
+    SELECT l_partkey AS symbol,
+           date_trunc('day', l_shipdate) AS d,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(floor(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+)
+SELECT strftime(d, '{_SQL_TS_FMT}') AS window_start,
+       symbol,
+       CAST(sum(cents * qty) AS BIGINT) AS num,
+       CAST(sum(qty) AS BIGINT) AS den
+FROM px
+GROUP BY d, symbol
+"""
+
+
+def _stage_lineitem_dir(sf_dir: str) -> str:
+    d = tempfile.mkdtemp(prefix="sg_lineitem_")
+    os.symlink(f"{sf_dir}/lineitem.parquet", f"{d}/lineitem.parquet")
+    return d
+
+
+@register(
+    "streaming_vwap_daily",
+    _STREAMING_VWAP_ORACLE,
+    doc="daily per-symbol VWAP on a lineitem file-stream: tumbling "
+    "1-day event-time windows, exact BIGINT num/den fractions, "
+    "complete mode == batch rollup bit-for-bit — the indicator "
+    "family's streaming deployment shape (late r8)",
+)
+def q_streaming_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_lineitem_dir(sf_dir)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    px = raw.select(
+        F.col("l_partkey").alias("symbol"),
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    agg = px.groupBy(F.window("ts", "1 day").alias("w"), "symbol").agg(
+        F.sum(F.col("cents") * F.col("qty")).alias("num"),
+        F.sum("qty").alias("den"),
+    )
+    out = _run_to_table(spark, agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+        "symbol",
+        "num",
+        "den",
+    )

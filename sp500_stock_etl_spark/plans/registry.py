@@ -66,6 +66,10 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "streaming_vwap_daily",  # late r8: VWAP on the stream
+    "indicator_portfolio_var",  # late r8: exact order-stat VaR
+    "indicator_stochastic_k",  # late r8: rolling min/max oscillator
+    "indicator_obv",  # late r8: signed cumulative volume
     "indicator_sma_backtest",  # late r8: position state-machine fold
     "indicator_market_beta",  # late r8: exact rolling beta tests
     "indicator_advance_decline",  # late r8: market breadth A/D line
@@ -117,11 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- classes are invariant-tested locally instead) ---
     "streaming_quote_feed_agg",  # r3
     "string_functions_suite",  # r3
-    "tpch_q10_returned_items",  # r3
-    "tpch_q11_important_parts",  # r3
-    "tpch_q13_custdist",  # r3
-    "tpch_q19_disjunctive_join",  # r3
-    # (the 6th-40th fills — tpch_q22_idle_segments through
+    # (the 2nd-40th fills — tpch_q11_important_parts through
     # streaming_dedup_keys_ttl, all r4 greens — were displaced by the
     # thirty late-r8 births above, exactly as the births-at-head
     # policy demands; like every non-window query they remain
