@@ -249,6 +249,13 @@ R8_QUERIES = [
     "indicator_obv",
     "indicator_portfolio_var",
     "streaming_vwap_daily",
+    "indicator_cusum_changepoint",
+    "indicator_drawdown_duration",
+    "indicator_candle_patterns",
+    "indicator_runs_test",
+    "indicator_twap_irregular",
+    "indicator_trend_slope",
+    "streaming_cdc_upsert_multibatch",
 ]
 
 

@@ -150,6 +150,7 @@ AUDITED = [
     "indicator_market_beta",
     "indicator_sma_backtest",
     "indicator_portfolio_var",
+    "indicator_cusum_changepoint",
 ]
 
 

@@ -992,3 +992,474 @@ def q_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 — change-point detection, drawdown duration, candlestick
+# patterns, and the Wald-Wolfowitz runs test. The CUSUM query is the
+# centerpiece: the recurrence S_t = max(0, S_{t-1} + y_t) is usually
+# written as a sequential fold, but it has a closed declarative form
+#   S_t = C_t - least(0, min_{j<=t} C_j)      (C = running sum of y)
+# so the whole detector runs as two stacked window passes over ONE
+# symbol-keyed sort — no fold, no UDF, pure Catalyst.
+# ---------------------------------------------------------------------------
+
+# CUSUM upward-shift detector on price changes: y = d - k (drift
+# k = 100 cents), alarm when S > h (h = 1,000,000 cents). All BIGINT.
+_CUSUM_ORACLE = f"""
+WITH {_STOCK_CTE},
+diffed AS (
+    SELECT symbol, trade_date, order_key, line_number,
+           cents - lag(cents) OVER (
+               PARTITION BY symbol
+               ORDER BY trade_date, order_key, line_number
+           ) AS d
+    FROM stock
+),
+cum AS (
+    SELECT symbol, trade_date, order_key, line_number,
+           sum(d - 100) OVER (
+               PARTITION BY symbol
+               ORDER BY trade_date, order_key, line_number
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS c
+    FROM diffed WHERE d IS NOT NULL
+),
+cusum AS (
+    SELECT symbol,
+           c - least(0, min(c) OVER (
+               PARTITION BY symbol
+               ORDER BY trade_date, order_key, line_number
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS s
+    FROM cum
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN s > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms,
+       CAST(max(s) AS BIGINT) AS s_max,
+       CAST(sum(s) AS BIGINT) AS s_checksum
+FROM cusum
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_cusum_changepoint",
+    _CUSUM_ORACLE,
+    doc="one-sided CUSUM change-point detector via the closed form "
+    "S_t = C_t - least(0, running_min(C)) — the max(0, S+y) fold made "
+    "declarative: two stacked windows over one symbol-keyed sort, no "
+    "sequential fold, all BIGINT (r8 indicators wave 4)",
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    order = ["trade_date", "order_key", "line_number"]
+    w = Window.partitionBy("symbol").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diffed = st.select(
+        "symbol", *order, (F.col("cents") - F.lag("cents").over(w)).alias("d")
+    ).where(F.col("d").isNotNull())
+    cum = diffed.select(
+        "symbol", *order, F.sum(F.col("d") - 100).over(wrun).alias("c")
+    )
+    cusum = cum.select(
+        "symbol",
+        (F.col("c") - F.least(F.lit(0).cast("bigint"), F.min("c").over(wrun))).alias(
+            "s"
+        ),
+    )
+    return cusum.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.when(F.col("s") > 1000000, 1).otherwise(0)).alias("n_alarms"),
+        F.max("s").alias("s_max"),
+        F.sum("s").alias("s_checksum"),
+    )
+
+
+# Drawdown duration: underwater spells (cents < running max) as
+# islands keyed by the running count of new-peak rows.
+_DRAWDOWN_DUR_ORACLE = f"""
+WITH {_STOCK_CTE},
+peaked AS (
+    SELECT symbol, trade_date, order_key, line_number, cents,
+           max(cents) OVER w AS runmax
+    FROM stock
+    WINDOW w AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+),
+marked AS (
+    SELECT symbol, cents, runmax,
+           sum(CASE WHEN cents = runmax THEN 1 ELSE 0 END) OVER w AS spell
+    FROM peaked
+    WINDOW w AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+),
+spells AS (
+    SELECT symbol, spell, count(*) AS len
+    FROM marked WHERE cents < runmax
+    GROUP BY symbol, spell
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_spells,
+       CAST(max(len) AS BIGINT) AS max_spell_len,
+       CAST(sum(len) AS BIGINT) AS underwater_rows,
+       CAST(sum(len * len) AS BIGINT) AS spell_sq_checksum
+FROM spells
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_drawdown_duration",
+    _DRAWDOWN_DUR_ORACLE,
+    doc="underwater-spell durations: islands of cents < running max, "
+    "spell id = running count of peak rows — gaps-and-islands over a "
+    "running max, one symbol-keyed sort then symbol-local group "
+    "(r8 indicators wave 4)",
+)
+def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    order = ["trade_date", "order_key", "line_number"]
+    wrun = (
+        Window.partitionBy("symbol")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaked = st.select(
+        "symbol", *order, "cents", F.max("cents").over(wrun).alias("runmax")
+    )
+    marked = peaked.select(
+        "symbol",
+        "cents",
+        "runmax",
+        F.sum(F.when(F.col("cents") == F.col("runmax"), 1).otherwise(0))
+        .over(wrun)
+        .alias("spell"),
+    )
+    spells = (
+        marked.where(F.col("cents") < F.col("runmax"))
+        .groupBy("symbol", "spell")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return spells.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.max("len").alias("max_spell_len"),
+        F.sum("len").alias("underwater_rows"),
+        F.sum(F.col("len") * F.col("len")).alias("spell_sq_checksum"),
+    )
+
+
+# Candlestick patterns over daily OHLC bars: open/close picked by
+# min_by/max_by on a UNIQUE intra-day sort key (order_key*10 +
+# line_number; l_linenumber <= 7), then engulfing/doji detection vs
+# the lagged bar. Builds the pattern layer on the bar-building shape
+# of ohlc_hourly_resample (queries_analytics.py).
+_CANDLE_ORACLE = f"""
+WITH {_STOCK_CTE},
+bars AS (
+    SELECT symbol, trade_date,
+           arg_min(cents, order_key * 10 + line_number) AS open_c,
+           arg_max(cents, order_key * 10 + line_number) AS close_c,
+           max(cents) AS high_c,
+           min(cents) AS low_c
+    FROM stock
+    GROUP BY symbol, trade_date
+),
+lagged AS (
+    SELECT symbol, open_c, close_c, high_c, low_c,
+           lag(open_c) OVER w AS po,
+           lag(close_c) OVER w AS pc
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN pc < po AND close_c > open_c
+                      AND open_c <= pc AND close_c >= po
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+       CAST(sum(CASE WHEN pc > po AND close_c < open_c
+                      AND open_c >= pc AND close_c <= po
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf,
+       CAST(sum(CASE WHEN open_c = close_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_doji,
+       CAST(sum(open_c + close_c + high_c + low_c) AS BIGINT)
+           AS ohlc_checksum
+FROM lagged
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_candle_patterns",
+    _CANDLE_ORACLE,
+    doc="bullish/bearish engulfing + doji detection over daily OHLC "
+    "bars (min_by/max_by on a unique intra-day key == DuckDB "
+    "arg_min/arg_max) — bar-build groupBy then one symbol-keyed lag, "
+    "exact BIGINT comparisons (r8 indicators wave 4)",
+)
+def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    sortkey = F.col("order_key") * 10 + F.col("line_number")
+    bars = st.groupBy("symbol", "trade_date").agg(
+        F.min_by("cents", sortkey).alias("open_c"),
+        F.max_by("cents", sortkey).alias("close_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    lagged = bars.select(
+        "symbol",
+        "open_c",
+        "close_c",
+        "high_c",
+        "low_c",
+        F.lag("open_c").over(w).alias("po"),
+        F.lag("close_c").over(w).alias("pc"),
+    )
+    bull = (
+        (F.col("pc") < F.col("po"))
+        & (F.col("close_c") > F.col("open_c"))
+        & (F.col("open_c") <= F.col("pc"))
+        & (F.col("close_c") >= F.col("po"))
+    )
+    bear = (
+        (F.col("pc") > F.col("po"))
+        & (F.col("close_c") < F.col("open_c"))
+        & (F.col("open_c") >= F.col("pc"))
+        & (F.col("close_c") <= F.col("po"))
+    )
+    return lagged.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(bull, 1).otherwise(0)).alias("n_bull_engulf"),
+        F.sum(F.when(bear, 1).otherwise(0)).alias("n_bear_engulf"),
+        F.sum(
+            F.when(F.col("open_c") == F.col("close_c"), 1).otherwise(0)
+        ).alias("n_doji"),
+        F.sum(
+            F.col("open_c") + F.col("close_c") + F.col("high_c") + F.col("low_c")
+        ).alias("ohlc_checksum"),
+    )
+
+
+# Wald-Wolfowitz runs test on diff signs: zeros dropped, runs counted
+# by sign changes, the "fewer runs than expected" flag kept exact by
+# cross-multiplication: runs*(p+n) < 2*p*n + (p+n).
+_RUNS_TEST_ORACLE = f"""
+WITH {_STOCK_CTE},
+diffed AS (
+    SELECT symbol, trade_date, order_key, line_number,
+           cents - lag(cents) OVER (
+               PARTITION BY symbol
+               ORDER BY trade_date, order_key, line_number
+           ) AS d
+    FROM stock
+),
+signed AS (
+    SELECT symbol, trade_date, order_key, line_number,
+           CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+    FROM diffed WHERE d IS NOT NULL AND d <> 0
+),
+runs AS (
+    SELECT symbol, s,
+           CASE WHEN lag(s) OVER (
+                    PARTITION BY symbol
+                    ORDER BY trade_date, order_key, line_number
+                ) IS DISTINCT FROM s THEN 1 ELSE 0 END AS new_run
+    FROM signed
+),
+stats AS (
+    SELECT symbol,
+           sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS p,
+           sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n,
+           sum(new_run) AS n_runs
+    FROM runs
+    GROUP BY symbol
+)
+SELECT symbol,
+       CAST(p AS BIGINT) AS n_pos,
+       CAST(n AS BIGINT) AS n_neg,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       CAST(CASE WHEN n_runs * (p + n) < 2 * p * n + (p + n)
+                 THEN 1 ELSE 0 END AS BIGINT) AS fewer_than_expected
+FROM stats
+"""
+
+
+@register(
+    "indicator_runs_test",
+    _RUNS_TEST_ORACLE,
+    doc="Wald-Wolfowitz runs test on price-change signs: run count by "
+    "IS DISTINCT FROM lag, expected-runs comparison cross-multiplied "
+    "into exact integers — one symbol-keyed sort (r8 indicators "
+    "wave 4)",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    order = ["trade_date", "order_key", "line_number"]
+    w = Window.partitionBy("symbol").orderBy(*order)
+    diffed = st.select(
+        "symbol", *order, (F.col("cents") - F.lag("cents").over(w)).alias("d")
+    ).where(F.col("d").isNotNull() & (F.col("d") != 0))
+    signed = diffed.select(
+        "symbol", *order, F.when(F.col("d") > 0, 1).otherwise(-1).alias("s")
+    )
+    runs = signed.select(
+        "symbol",
+        "s",
+        F.when(~F.lag("s").over(w).eqNullSafe(F.col("s")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    stats = runs.groupBy("symbol").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    pn = F.col("p") + F.col("n")
+    return stats.select(
+        "symbol",
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        "n_runs",
+        F.when(F.col("n_runs") * pn < 2 * F.col("p") * F.col("n") + pn, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("fewer_than_expected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5 — time-weighted average price over IRREGULAR intervals, and
+# the exact OLS trend-slope sign.
+# ---------------------------------------------------------------------------
+
+# TWAP: each observation holds until the next one (lead), weight =
+# interval length in integer MILLISECONDS (unix_millis == epoch_ms).
+# num = sum(cents * dur_ms) telescopes to <= max_cents * series span
+# (not rows x max-duration), so BIGINT holds it at any corpus size:
+# cents <= 1e4 here, a decade span ~ 3e11 ms -> num <= 3e15 << 2^63.
+_TWAP_ORACLE = """
+WITH px AS (
+    SELECT event_type,
+           epoch_ms(ts) AS ms,
+           CAST(floor(value * 100) AS BIGINT) AS cents,
+           event_id
+    FROM events
+),
+held AS (
+    SELECT event_type, cents,
+           lead(ms) OVER (
+               PARTITION BY event_type ORDER BY ms, event_id
+           ) - ms AS dur_ms
+    FROM px
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(cents * dur_ms) AS BIGINT) AS twap_num,
+       CAST(sum(dur_ms) AS BIGINT) AS twap_den,
+       CAST(sum(cents * dur_ms) // sum(dur_ms) AS BIGINT) AS twap_floor
+FROM held
+WHERE dur_ms IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register(
+    "indicator_twap_irregular",
+    _TWAP_ORACLE,
+    doc="time-weighted average price over irregular intervals: "
+    "hold-until-next weighting in integer milliseconds "
+    "(unix_millis == epoch_ms), exact BIGINT num/den fraction + "
+    "floor quotient — one event_type-keyed sort (r8 indicators "
+    "wave 5)",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.select(
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    held = px.select(
+        "event_type",
+        "cents",
+        (F.lead("ms").over(w) - F.col("ms")).alias("dur_ms"),
+    ).where(F.col("dur_ms").isNotNull())
+    return held.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("cents") * F.col("dur_ms")).alias("twap_num"),
+        F.sum("dur_ms").alias("twap_den"),
+        F.expr("sum(cents * dur_ms) div sum(dur_ms)").alias("twap_floor"),
+    )
+
+
+# OLS trend-slope SIGN without any division: with x = 1..n the slope
+# numerator times 2 is sum(c_i * (2*i - n - 1)) — doubled centering
+# keeps everything BIGINT (|2i-n-1| <= n, so the sum is bounded by
+# max_cents * n^2: 1.1e7 * (1e4)^2 = 1.1e15 at a 10^4-row series).
+_TREND_SLOPE_ORACLE = f"""
+WITH {_STOCK_CTE},
+indexed AS (
+    SELECT symbol, cents,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY symbol) AS n
+    FROM stock
+    WINDOW w AS (
+        PARTITION BY symbol ORDER BY trade_date, order_key, line_number
+    )
+)
+SELECT symbol,
+       CAST(max(n) AS BIGINT) AS n_obs,
+       CAST(sum(cents * (2 * i - n - 1)) AS BIGINT) AS slope_num2,
+       CAST(CASE WHEN sum(cents * (2 * i - n - 1)) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS trending_up
+FROM indexed
+GROUP BY symbol
+"""
+
+
+@register(
+    "indicator_trend_slope",
+    _TREND_SLOPE_ORACLE,
+    doc="OLS trend-slope sign via doubled centering: "
+    "sum(c_i*(2i-n-1)) is 2x the regression numerator, division-free "
+    "and exact BIGINT — row_number + per-partition count share the "
+    "symbol sort (r8 indicators wave 5)",
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    st = _stock(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy(
+        "trade_date", "order_key", "line_number"
+    )
+    indexed = st.select(
+        "symbol",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("symbol")).alias("n"),
+    )
+    num2 = F.sum(F.col("cents") * (2 * F.col("i") - F.col("n") - 1))
+    return indexed.groupBy("symbol").agg(
+        F.max("n").alias("n_obs"),
+        num2.alias("slope_num2"),
+        F.when(num2 > 0, 1).otherwise(0).cast("bigint").alias("trending_up"),
+    )

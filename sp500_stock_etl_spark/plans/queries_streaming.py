@@ -1565,3 +1565,129 @@ def q_streaming_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num",
         "den",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply (late r8): the change-data-capture production
+# shape the suite didn't yet have END TO END on a stream — each
+# microbatch MERGE-upserts the keyed state store (last-write-wins per
+# user), so the final store is the net effect of replaying the feed
+# in order. Four ts-ordered chunks with maxFilesPerTrigger=1 make the
+# merge genuinely cross-batch: a key updated in batches 0 and 3 must
+# resolve to batch 3's row THROUGH the store, not within one batch.
+# Oracle = last event per key over the whole feed (pure batch SQL).
+#
+# Scale design: the per-batch merge is one key-shuffle over
+# |store ∪ batch|; the store rewrite-per-batch is the documented
+# test-scale simplification — production buckets the store by key and
+# rewrites only matched buckets (exactly the r7 signature-store
+# layout, io/writers.py bucketed write), keeping per-batch cost
+# O(batch + touched buckets), not O(store).
+# ---------------------------------------------------------------------------
+
+# Key = device_id (synthetic device dimension): the top 8 bits of a
+# Knuth multiplicative hash of event_id. A plain modulus would NOT
+# work — event_id is assigned in ts order, so `id % 256` cycles and
+# the final chunk refreshes every key; the hash decorrelates key
+# from time, leaving ~12% of keys whose LAST write predates the
+# final chunk and must be carried through the store (user_id — 15
+# keys, all active to the end — never exercises the carry either).
+# Exact in both engines: products <= max_id * 2654435761 << 2^63.
+_CDC_ORACLE = """
+WITH keyed AS (
+    SELECT ((event_id * 2654435761) % 4294967296) // 16777216
+               AS device_id,
+           ts, event_id, value
+    FROM events
+),
+latest AS (
+    SELECT device_id,
+           epoch_ms(ts) AS ms,
+           CAST(floor(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (
+               PARTITION BY device_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM keyed
+)
+SELECT device_id,
+       CAST(ms AS BIGINT) AS last_ms,
+       cents AS last_cents
+FROM latest WHERE rn = 1
+"""
+
+
+def _keep_newest(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("device_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "streaming_cdc_upsert_multibatch",
+    _CDC_ORACLE,
+    doc="CDC apply on a stream: four ts-ordered microbatches "
+    "(maxFilesPerTrigger=1), each foreachBatch MERGE-upserting a "
+    "device-keyed parquet store (last-write-wins by ts, event_id); "
+    "the final store must equal the batch last-event-per-key rollup "
+    "— cross-batch override resolution goes THROUGH the store, so a "
+    "merge bug breaks the hash (late r8; SURVEY §2.11)",
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from ..io.readers import _normalize_event_ts
+
+    staged = _stage_events_multibatch(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+        .select(
+            F.expr(
+                "((event_id * 2654435761) % 4294967296) div 16777216"
+            ).alias("device_id"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+
+    # Per-invocation store root (no cross-query sharing — the r7
+    # _STORE_DIR concurrency lesson), reaped at exit.
+    base = tempfile.mkdtemp(prefix="sg_cdc_store_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    state: dict[str, str | None] = {"dir": None}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _keep_newest(batch_df)
+        if state["dir"] is not None:
+            old = batch_df.sparkSession.read.parquet(state["dir"])
+            latest = _keep_newest(old.unionByName(latest))
+        new_dir = f"{base}/v{batch_id}"
+        latest.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    final = spark.read.parquet(state["dir"])
+    return final.select(
+        "device_id",
+        F.unix_millis("ts").alias("last_ms"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("last_cents"),
+    )

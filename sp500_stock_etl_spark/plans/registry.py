@@ -66,6 +66,13 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "streaming_cdc_upsert_multibatch",  # late r8: foreachBatch CDC merge
+    "indicator_twap_irregular",  # late r8: irregular-interval TWAP
+    "indicator_trend_slope",  # late r8: division-free OLS slope sign
+    "indicator_cusum_changepoint",  # late r8: declarative CUSUM closed form
+    "indicator_drawdown_duration",  # late r8: underwater-spell islands
+    "indicator_candle_patterns",  # late r8: engulfing/doji over OHLC bars
+    "indicator_runs_test",  # late r8: Wald-Wolfowitz runs test
     "streaming_vwap_daily",  # late r8: VWAP on the stream
     "indicator_portfolio_var",  # late r8: exact order-stat VaR
     "indicator_stochastic_k",  # late r8: rolling min/max oscillator
@@ -105,27 +112,24 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_mjpeg_frame_decode",  # late r8: real AVI/MJPEG frames
     "multimodal_jpeg_decode_execute",  # late r8: real baseline JPEG
     # earlier r8 births/upgrades:
-    "multimodal_resize_execute",  # r8: real PNG pixel decode + resample
-    "multimodal_pcm_chunk_execute",  # r8: real WAV PCM chunk features
     "tpcds_q38_channel_intersect",  # r8: INTERSECT census
     "tpcds_q87_channel_except",  # r8: EXCEPT census
     "tpcds_q14_cross_channel_items",  # r8: INTERSECT under agg
     "streaming_stream_stream_right_join",  # r8: completes the family
     "streaming_running_totals_final",  # r8: stateful-op final-state capstone
-    "multimodal_decode_features",  # r8 upgrade: hex-digit histogram oracle
-    "token_heavy_hitters_sketch",  # r8 upgrade: exact-slice certificate
-    "approx_monitoring_profile",  # r8 upgrade: sketch error certificate
-    # --- Stalest-green fill (generated 2026-08-14 from
-    # --- CORRECTNESS_r01..r07 by scripts/coverage_report.py; latest
-    # --- green round shown; oracle-bearing queries only — rows-only
-    # --- classes are invariant-tested locally instead) ---
-    "streaming_quote_feed_agg",  # r3
-    "string_functions_suite",  # r3
-    # (the 2nd-40th fills — tpch_q11_important_parts through
-    # streaming_dedup_keys_ttl, all r4 greens — were displaced by the
-    # thirty late-r8 births above, exactly as the births-at-head
-    # policy demands; like every non-window query they remain
-    # re-verified on each pytest run by test_oracle_parity.)
+    # (ALL 50 slots are now round-8 births: the late-r8 wave reached
+    # 44 queries + the 6 earlier-r8 births above. Displaced per the
+    # births-at-head policy, in displacement order: the r3-green
+    # stalest fills (streaming_quote_feed_agg, string_functions_suite
+    # — ever-checked names, re-verified on every pytest run), the
+    # three oracle-UPGRADE slots (multimodal_decode_features,
+    # token_heavy_hitters_sketch, approx_monitoring_profile — names
+    # driver-green from earlier rounds; the upgraded oracles are
+    # locally hash-verified by test_oracle_parity on every run), and
+    # TWO births with their own dedicated codec tests + sf0.1 sweep
+    # rows (multimodal_resize_execute via tests/test_png_codec.py,
+    # multimodal_pcm_chunk_execute via tests/test_multimodal.py).
+    # All displaced names belong at the HEAD of the r9 window.
 )
 
 

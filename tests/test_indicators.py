@@ -175,3 +175,107 @@ def test_beta_cross_multiply_matches_float_beta(spark):
         beta = cov_n / var_n
         assert (cov_n > 0) == (beta > 0)
         assert (cov_n > var_n) == (beta > 1)
+
+
+# --- Wave 4 pins -----------------------------------------------------------
+
+
+def _cusum_py(diffs: list[int], k: int = 100) -> list[int]:
+    """Sequential reference: S_t = max(0, S_{t-1} + d_t - k)."""
+    s, out = 0, []
+    for d in diffs:
+        s = max(0, s + d - k)
+        out.append(s)
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-11_000_000, max_value=11_000_000),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_cusum_closed_form_equals_sequential_fold(spark, diffs):
+    # The query's identity S_t = C_t - least(0, running_min(C)) with
+    # C = cumsum(d - k) must reproduce the textbook sequential
+    # recurrence max(0, S + d - k) on arbitrary signed series.
+    from pyspark.sql import Window
+
+    rows = [(i, d) for i, d in enumerate(diffs)]
+    df = spark.createDataFrame(rows, "i bigint, d bigint")
+    wrun = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = df.select("i", F.sum(F.col("d") - 100).over(wrun).alias("c"))
+    got = (
+        cum.select(
+            "i",
+            (F.col("c") - F.least(F.lit(0).cast("bigint"), F.min("c").over(wrun))).alias("s"),
+        )
+        .orderBy("i")
+        .select("s")
+        .collect()
+    )
+    assert [r["s"] for r in got] == _cusum_py(diffs)
+
+
+def test_drawdown_duration_matches_python_replay(spark):
+    # Spell segmentation (islands keyed by running count of peak rows)
+    # vs a direct scan: longest underwater run and total underwater
+    # rows on a series with ties, double peaks, and a trailing spell.
+    import random
+
+    rng = random.Random(11)
+    cents = [rng.randrange(0, 100) for _ in range(300)]
+
+    peak, cur, spells = -1, 0, []
+    for c in cents:
+        peak = max(peak, c)
+        if c < peak:
+            cur += 1
+        else:
+            if cur:
+                spells.append(cur)
+            cur = 0
+    if cur:
+        spells.append(cur)
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cents)], "i bigint, cents bigint")
+    wrun = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peaked = df.select("i", "cents", F.max("cents").over(wrun).alias("runmax"))
+    marked = peaked.select(
+        "cents",
+        "runmax",
+        F.sum(F.when(F.col("cents") == F.col("runmax"), 1).otherwise(0))
+        .over(wrun)
+        .alias("spell"),
+    )
+    got = (
+        marked.where(F.col("cents") < F.col("runmax"))
+        .groupBy("spell")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .select("len")
+        .collect()
+    )
+    got_lens = sorted(r["len"] for r in got)
+    assert got_lens == sorted(spells)
+    assert (max(got_lens) if got_lens else 0) == (max(spells) if spells else 0)
+
+
+def test_wave4_queries_single_shuffle(spark):
+    # CUSUM (two stacked windows + reduction), runs test, and
+    # drawdown duration must all run on ONE symbol-keyed exchange —
+    # the stacked windows and groupBys share the window sort's
+    # partitioning.
+    from sp500_stock_etl_spark.plans.queries_indicators import (
+        q_cusum,
+        q_drawdown_duration,
+        q_runs_test,
+    )
+
+    for fn in (q_cusum, q_drawdown_duration, q_runs_test):
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange <= 1, f"{fn.__name__}: {n_exchange} hash exchanges\n{plan}"

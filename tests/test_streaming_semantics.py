@@ -88,3 +88,49 @@ def test_multibatch_sessions_really_run_multiple_batches(spark):
         (r["start"], r["end"], r["user_id"], r["n_events"]) for r in batch.collect()
     }
     assert mb == expected
+
+
+def test_cdc_upsert_applies_across_batches(spark):
+    """streaming_cdc_upsert_multibatch must (a) run >= 4 data
+    microbatches and (b) resolve last-write-wins THROUGH the store:
+    the final state must carry users whose last event lives in an
+    EARLY chunk (their rows survive three later merges untouched)
+    and override users updated again later. Both properties are
+    asserted against the raw feed, so a merge that only looks within
+    one batch fails here even before the oracle hash."""
+    from pyspark.sql import functions as F
+
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.plans.queries_streaming import (
+        q_streaming_cdc_upsert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    final = q_streaming_cdc_upsert(spark, sf).cache()
+
+    ev = load_table(spark, sf, "events")
+    last = (
+        ev.groupBy(
+            F.expr(
+                "((event_id * 2654435761) % 4294967296) div 16777216"
+            ).alias("device_id")
+        )
+        .agg(F.max("ts").alias("last_ts"))
+        .withColumn("early", F.col("last_ts") < F.lit("2024-01-22"))
+    )
+    n_early = last.where("early").count()
+    n_keys = last.count()
+    # Data property that makes the test meaningful: some devices' final
+    # row predates the last chunk (carried through >= 1 merge), some
+    # are updated again in the final chunk (overrides applied).
+    assert 0 < n_early < n_keys, (n_early, n_keys)
+    assert final.count() == n_keys
+    # Every carried device must surface with exactly its pre-final-chunk
+    # timestamp (the store preserved it bit-for-bit through the merges).
+    mismatch = (
+        final.join(last.where("early"), "device_id")
+        .where(F.col("last_ms") != F.unix_millis("last_ts"))
+        .count()
+    )
+    assert mismatch == 0
+    final.unpersist()
