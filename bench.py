@@ -256,6 +256,8 @@ R8_QUERIES = [
     "indicator_twap_irregular",
     "indicator_trend_slope",
     "streaming_cdc_upsert_multibatch",
+    "indicator_expected_shortfall",
+    "indicator_portfolio_hhi",
 ]
 
 

@@ -1463,3 +1463,120 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         num2.alias("slope_num2"),
         F.when(num2 > 0, 1).otherwise(0).cast("bigint").alias("trending_up"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6 — expected shortfall (the tail-mean companion of VaR95) and
+# daily portfolio concentration (Herfindahl index in exact ppm^2).
+# ---------------------------------------------------------------------------
+
+# Expected shortfall: ES95 = mean of the k smallest daily P&Ls
+# (k = n div 20 + 1), kept exact as a (sum, k) fraction. Same daily
+# P&L pipeline as indicator_portfolio_var; the bottom-k selection
+# reuses the distributed global-rank pattern.
+_ES_ORACLE = f"""
+WITH {_STOCK_CTE},
+daily AS (
+    SELECT symbol, trade_date, sum(cents) AS sc
+    FROM stock GROUP BY symbol, trade_date
+),
+sdiff AS (
+    SELECT symbol, trade_date,
+           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS x
+    FROM daily
+),
+pnl AS (
+    SELECT trade_date, sum(x) AS p
+    FROM sdiff WHERE x IS NOT NULL
+    GROUP BY trade_date
+),
+ranked AS (
+    SELECT p,
+           row_number() OVER (ORDER BY p, trade_date) AS rn,
+           count(*) OVER () AS n
+    FROM pnl
+)
+SELECT CAST(max(n) AS BIGINT) AS n_days,
+       CAST(max(n) // 20 + 1 AS BIGINT) AS k,
+       CAST(sum(p) AS BIGINT) AS es_num_cents,
+       CAST(min(p) AS BIGINT) AS worst_day_cents
+FROM ranked
+WHERE rn <= n // 20 + 1
+"""
+
+
+@register(
+    "indicator_expected_shortfall",
+    _ES_ORACLE,
+    doc="expected shortfall ES95 as the exact (sum, k) fraction over "
+    "the k smallest daily portfolio P&Ls (k = n div 20 + 1) — "
+    "bottom-k via the distributed global-rank pattern, no "
+    "single-task window (r8 indicators wave 6)",
+)
+def q_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.window_metrics import with_global_rank
+
+    st = _stock(spark, sf_dir)
+    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    wsym = Window.partitionBy("symbol").orderBy("trade_date")
+    sdiff = daily.select(
+        "symbol", "trade_date", (F.col("sc") - F.lag("sc").over(wsym)).alias("x")
+    ).where(F.col("x").isNotNull())
+    pnl = sdiff.groupBy("trade_date").agg(F.sum("x").alias("p"))
+    ranked = with_global_rank(pnl, ["p", "trade_date"], rank_col="rn")
+    total = pnl.agg(F.count(F.lit(1)).alias("n"))
+    tail = ranked.join(F.broadcast(total)).where(
+        F.col("rn") <= F.expr("n div 20 + 1")
+    )
+    return tail.agg(
+        F.max("n").alias("n_days"),
+        F.expr("max(n) div 20 + 1").alias("k"),
+        F.sum("p").alias("es_num_cents"),
+        F.min("p").alias("worst_day_cents"),
+    )
+
+
+# Herfindahl concentration per trading day: notional share of each
+# symbol in integer PARTS-PER-MILLION (sc*1e6 div total — floor
+# division in both engines), HHI = sum(share_ppm^2) <= 1e12, exact.
+_HHI_ORACLE = f"""
+WITH {_STOCK_CTE},
+daily AS (
+    SELECT symbol, trade_date, sum(cents) AS sc
+    FROM stock GROUP BY symbol, trade_date
+),
+tot AS (
+    SELECT trade_date, sum(sc) AS total, count(*) AS n_symbols
+    FROM daily GROUP BY trade_date
+)
+SELECT d.trade_date,
+       CAST(max(t.n_symbols) AS BIGINT) AS n_symbols,
+       CAST(sum((d.sc * 1000000 // t.total)
+                * (d.sc * 1000000 // t.total)) AS BIGINT) AS hhi_ppm2
+FROM daily d JOIN tot t ON d.trade_date = t.trade_date
+GROUP BY d.trade_date
+"""
+
+
+@register(
+    "indicator_portfolio_hhi",
+    _HHI_ORACLE,
+    doc="daily portfolio concentration: Herfindahl index over "
+    "integer-ppm notional shares (floor-division — // in DuckDB, "
+    "div in Spark), exact BIGINT; per-day totals broadcast back "
+    "onto the symbol rows (r8 indicators wave 6)",
+)
+def q_portfolio_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _stock(spark, sf_dir)
+    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    tot = daily.groupBy("trade_date").agg(
+        F.sum("sc").alias("total"), F.count(F.lit(1)).alias("n_symbols")
+    )
+    joined = daily.join(F.broadcast(tot), "trade_date")
+    share = F.expr("sc * 1000000 div total")
+    return joined.groupBy("trade_date").agg(
+        F.max("n_symbols").alias("n_symbols"),
+        F.sum(share * share).alias("hhi_ppm2"),
+    )
