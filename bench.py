@@ -258,6 +258,7 @@ R8_QUERIES = [
     "streaming_cdc_upsert_multibatch",
     "indicator_expected_shortfall",
     "indicator_portfolio_hhi",
+    "indicator_risk_report",
 ]
 
 

@@ -1580,3 +1580,159 @@ def q_portfolio_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_symbols").alias("n_symbols"),
         F.sum(share * share).alias("hhi_ppm2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7 — the risk-report capstone: one daily portfolio timeline
+# composing the family's metrics (P&L, cumulative P&L, drawdown of
+# the cumulative curve, concentration, breadth, VaR95 breach flag)
+# in a single plan. Integration exhibit in the curation-capstone
+# style: if any composed stage drifts, the end-to-end hash breaks.
+# The date-axis windows are unpartitioned but CALENDAR-BOUNDED
+# (same argument as indicator_advance_decline); the VaR threshold
+# enters as a broadcast one-row scalar from the global-rank
+# subquery, never a driver-side collect.
+# ---------------------------------------------------------------------------
+
+_RISK_REPORT_ORACLE = f"""
+WITH {_STOCK_CTE},
+daily AS (
+    SELECT symbol, trade_date, sum(cents) AS sc
+    FROM stock GROUP BY symbol, trade_date
+),
+sdiff AS (
+    SELECT symbol, trade_date,
+           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS x,
+           sc
+    FROM daily
+),
+pnl AS (
+    SELECT trade_date,
+           sum(x) AS p,
+           sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n_adv,
+           sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS n_dec
+    FROM sdiff WHERE x IS NOT NULL
+    GROUP BY trade_date
+),
+hhi AS (
+    SELECT d.trade_date,
+           sum((d.sc * 1000000 // t.total) * (d.sc * 1000000 // t.total))
+               AS hhi_ppm2
+    FROM daily d
+    JOIN (SELECT trade_date, sum(sc) AS total
+          FROM daily GROUP BY trade_date) t
+      ON d.trade_date = t.trade_date
+    GROUP BY d.trade_date
+),
+var95 AS (
+    SELECT p AS threshold
+    FROM (SELECT p,
+                 row_number() OVER (ORDER BY p, trade_date) AS rn,
+                 count(*) OVER () AS n
+          FROM pnl)
+    WHERE rn = n // 20 + 1
+),
+curve AS (
+    SELECT trade_date, p, n_adv, n_dec,
+           sum(p) OVER (ORDER BY trade_date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_p
+    FROM pnl
+)
+SELECT c.trade_date,
+       CAST(c.p AS BIGINT) AS pnl_cents,
+       CAST(c.cum_p AS BIGINT) AS cum_pnl_cents,
+       CAST(max(c.cum_p) OVER (ORDER BY c.trade_date
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - c.cum_p AS BIGINT)
+           AS drawdown_cents,
+       CAST(h.hhi_ppm2 AS BIGINT) AS hhi_ppm2,
+       CAST(c.n_adv AS BIGINT) AS n_adv,
+       CAST(c.n_dec AS BIGINT) AS n_dec,
+       CAST(CASE WHEN c.p <= v.threshold THEN 1 ELSE 0 END AS BIGINT)
+           AS var_breach
+FROM curve c
+JOIN hhi h ON c.trade_date = h.trade_date
+CROSS JOIN var95 v
+"""
+
+
+@register(
+    "indicator_risk_report",
+    _RISK_REPORT_ORACLE,
+    doc="portfolio risk-report capstone: daily P&L, cumulative curve, "
+    "drawdown of the curve, HHI concentration, breadth, and VaR95 "
+    "breach flags composed in ONE plan — the integration exhibit for "
+    "the indicator family; all exact BIGINT, VaR threshold broadcast "
+    "as a one-row scalar (r8 indicators wave 7)",
+)
+def q_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.window_metrics import with_global_rank
+
+    st = _stock(spark, sf_dir)
+    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    wsym = Window.partitionBy("symbol").orderBy("trade_date")
+    sdiff = daily.select(
+        "symbol",
+        "trade_date",
+        (F.col("sc") - F.lag("sc").over(wsym)).alias("x"),
+        "sc",
+    )
+    pnl = (
+        sdiff.where(F.col("x").isNotNull())
+        .groupBy("trade_date")
+        .agg(
+            F.sum("x").alias("p"),
+            F.sum(F.when(F.col("x") > 0, 1).otherwise(0)).alias("n_adv"),
+            F.sum(F.when(F.col("x") < 0, 1).otherwise(0)).alias("n_dec"),
+        )
+    ).cache()
+
+    tot = daily.groupBy("trade_date").agg(F.sum("sc").alias("total"))
+    share = F.expr("sc * 1000000 div total")
+    hhi = (
+        daily.join(F.broadcast(tot), "trade_date")
+        .groupBy("trade_date")
+        .agg(F.sum(share * share).alias("hhi_ppm2"))
+    )
+
+    ranked = with_global_rank(pnl, ["p", "trade_date"], rank_col="rn")
+    total_days = pnl.agg(F.count(F.lit(1)).alias("n"))
+    var95 = (
+        ranked.join(F.broadcast(total_days))
+        .where(F.col("rn") == F.expr("n div 20 + 1"))
+        .select(F.col("p").alias("threshold"))
+    )
+
+    wdate = Window.orderBy("trade_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = pnl.select(
+        "trade_date",
+        "p",
+        "n_adv",
+        "n_dec",
+        F.sum("p").over(wdate).alias("cum_p"),
+    )
+    report = (
+        curve.withColumn(
+            "drawdown_cents", F.max("cum_p").over(wdate) - F.col("cum_p")
+        )
+        .join(hhi, "trade_date")
+        .join(F.broadcast(var95))
+    )
+    return report.select(
+        "trade_date",
+        F.col("p").alias("pnl_cents"),
+        F.col("cum_p").alias("cum_pnl_cents"),
+        "drawdown_cents",
+        "hhi_ppm2",
+        F.col("n_adv").cast("bigint").alias("n_adv"),
+        F.col("n_dec").cast("bigint").alias("n_dec"),
+        F.when(F.col("p") <= F.col("threshold"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("var_breach"),
+    )

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "indicator_risk_report",  # late r8: composed daily risk timeline
     "indicator_expected_shortfall",  # late r8: exact bottom-k tail mean
     "indicator_portfolio_hhi",  # late r8: ppm^2 Herfindahl index
     "streaming_cdc_upsert_multibatch",  # late r8: foreachBatch CDC merge
@@ -114,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_mjpeg_frame_decode",  # late r8: real AVI/MJPEG frames
     "multimodal_jpeg_decode_execute",  # late r8: real baseline JPEG
     # earlier r8 births/upgrades:
-    "tpcds_q14_cross_channel_items",  # r8: INTERSECT under agg
     "streaming_stream_stream_right_join",  # r8: completes the family
     "streaming_running_totals_final",  # r8: stateful-op final-state capstone
     # (ALL 50 slots are now round-8 births: the late-r8 wave reached
@@ -130,10 +130,10 @@ _PRIORITY: tuple[str, ...] = (
     # queries with dedicated decoder tests + sf0.1 sweep rows
     # (multimodal_resize_execute via tests/test_png_codec.py,
     # multimodal_pcm_chunk_execute via tests/test_multimodal.py) and
-    # two portable-SQL TPC-DS shapes whose query text IS the oracle
-    # text (tpcds_q38_channel_intersect, tpcds_q87_channel_except —
-    # both swept at sf0.1). All displaced names belong at the HEAD of
-    # the r9 window.
+    # three portable-SQL TPC-DS shapes whose query text IS the oracle
+    # text (tpcds_q38_channel_intersect, tpcds_q87_channel_except,
+    # tpcds_q14_cross_channel_items — all swept at sf0.1). All
+    # displaced names belong at the HEAD of the r9 window.
 )
 
 
