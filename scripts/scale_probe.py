@@ -1186,3 +1186,61 @@ def indicator_fold_probe(spark, sf_dir: str, n: int) -> None:
         )
         out[f"{tag}_exact_nfold"] = hn == {k: n * v for k, v in h1.items()}
     print(json.dumps(out), flush=True)
+
+
+def cdc_apply_probe(spark, sf_dir: str, n: int) -> None:
+    """Late-r8 probe: the foreachBatch CDC merge under event-stream
+    N-plication (disjoint event_id spaces, same timeline — a denser
+    change feed over the same 256-key device space, i.e. the capacity
+    axis: more writes per key, same store width). Checks: (a) the
+    final store is BIT-EQUAL to the batch last-write-per-key rollup
+    of the replicated feed (the CDC invariant must survive load),
+    (b) wall ratio vs 1x — per-batch merge cost is driven by the
+    batch + the 256-row store, so the ratio should track the input
+    ratio (shuffle volume), never the store count."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from sp500_stock_etl_spark.plans.queries_streaming import (
+        q_streaming_cdc_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = {"probe": "cdc_apply", "sf_dir": sf_dir, "n": n}
+
+    for tag, k in (("1x", 1), ("nx", n)):
+        src = ev if k == 1 else replicate(ev, k, ["event_id"])
+        d = _tf.mkdtemp(prefix=f"sg_cdcprobe_{tag}_")
+        src.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        t = time.time()
+        got = q_streaming_cdc_upsert(spark, d).collect()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+        w = Window.partitionBy("device_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        exp = (
+            spark.read.parquet(f"{d}/events.parquet")
+            .select(
+                F.expr(
+                    "((event_id * 2654435761) % 4294967296) div 16777216"
+                ).alias("device_id"),
+                "ts",
+                "event_id",
+                "value",
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select(
+                "device_id",
+                F.unix_millis("ts").alias("last_ms"),
+                F.floor(F.col("value") * 100).cast("bigint").alias("last_cents"),
+            )
+            .collect()
+        )
+        out[f"rows_{tag}"] = len(got)
+        out[f"exact_{tag}"] = sorted(map(tuple, got)) == sorted(map(tuple, exp))
+        _sh.rmtree(d, ignore_errors=True)
+    out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
+    print(json.dumps(out), flush=True)
