@@ -259,6 +259,7 @@ R8_QUERIES = [
     "indicator_expected_shortfall",
     "indicator_portfolio_hhi",
     "indicator_risk_report",
+    "tpcds_q80_channel_netting",
 ]
 
 

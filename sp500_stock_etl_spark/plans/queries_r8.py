@@ -1417,3 +1417,81 @@ WHERE v.year_total > 0
 def q_tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_TPCDS_Q57_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS batch 6 (late r8): Q80's channel netting census — per
+# channel, sales LEFT JOIN returns (missing returns coalesce to 0:
+# the outer-join netting), UNION ALL across the three channels, then
+# ROLLUP(channel, brand) with grouping markers. The one TPC-DS
+# composition the suite lacked: outer-join netting UNDER a rollup.
+# Channels = a supplier-derived mode dimension (the synthetic
+# lineitem carries no l_shipmode; l_suppkey % 3 is deterministic in
+# both engines); returns = returnflag 'R' rows, exactly Q93's
+# self-derived returns convention. Portable SQL text is query and
+# oracle, like every TPC batch.
+# ---------------------------------------------------------------------------
+
+_TPCDS_Q80_SQL = """
+WITH li AS (
+    SELECT CASE l_suppkey % 3 WHEN 0 THEN 'AIR'
+                              WHEN 1 THEN 'SHIP'
+                              ELSE 'TRUCK' END AS channel,
+           l_partkey,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+           l_returnflag
+    FROM lineitem
+),
+sales AS (
+    SELECT channel, l_partkey, sum(cents) AS s
+    FROM li GROUP BY channel, l_partkey
+),
+rets AS (
+    SELECT channel, l_partkey, sum(cents) AS r
+    FROM li WHERE l_returnflag = 'R'
+    GROUP BY channel, l_partkey
+),
+net AS (
+    SELECT s.channel, s.l_partkey, s.s, coalesce(r.r, 0) AS r
+    FROM (SELECT * FROM sales WHERE channel = 'AIR') s
+    LEFT JOIN rets r
+      ON s.channel = r.channel AND s.l_partkey = r.l_partkey
+    UNION ALL
+    SELECT s.channel, s.l_partkey, s.s, coalesce(r.r, 0) AS r
+    FROM (SELECT * FROM sales WHERE channel = 'SHIP') s
+    LEFT JOIN rets r
+      ON s.channel = r.channel AND s.l_partkey = r.l_partkey
+    UNION ALL
+    SELECT s.channel, s.l_partkey, s.s, coalesce(r.r, 0) AS r
+    FROM (SELECT * FROM sales WHERE channel = 'TRUCK') s
+    LEFT JOIN rets r
+      ON s.channel = r.channel AND s.l_partkey = r.l_partkey
+),
+branded AS (
+    SELECT n.channel, p.p_brand, n.s, n.r
+    FROM net n JOIN part p ON n.l_partkey = p.p_partkey
+)
+SELECT channel, p_brand,
+       CAST(grouping(channel) AS BIGINT) AS g_ch,
+       CAST(grouping(p_brand) AS BIGINT) AS g_br,
+       CAST(sum(s) AS BIGINT) AS sales_cents,
+       CAST(sum(r) AS BIGINT) AS returns_cents,
+       CAST(sum(s) - sum(r) AS BIGINT) AS net_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM branded
+GROUP BY ROLLUP(channel, p_brand)
+"""
+
+
+@register(
+    "tpcds_q80_channel_netting",
+    _TPCDS_Q80_SQL,
+    doc="TPC-DS Q80 shape: per-channel sales LEFT JOIN returns "
+    "(coalesce-0 netting), UNION ALL of the three channels, "
+    "ROLLUP(channel, brand) with grouping markers — outer-join "
+    "netting under a rollup, exact BIGINT cents; portable SQL is "
+    "query and oracle (late r8, TPC-DS batch 6)",
+)
+def q_tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCDS_Q80_SQL)

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
     # --- decode-features histogram + heavy-hitters certificate) ---
     # late-r8 births, newest first:
+    "tpcds_q80_channel_netting",  # late r8: netting under rollup
     "indicator_risk_report",  # late r8: composed daily risk timeline
     "indicator_expected_shortfall",  # late r8: exact bottom-k tail mean
     "indicator_portfolio_hhi",  # late r8: ppm^2 Herfindahl index
@@ -115,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_mjpeg_frame_decode",  # late r8: real AVI/MJPEG frames
     "multimodal_jpeg_decode_execute",  # late r8: real baseline JPEG
     # earlier r8 births/upgrades:
-    "streaming_stream_stream_right_join",  # r8: completes the family
     "streaming_running_totals_final",  # r8: stateful-op final-state capstone
     # (ALL 50 slots are now round-8 births: the late-r8 wave reached
     # 44 queries + the 6 earlier-r8 births above. Displaced per the
@@ -132,8 +132,11 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal_pcm_chunk_execute via tests/test_multimodal.py) and
     # three portable-SQL TPC-DS shapes whose query text IS the oracle
     # text (tpcds_q38_channel_intersect, tpcds_q87_channel_except,
-    # tpcds_q14_cross_channel_items — all swept at sf0.1). All
-    # displaced names belong at the HEAD of the r9 window.
+    # tpcds_q14_cross_channel_items — all swept at sf0.1), and
+    # streaming_stream_stream_right_join (r8-sample sf0.1 sweep row;
+    # its left/full siblings are driver-green from r7 and the shared
+    # frontier machinery is regression-tested). All displaced names
+    # belong at the HEAD of the r9 window.
 )
 
 
