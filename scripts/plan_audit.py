@@ -151,6 +151,7 @@ AUDITED = [
     "indicator_sma_backtest",
     "indicator_portfolio_var",
     "indicator_cusum_changepoint",
+    "indicator_risk_report",
 ]
 
 
