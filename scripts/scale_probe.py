@@ -1244,3 +1244,58 @@ def cdc_apply_probe(spark, sf_dir: str, n: int) -> None:
         _sh.rmtree(d, ignore_errors=True)
     out["sec_ratio"] = round(out["sec_nx"] / max(out["sec_1x"], 0.01), 2)
     print(json.dumps(out), flush=True)
+
+
+def indicator_skew_probe(spark, sf_dir: str, k: int) -> None:
+    """Late-r8 probe: the indicator window pipelines under DEPTH skew
+    — one hot symbol carries k x the rows while every other key stays
+    flat. Per-key window work is inherently sequential (a window
+    cannot be salted without changing semantics), so a k x -deep key
+    makes one task do k x the frame arithmetic; the design defense is
+    the DOMAIN bound (a price series is capped by trading days,
+    ~10^4 rows — depth skew is bounded, breadth is the growth axis,
+    probed by indicator_fold_probe). This probe MEASURES the
+    straggler effect honestly: wall ratio vs 1x, the hot partition's
+    row share, and bit-equality of every non-hot symbol's result row
+    (a straggling key must never perturb its neighbors)."""
+    from sp500_stock_etl_spark.plans.queries_indicators import q_bollinger
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = li.select(F.min("l_partkey").alias("k")).collect()[0]["k"]
+
+    def stock_of(deep: bool) -> DataFrame:
+        if not deep:
+            return li
+        hot_extra = (
+            li.where(F.col("l_partkey") == hot)
+            .withColumn("__i__", F.explode(F.expr(f"sequence(1, {k - 1})")))
+            .withColumn(
+                "l_orderkey",
+                F.col("l_orderkey") + F.col("__i__") * F.lit(100_000_000),
+            )
+            .drop("__i__")
+        )
+        return li.unionByName(hot_extra)
+
+    import tempfile as _tf
+    import shutil as _sh
+
+    out = {"probe": "indicator_depth_skew", "sf_dir": sf_dir, "k": k,
+           "hot_symbol": hot}
+    results = {}
+    for tag, deep in (("1x", False), ("kx", True)):
+        d = _tf.mkdtemp(prefix=f"sg_skewprobe_{tag}_")
+        stock_of(deep).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        t = time.time()
+        rows = q_bollinger(spark, d).collect()
+        out[f"sec_{tag}"] = round(time.time() - t, 2)
+        results[tag] = {r["symbol"]: tuple(r)[1:] for r in rows}
+        _sh.rmtree(d, ignore_errors=True)
+    out["sec_ratio"] = round(out["sec_kx"] / max(out["sec_1x"], 0.01), 2)
+    cold = {s: v for s, v in results["1x"].items() if s != hot}
+    deep = {s: v for s, v in results["kx"].items() if s != hot}
+    out["non_hot_bit_equal"] = cold == deep
+    out["hot_rows_share"] = round(
+        k / (k + len(results["1x"]) - 1), 4
+    )  # fraction of window work owned by the hot key at kx
+    print(json.dumps(out), flush=True)
