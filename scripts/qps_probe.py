@@ -54,6 +54,10 @@ MIX = [
     # probe measures exactly the serving-degradation story.
     "dedup_incremental_refresh",
     "dedup_signature_store_roundtrip",
+    # late r8: the composed risk-report capstone joins the mix — the
+    # heaviest pure-Catalyst indicator plan (multi-CTE, cached daily
+    # P&L, broadcast VaR scalar) served alongside the store queries.
+    "indicator_risk_report",
 ]
 
 
