@@ -33,6 +33,17 @@ _REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate registration would silently REPLACE the earlier
+        # query (dict assignment) — the driver would then hash the new
+        # body under the old name and the old query would vanish from
+        # the surface without any test failing. Fail loudly instead
+        # (a near-miss in late r8 motivated this guard).
+        if name in _REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered; pick a distinct name"
+            )
+
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             harden(spark)
             # Free any frames the PREVIOUS query persisted (its action
@@ -132,11 +143,11 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal_pcm_chunk_execute via tests/test_multimodal.py) and
     # three portable-SQL TPC-DS shapes whose query text IS the oracle
     # text (tpcds_q38_channel_intersect, tpcds_q87_channel_except,
-    # tpcds_q14_cross_channel_items — all swept at sf0.1), and
-    # streaming_stream_stream_right_join (r8-sample sf0.1 sweep row;
-    # its left/full siblings are driver-green from r7 and the shared
-    # frontier machinery is regression-tested). All displaced names
-    # belong at the HEAD of the r9 window.
+    # tpcds_q14_cross_channel_items — all swept at sf0.1),
+    # and streaming_stream_stream_right_join (r8-sample sf0.1 sweep
+    # row; its left/full siblings are driver-green from r7 and the
+    # shared frontier machinery is regression-tested). All displaced
+    # names belong at the HEAD of the r9 window.
 )
 
 
