@@ -46,12 +46,33 @@ def _stage_events_dir(sf_dir: str) -> str:
     return d
 
 
+def _snapshot_and_drop(spark: SparkSession, name: str) -> DataFrame:
+    """Snapshot a memory-sink table to a temp parquet dir (atexit-
+    reaped) and DROP the catalog view, returning the parquet-backed
+    frame. Without this every streaming query leaves its full result
+    set pinned on the driver heap for the session's lifetime — a
+    long-lived session (full sf0.1 sweep, serving loop) accumulates
+    sinks until the JVM dies, which is exactly how the first
+    continuation-close [170:251] sweep chunk crashed after ~80
+    streaming/store queries (BASELINE.md). Parquet round-trips the
+    schema bitwise (timestamps under the UTC session pin, structs,
+    doubles), so oracle hashes are unaffected."""
+    import atexit
+    import shutil
+
+    out_dir = tempfile.mkdtemp(prefix="sg_streamout_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    spark.table(name).write.mode("overwrite").parquet(out_dir)
+    spark.catalog.dropTempView(name)
+    return spark.read.parquet(out_dir)
+
+
 def _run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
     name = f"sg_stream_{next(_SEQ)}_{os.getpid()}"
     SE.run_available_now(
         stream_df, tempfile.mkdtemp(prefix="sg_ckpt_"), name, output_mode=mode
     )
-    return spark.table(name)
+    return _snapshot_and_drop(spark, name)
 
 
 _TUMBLING_ORACLE = f"""
@@ -643,7 +664,7 @@ def q_streaming_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
-    return spark.table(name)
+    return _snapshot_and_drop(spark, name)
 
 
 # Streaming OHLC twin (round-4 ext): candlestick bars built from the
