@@ -1286,6 +1286,18 @@ def indicator_skew_probe(spark, sf_dir: str, k: int) -> None:
     for tag, deep in (("1x", False), ("kx", True)):
         d = _tf.mkdtemp(prefix=f"sg_skewprobe_{tag}_")
         stock_of(deep).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        staged = spark.read.parquet(f"{d}/lineitem.parquet")
+        if deep:
+            # MEASURED hot share over the staged input (not an
+            # estimate — partkey row counts are not uniform).
+            counts = staged.agg(
+                F.count(F.lit(1)).alias("tot"),
+                F.sum(
+                    F.when(F.col("l_partkey") == hot, 1).otherwise(0)
+                ).alias("hot_rows"),
+            ).collect()[0]
+            out["hot_rows_share"] = round(counts["hot_rows"] / counts["tot"], 4)
+            out["hot_rows"] = counts["hot_rows"]
         t = time.time()
         rows = q_bollinger(spark, d).collect()
         out[f"sec_{tag}"] = round(time.time() - t, 2)
@@ -1295,7 +1307,4 @@ def indicator_skew_probe(spark, sf_dir: str, k: int) -> None:
     cold = {s: v for s, v in results["1x"].items() if s != hot}
     deep = {s: v for s, v in results["kx"].items() if s != hot}
     out["non_hot_bit_equal"] = cold == deep
-    out["hot_rows_share"] = round(
-        k / (k + len(results["1x"]) - 1), 4
-    )  # fraction of window work owned by the hot key at kx
     print(json.dumps(out), flush=True)

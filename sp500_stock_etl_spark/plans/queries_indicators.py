@@ -922,6 +922,35 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared daily-P&L pipeline for the portfolio-risk family
+# (portfolio VaR / expected shortfall / risk report): daily notional
+# per symbol, lagged diff, NULL first days dropped. ONE definition on
+# each side — a change to the P&L rule (lag tiebreak, null handling)
+# lands in every risk query and oracle at once.
+_SDIFF_CTE = """
+daily AS (
+    SELECT symbol, trade_date, sum(cents) AS sc
+    FROM stock GROUP BY symbol, trade_date
+),
+sdiff AS (
+    SELECT symbol, trade_date,
+           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS x
+    FROM daily
+)
+"""
+
+
+def sdiff_frame(st: DataFrame) -> DataFrame:
+    """DataFrame twin of _SDIFF_CTE's `sdiff` (x IS NOT NULL applied)."""
+    from pyspark.sql import Window
+
+    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    return daily.select(
+        "symbol", "trade_date", (F.col("sc") - F.lag("sc").over(w)).alias("x")
+    ).where(F.col("x").isNotNull())
+
+
 # Historical-simulation portfolio VaR: the portfolio's daily P&L is
 # the cross-symbol sum of daily-notional diffs; VaR95 is the EXACT
 # k-th smallest daily P&L with k = n div 20 + 1. The daily series is
@@ -931,15 +960,7 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feature_equidepth_histogram.
 _PORTFOLIO_VAR_ORACLE = f"""
 WITH {_STOCK_CTE},
-daily AS (
-    SELECT symbol, trade_date, sum(cents) AS sc
-    FROM stock GROUP BY symbol, trade_date
-),
-sdiff AS (
-    SELECT symbol, trade_date,
-           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS x
-    FROM daily
-),
+{_SDIFF_CTE},
 pnl AS (
     SELECT trade_date, sum(x) AS p
     FROM sdiff WHERE x IS NOT NULL
@@ -969,17 +990,16 @@ WHERE rn = n // 20 + 1
     "single-task global window (r8 indicators wave 3)",
 )
 def q_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..caching import track_persist
     from ..operators.window_metrics import with_global_rank
 
     st = _stock(spark, sf_dir)
-    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
-    wsym = Window.partitionBy("symbol").orderBy("trade_date")
-    sdiff = daily.select(
-        "symbol", "trade_date", (F.col("sc") - F.lag("sc").over(wsym)).alias("x")
-    ).where(F.col("x").isNotNull())
-    pnl = sdiff.groupBy("trade_date").agg(F.sum("x").alias("p"))
+    # pnl feeds both the rank and the broadcast total — persist it
+    # (tracked, so release_caches frees it) instead of re-deriving the
+    # whole lineitem scan + two aggs for the one-row count.
+    pnl = track_persist(
+        sdiff_frame(st).groupBy("trade_date").agg(F.sum("x").alias("p"))
+    )
     ranked = with_global_rank(pnl, ["p", "trade_date"], rank_col="rn")
     total = pnl.agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -1476,15 +1496,7 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reuses the distributed global-rank pattern.
 _ES_ORACLE = f"""
 WITH {_STOCK_CTE},
-daily AS (
-    SELECT symbol, trade_date, sum(cents) AS sc
-    FROM stock GROUP BY symbol, trade_date
-),
-sdiff AS (
-    SELECT symbol, trade_date,
-           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS x
-    FROM daily
-),
+{_SDIFF_CTE},
 pnl AS (
     SELECT trade_date, sum(x) AS p
     FROM sdiff WHERE x IS NOT NULL
@@ -1514,17 +1526,13 @@ WHERE rn <= n // 20 + 1
     "single-task window (r8 indicators wave 6)",
 )
 def q_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..caching import track_persist
     from ..operators.window_metrics import with_global_rank
 
     st = _stock(spark, sf_dir)
-    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
-    wsym = Window.partitionBy("symbol").orderBy("trade_date")
-    sdiff = daily.select(
-        "symbol", "trade_date", (F.col("sc") - F.lag("sc").over(wsym)).alias("x")
-    ).where(F.col("x").isNotNull())
-    pnl = sdiff.groupBy("trade_date").agg(F.sum("x").alias("p"))
+    pnl = track_persist(
+        sdiff_frame(st).groupBy("trade_date").agg(F.sum("x").alias("p"))
+    )
     ranked = with_global_rank(pnl, ["p", "trade_date"], rank_col="rn")
     total = pnl.agg(F.count(F.lit(1)).alias("n"))
     tail = ranked.join(F.broadcast(total)).where(
@@ -1596,16 +1604,7 @@ def q_portfolio_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RISK_REPORT_ORACLE = f"""
 WITH {_STOCK_CTE},
-daily AS (
-    SELECT symbol, trade_date, sum(cents) AS sc
-    FROM stock GROUP BY symbol, trade_date
-),
-sdiff AS (
-    SELECT symbol, trade_date,
-           sc - lag(sc) OVER (PARTITION BY symbol ORDER BY trade_date) AS x,
-           sc
-    FROM daily
-),
+{_SDIFF_CTE},
 pnl AS (
     SELECT trade_date,
            sum(x) AS p,
@@ -1669,26 +1668,23 @@ CROSS JOIN var95 v
 def q_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..caching import track_persist
     from ..operators.window_metrics import with_global_rank
 
     st = _stock(spark, sf_dir)
     daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
-    wsym = Window.partitionBy("symbol").orderBy("trade_date")
-    sdiff = daily.select(
-        "symbol",
-        "trade_date",
-        (F.col("sc") - F.lag("sc").over(wsym)).alias("x"),
-        "sc",
-    )
-    pnl = (
-        sdiff.where(F.col("x").isNotNull())
+    # pnl feeds three consumers (rank, count, curve) — TRACKED persist
+    # so release_caches() can free it between serving requests (a bare
+    # .cache() here would pin it for the session lifetime).
+    pnl = track_persist(
+        sdiff_frame(st)
         .groupBy("trade_date")
         .agg(
             F.sum("x").alias("p"),
             F.sum(F.when(F.col("x") > 0, 1).otherwise(0)).alias("n_adv"),
             F.sum(F.when(F.col("x") < 0, 1).otherwise(0)).alias("n_dec"),
         )
-    ).cache()
+    )
 
     tot = daily.groupBy("trade_date").agg(F.sum("sc").alias("total"))
     share = F.expr("sc * 1000000 div total")

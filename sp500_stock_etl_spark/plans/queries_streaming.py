@@ -38,12 +38,18 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
 
 
-def _stage_events_dir(sf_dir: str) -> str:
+def _stage_table_dir(sf_dir: str, table: str) -> str:
     """File-stream sources want a landing directory; stage one with a
-    symlink to the read-only testdata parquet."""
-    d = tempfile.mkdtemp(prefix="sg_events_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    symlink to the read-only testdata parquet (one helper for every
+    streamed table — symlinks cost nothing, so no reaper needed,
+    unlike the real-copy multibatch stager below)."""
+    d = tempfile.mkdtemp(prefix=f"sg_{table}_")
+    os.symlink(f"{sf_dir}/{table}.parquet", f"{d}/{table}.parquet")
     return d
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    return _stage_table_dir(sf_dir, "events")
 
 
 def _snapshot_and_drop(spark: SparkSession, name: str) -> DataFrame:
@@ -1551,12 +1557,6 @@ GROUP BY d, symbol
 """
 
 
-def _stage_lineitem_dir(sf_dir: str) -> str:
-    d = tempfile.mkdtemp(prefix="sg_lineitem_")
-    os.symlink(f"{sf_dir}/lineitem.parquet", f"{d}/lineitem.parquet")
-    return d
-
-
 @register(
     "streaming_vwap_daily",
     _STREAMING_VWAP_ORACLE,
@@ -1566,7 +1566,7 @@ def _stage_lineitem_dir(sf_dir: str) -> str:
     "family's streaming deployment shape (late r8)",
 )
 def q_streaming_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _stage_lineitem_dir(sf_dir)
+    path = _stage_table_dir(sf_dir, "lineitem")
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(path)
     px = raw.select(
@@ -1637,6 +1637,11 @@ FROM latest WHERE rn = 1
 """
 
 
+# Set by q_streaming_cdc_upsert after each run: count of non-empty
+# microbatches the CDC merge applied (mechanism-test observable).
+_LAST_CDC_DATA_BATCHES: int = -1
+
+
 def _keep_newest(df: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1698,12 +1703,21 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest.write.mode("overwrite").parquet(new_dir)
         state["dir"] = new_dir
 
-    (
+    q = (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
+    )
+    q.awaitTermination()
+    # Observable for the mechanism test: how many DATA microbatches the
+    # merge actually applied — if staging or maxFilesPerTrigger ever
+    # collapses the feed into one batch, last-write-wins within it
+    # would still hash green while the cross-batch carry path silently
+    # stops being exercised.
+    global _LAST_CDC_DATA_BATCHES
+    _LAST_CDC_DATA_BATCHES = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
     )
 
     final = spark.read.parquet(state["dir"])

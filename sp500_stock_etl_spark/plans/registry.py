@@ -128,26 +128,27 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_decode_execute",  # late r8: real baseline JPEG
     # earlier r8 births/upgrades:
     "streaming_running_totals_final",  # r8: stateful-op final-state capstone
-    # (ALL 50 slots are now round-8 births: the late-r8 wave reached
-    # 44 queries + the 6 earlier-r8 births above. Displaced per the
-    # births-at-head policy, in displacement order: the r3-green
-    # stalest fills (streaming_quote_feed_agg, string_functions_suite
-    # — ever-checked names, re-verified on every pytest run), the
-    # three oracle-UPGRADE slots (multimodal_decode_features,
-    # token_heavy_hitters_sketch, approx_monitoring_profile — names
-    # driver-green from earlier rounds; the upgraded oracles are
-    # locally hash-verified by test_oracle_parity on every run), and
-    # FOUR births with the strongest independent evidence: two codec
+    # (ALL 50 slots are round-8 births: 49 late-r8 entries above plus
+    # streaming_running_totals_final. ELEVEN names were displaced as
+    # births overflowed the window, in displacement order: the TWO
+    # r3-green stalest fills (streaming_quote_feed_agg,
+    # string_functions_suite — ever-checked names, re-verified on
+    # every pytest run), the THREE oracle-UPGRADE slots
+    # (multimodal_decode_features, token_heavy_hitters_sketch,
+    # approx_monitoring_profile — names driver-green from earlier
+    # rounds; the upgraded oracles are locally hash-verified by
+    # test_oracle_parity on every run), and SIX never-driver-checked
+    # births with the strongest independent evidence: two codec
     # queries with dedicated decoder tests + sf0.1 sweep rows
     # (multimodal_resize_execute via tests/test_png_codec.py,
-    # multimodal_pcm_chunk_execute via tests/test_multimodal.py) and
+    # multimodal_pcm_chunk_execute via tests/test_multimodal.py),
     # three portable-SQL TPC-DS shapes whose query text IS the oracle
     # text (tpcds_q38_channel_intersect, tpcds_q87_channel_except,
-    # tpcds_q14_cross_channel_items — all swept at sf0.1),
-    # and streaming_stream_stream_right_join (r8-sample sf0.1 sweep
-    # row; its left/full siblings are driver-green from r7 and the
-    # shared frontier machinery is regression-tested). All displaced
-    # names belong at the HEAD of the r9 window.
+    # tpcds_q14_cross_channel_items — all swept at sf0.1), and
+    # streaming_stream_stream_right_join (r8-sample sf0.1 sweep row;
+    # its left/full siblings are driver-green from r7 and the shared
+    # frontier machinery is regression-tested). Those SIX
+    # never-checked names belong at the HEAD of the r9 window.
 )
 
 

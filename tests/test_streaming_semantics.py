@@ -105,8 +105,14 @@ def test_cdc_upsert_applies_across_batches(spark):
         q_streaming_cdc_upsert,
     )
 
+    from sp500_stock_etl_spark.plans import queries_streaming as QS
+
     sf = "/root/testdata/sf0.001"
     final = q_streaming_cdc_upsert(spark, sf).cache()
+    # (a) the merge must have run as >= 4 data microbatches — one per
+    # staged chunk; a single-batch collapse would still hash green
+    # while exercising nothing cross-batch.
+    assert QS._LAST_CDC_DATA_BATCHES >= 4, QS._LAST_CDC_DATA_BATCHES
 
     ev = load_table(spark, sf, "events")
     last = (
