@@ -54,13 +54,30 @@ def main() -> None:
                 status[name] = s
     never = [n for n in names if n not in latest]
     greens = sorted(n for n in names if status.get(n) == "green")
-    rows_only = sorted(n for n in names if status.get(n) == "rows_only")
     errors = sorted(n for n in names if status.get(n) == "error")
+    # rows-only-BY-DESIGN is a property of the registry's CURRENT
+    # oracle field, not of CORRECTNESS history (round-8 verdict item 2:
+    # the history-derived class silently kept queries whose oracle was
+    # UPGRADED in a later round classified as rows-only, so the
+    # generated window never re-drove them). A name whose best driver
+    # row is rows_only but which NOW carries an oracle is a separate
+    # class — oracle-upgraded-pending-driver-row — and belongs at the
+    # head of the next window alongside the never-checked list.
+    registry = all_queries()
+    rows_only = sorted(n for n in names if registry[n].oracle is None)
+    upgraded_pending = sorted(
+        n
+        for n in names
+        if registry[n].oracle is not None and status.get(n) == "rows_only"
+    )
     checked_not_registered = sorted(set(latest) - set(names))
     # Staleness: registered queries ordered by argmin(latest OK round) —
     # the r6 verdict's rotation policy is generated from this list.
+    # Oracle-bearing only: a rows-only-by-design name in a fill slot
+    # would spend a hash-check slot on a weaker rows-only driver row.
     stalest = sorted(
-        (n for n in names if n in latest_ok), key=lambda n: (latest_ok[n], n)
+        (n for n in names if n in latest_ok and registry[n].oracle is not None),
+        key=lambda n: (latest_ok[n], n),
     )
     print(
         json.dumps(
@@ -70,6 +87,7 @@ def main() -> None:
                 "never_checked": sorted(never),
                 "ever_hash_green": len(greens),
                 "rows_only_by_design": rows_only,
+                "oracle_upgraded_pending_driver_row": upgraded_pending,
                 "ever_error_never_green": errors,
                 "checked_but_no_longer_registered": checked_not_registered,
                 "stalest_ok": [[n, latest_ok[n]] for n in stalest],

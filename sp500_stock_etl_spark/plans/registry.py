@@ -62,93 +62,76 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Explicit driver-facing ordering. The verify driver hash-checks the first
 # 50 registry entries against their DuckDB oracles. The window ROTATES
-# each round (round-2 verdict item 1). Round-8 policy (unchanged from
-# r7, round-7 verdict item 1): (a) queries BORN this round — and queries whose oracle was
-# UPGRADED this round (the BPE/PQ encode halves) — are inserted at the
-# head the moment they land, so after-rotation debt cannot recur;
-# (b) every remaining slot is the stalest-green fill, GENERATED from
-# the CORRECTNESS union by `scripts/coverage_report.py` (stalest_ok,
-# oracle-bearing entries only) — argmin(latest green round), ties by
-# name. Rotation never un-verifies anything locally: every registry
-# oracle is re-checked on every pytest run by
-# tests/test_oracle_parity.py (full-registry parametrize), and output
-# schemas are swept by tests/test_schema_audit.py.
+# each round (round-2 verdict item 1). Round-9 policy (unchanged from
+# r7/r8): (a) queries BORN this round — and queries whose oracle was
+# UPGRADED — are inserted at the head the moment they land, so
+# after-rotation debt cannot recur; (b) every remaining slot is the
+# stalest-green fill, GENERATED from the CORRECTNESS union by
+# `scripts/coverage_report.py` (stalest_ok, oracle-bearing entries
+# only) — argmin(latest OK round), ties by name. Rotation never
+# un-verifies anything locally: every registry oracle is re-checked on
+# every pytest run by tests/test_oracle_parity.py (full-registry
+# parametrize), and output schemas are swept by
+# tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- Round-8 births (inserted at birth) and oracle UPGRADES (the
-    # --- decode-features histogram + heavy-hitters certificate) ---
-    # late-r8 births, newest first:
-    "tpcds_q80_channel_netting",  # late r8: netting under rollup
-    "indicator_risk_report",  # late r8: composed daily risk timeline
-    "indicator_expected_shortfall",  # late r8: exact bottom-k tail mean
-    "indicator_portfolio_hhi",  # late r8: ppm^2 Herfindahl index
-    "streaming_cdc_upsert_multibatch",  # late r8: foreachBatch CDC merge
-    "indicator_twap_irregular",  # late r8: irregular-interval TWAP
-    "indicator_trend_slope",  # late r8: division-free OLS slope sign
-    "indicator_cusum_changepoint",  # late r8: declarative CUSUM closed form
-    "indicator_drawdown_duration",  # late r8: underwater-spell islands
-    "indicator_candle_patterns",  # late r8: engulfing/doji over OHLC bars
-    "indicator_runs_test",  # late r8: Wald-Wolfowitz runs test
-    "streaming_vwap_daily",  # late r8: VWAP on the stream
-    "indicator_portfolio_var",  # late r8: exact order-stat VaR
-    "indicator_stochastic_k",  # late r8: rolling min/max oscillator
-    "indicator_obv",  # late r8: signed cumulative volume
-    "indicator_sma_backtest",  # late r8: position state-machine fold
-    "indicator_market_beta",  # late r8: exact rolling beta tests
-    "indicator_advance_decline",  # late r8: market breadth A/D line
-    "indicator_vwap_daily",  # late r8: exact-fraction VWAP
-    "tpcds_q51_cumulative_crossover",  # late r8: full-outer cumulative carry
-    "tpcds_q57_monthly_deviation",  # late r8: exact deviation + rank join
-    "indicator_ewma_fold",  # late r8: Catalyst EWMA fold vs recursive-CTE
-    "indicator_bollinger_bands",  # late r8: sqrt-free integer band breaks
-    "indicator_rsi_cutler",  # late r8: RSI thresholds as cross-products
-    "indicator_max_drawdown",  # late r8: running-peak drawdown
-    "basket_association_rules",  # late r8: rule mining pairs
-    "streaming_sessions_multibatch",  # late r8: cross-batch state
-    "streaming_session_dynamic_gap",  # late r8: dynamic-gap stream twin
-    "arrow_scalar_udf_stats",  # late r8: scalar arrow_udf surface
-    "arrow_grouped_apply_stats",  # late r8: applyInArrow surface
-    "arrow_native_batch_stats",  # late r8: mapInArrow surface
-    "streaming_session_windows",  # late r8: append-mode session flush
-    "session_window_dynamic_gap",  # late r8: per-event gap sessions
-    "quantile_sketch_certificate",  # late r8: GK-sketch certificate
-    "tpcds_q49_dual_rank_report",  # late r8: dual-rank OR report
-    "tpcds_q36_rollup_rank",  # late r8: rank within rollup parent
-    "sql_udf_order_cents",  # late r8: inlined SQL-defined UDF
-    "listagg_supplier_directory",  # late r8: ordered-set listagg
-    "lateral_topk_per_customer",  # late r8: decorrelated JOIN LATERAL
-    "recursive_functional_walk",  # late r8: native WITH RECURSIVE
-    "recursive_bom_rollup",  # late r8: native WITH RECURSIVE
-    "multimodal_adpcm_decode_execute",  # late r8: real IMA-ADPCM decode
-    "quality_threshold_calibration",  # late r8: per-domain order stat
-    "streaming_quality_classifier",  # late r8: stateless stream twin
-    "unpivot_measures_long",  # late r8: Expand-based melt
-    "corpus_domain_mixture",  # late r8: largest-remainder allocation
-    "quality_classifier_inference",  # late r8: Catalyst model inference
-    "multimodal_mjpeg_frame_decode",  # late r8: real AVI/MJPEG frames
-    "multimodal_jpeg_decode_execute",  # late r8: real baseline JPEG
-    # earlier r8 births/upgrades:
-    "streaming_running_totals_final",  # r8: stateful-op final-state capstone
-    # (ALL 50 slots are round-8 births: 49 late-r8 entries above plus
-    # streaming_running_totals_final. ELEVEN names were displaced as
-    # births overflowed the window, in displacement order: the TWO
-    # r3-green stalest fills (streaming_quote_feed_agg,
-    # string_functions_suite — ever-checked names, re-verified on
-    # every pytest run), the THREE oracle-UPGRADE slots
-    # (multimodal_decode_features, token_heavy_hitters_sketch,
-    # approx_monitoring_profile — names driver-green from earlier
-    # rounds; the upgraded oracles are locally hash-verified by
-    # test_oracle_parity on every run), and SIX never-driver-checked
-    # births with the strongest independent evidence: two codec
-    # queries with dedicated decoder tests + sf0.1 sweep rows
-    # (multimodal_resize_execute via tests/test_png_codec.py,
-    # multimodal_pcm_chunk_execute via tests/test_multimodal.py),
-    # three portable-SQL TPC-DS shapes whose query text IS the oracle
-    # text (tpcds_q38_channel_intersect, tpcds_q87_channel_except,
-    # tpcds_q14_cross_channel_items — all swept at sf0.1), and
-    # streaming_stream_stream_right_join (r8-sample sf0.1 sweep row;
-    # its left/full siblings are driver-green from r7 and the shared
-    # frontier machinery is regression-tested). Those SIX
-    # never-checked names belong at the HEAD of the r9 window.
+    # --- r9 debt head (round-8 verdict item 1): the SIX r8 births the
+    # --- 50-slot window could never fit (each pytest- and sf0.1-sweep
+    # --- green, never driver-checked) ...
+    "multimodal_resize_execute",  # real PNG decode + NN resample
+    "multimodal_pcm_chunk_execute",  # real WAV PCM chunk stats
+    "tpcds_q38_channel_intersect",  # 3-channel INTERSECT census
+    "tpcds_q87_channel_except",  # EXCEPT/anti-join twin
+    "tpcds_q14_cross_channel_items",  # INTERSECT under aggregation
+    "streaming_stream_stream_right_join",  # 4th outer-join mode
+    # --- ... plus the THREE r8 oracle UPGRADES whose only driver rows
+    # --- predate the upgrade (r2-era rows-only):
+    "multimodal_decode_features",  # upgraded: hex-rebuild histogram oracle
+    "token_heavy_hitters_sketch",  # upgraded: certificate oracle
+    "approx_monitoring_profile",  # upgraded: HLL/percentile certificate
+    # --- stalest-green fill, generated 2026-08-15 from
+    # --- `scripts/coverage_report.py` stalest_ok after CORRECTNESS_r08
+    # --- (oracle-bearing only; r3-era rows first, then r4):
+    "streaming_quote_feed_agg",  # r3
+    "string_functions_suite",  # r3
+    "tpch_q10_returned_items",  # r3
+    "tpch_q11_important_parts",  # r3
+    "tpch_q13_custdist",  # r3
+    "tpch_q19_disjunctive_join",  # r3
+    "tpch_q22_idle_segments",  # r3
+    "tpch_q4_priority_exists",  # r3
+    "variant_json_agg",  # r3
+    "weighted_avg_pricing",  # r3
+    "window_navigation_suite",  # r3
+    "anti_join_customers",  # r4
+    "broadcast_star_join",  # r4
+    "corpus_boilerplate_segments",  # r4
+    "corpus_chunking",  # r4
+    "corpus_sequence_packing",  # r4
+    "correlated_subqueries",  # r4
+    "cross_join_dims",  # r4
+    "csv_roundtrip_agg",  # r4
+    "cube_agg",  # r4
+    "dedup_embedding_cosine",  # r4
+    "dedup_exact",  # r4
+    "full_outer_reconciliation",  # r4
+    "grouped_agg_pricing",  # r4
+    "grouped_map_value_diff",  # r4
+    "left_outer_enrichment",  # r4
+    "multimodal_metadata_agg",  # r4
+    "null_safe_join",  # r4
+    "orc_roundtrip_agg",  # r4
+    "pivot_event_counts",  # r4
+    "ranking_top3_per_flag",  # r4
+    "rolling_avg_sma7",  # r4
+    "scd2_event_history",  # r4
+    "semi_join_customers",  # r4
+    "session_window_agg",  # r4
+    "set_ops_cohorts",  # r4
+    "similarity_ivf_topk_nprobe2",  # r4
+    "similarity_join_corpus",  # r4
+    "streaming_dedup_keys",  # r4
+    "streaming_dedup_keys_ttl",  # r4
+    "streaming_sliding_sums",  # r4
 )
 
 
