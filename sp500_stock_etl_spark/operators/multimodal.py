@@ -224,6 +224,34 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
     )
 
 
+def png_header_dims(media: DataFrame) -> DataFrame:
+    """JVM-side PNG IHDR dimension parse: (media_id, width, height)
+    for rows whose payload starts with the 8-byte PNG signature and an
+    IHDR chunk — width/height are the big-endian u32s at byte offsets
+    16..24, read with substring/hex/conv inside whole-stage codegen.
+
+    This is the PLANNING-pass idiom at 100 TB: a resize/decode planner
+    needs two integers per object, so the parse must stay in the JVM —
+    no Arrow hop, no Python worker, payload bytes never leave the scan
+    stage (contrast ``decode_media``, the feature-extraction path that
+    genuinely needs Python). Non-PNG and too-short payloads are
+    filtered out, mirroring ``png_dimensions``' None contract.
+    """
+    p = F.col("payload")
+
+    def be32(pos: int):  # 1-based substring offset
+        return F.conv(F.hex(F.substring(p, pos, 4)), 16, 10).cast("int")
+
+    is_png = (F.substring(p, 1, 8) == F.lit(_PNG_SIG)) & (
+        F.substring(p, 13, 4) == F.lit(b"IHDR")
+    )
+    return media.where(is_png).select(
+        "media_id",
+        be32(17).alias("width"),
+        be32(21).alias("height"),
+    )
+
+
 def png_dimensions(payload: bytes) -> tuple[int, int] | None:
     """(width, height) from a PNG IHDR, or None if not a PNG."""
     if len(payload) < 24 or not payload.startswith(_PNG_SIG):

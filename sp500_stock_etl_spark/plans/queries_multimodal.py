@@ -390,12 +390,16 @@ FROM img
     _RESIZE_ORACLE,
     doc="aspect-preserving resize planning (max side 224) from REAL "
     "parsed PNG headers — integer-exact scale/output dims + upscale "
-    "flag; the codec-level resample stays stubbed, the distributed "
-    "planning pass is the deliverable (multimodal ext, r7)",
+    "flag; header parse is pure-Catalyst substring/hex/conv (r9: no "
+    "Arrow hop — a planner reads 8 bytes per object, so at 100 TB the "
+    "payload must never leave the JVM), the codec-level resample is "
+    "multimodal_resize_execute's job (multimodal ext, r7)",
 )
 def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.synthetic_media(spark, _N_MEDIA)
-    img = MM.decode_media(media).where(F.col("kind") == "image")
+    media = MM.synthetic_media(spark, _N_MEDIA).where(
+        F.col("kind") == "image"
+    )
+    img = MM.png_header_dims(media)
     longest = F.greatest("width", "height")
     return img.select(
         "media_id",
