@@ -297,117 +297,6 @@ def span_dedup_probe(spark, sf_dir: str, n: int) -> None:
 def incremental_refresh_probe(spark, sf_dir: str, n: int) -> None:
     """Round-7 probe (r6 verdict item 3): incremental signature-store
     refresh with the CORPUS at 1x vs Nx and a FIXED new batch. Corpus
-    replicas carry distinct text (a per-replica token suffix shifts
-    every shingle) so only replica-0 matches the new docs — store rows
-    grow Nx while the true candidate set stays constant. The store
-    build is untimed (one-off in production); the timed phase is the
-    SHARED refresh pipeline itself (plans/queries_r7.py::_inc_refresh
-    — the probe times the exact code the registered queries ship, so
-    it cannot desynchronize from them). Claim: refresh wall tracks
-    the new batch and its collisions, NOT corpus size."""
-    from sp500_stock_etl_spark.caching import release_caches
-    from sp500_stock_etl_spark.plans.queries_northstar import (
-        _NEARDUP_OFFSET,
-        _docs_with_neardups,
-    )
-    from sp500_stock_etl_spark.plans.queries_r7 import (
-        _inc_build_store,
-        _inc_refresh,
-        _inc_store_ctx,
-    )
-
-    both = _docs_with_neardups(spark, sf_dir)
-    corpus1 = both.where(F.col("doc_id") < _NEARDUP_OFFSET)
-    new = both.where(F.col("doc_id") >= _NEARDUP_OFFSET)
-
-    def corpus(k: int) -> DataFrame:
-        # Every TOKEN gets a per-replica suffix, so every shingle of a
-        # replica differs from the original's — replicas are genuinely
-        # independent documents, not near-dups (a mere text prefix
-        # leaves ~all shingles shared and Jaccard above threshold).
-        copies = [corpus1]
-        for i in range(1, k):
-            copies.append(
-                corpus1.select(
-                    (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
-                    F.regexp_replace(
-                        "text", r"(\S+)", "$1zz" + str(i)
-                    ).alias("text"),
-                )
-            )
-        return reduce(lambda a, b: a.unionByName(b), copies)
-
-    results = {}
-    for k in (1, n):
-        store = _inc_build_store(spark, corpus(k), *_inc_store_ctx())
-        t0 = time.time()
-        verified, _ = _inc_refresh(store, new, corpus(k))
-        n_pairs = verified.count()
-        results[k] = (round(time.time() - t0, 2), n_pairs)
-        release_caches()
-    t1, p1 = results[1]
-    tn, pn = results[n]
-    print(json.dumps({
-        "probe": "incremental_refresh", "sf_dir": sf_dir, "n": n,
-        "sec_1x": t1, "sec_nx": tn,
-        "ratio": round(tn / t1, 2) if t1 > 0 else None,
-        "pairs_1x": p1, "pairs_nx": pn,
-    }), flush=True)
-
-def span_dedup_probe(spark, sf_dir: str, n: int) -> None:
-    """Round-7 probe: winnowed exact-substring dedup at 1x vs Nx docs
-    (rotated-token replicas -> independent text, constant dup rate).
-    The pipeline is map-side hashing/winnowing + one count shuffle on
-    fingerprints + one join, so wall must track the token stream
-    linearly — never corpus^2."""
-    from sp500_stock_etl_spark.caching import release_caches
-    from sp500_stock_etl_spark.functions.text import tokens
-    from sp500_stock_etl_spark.plans.queries_r7 import winnowed_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def corpus(k: int) -> DataFrame:
-        copies = [docs]
-        for i in range(1, k):
-            copies.append(
-                docs.select(
-                    (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
-                    F.regexp_replace("text", r"(\S+)", "$1q" + str(i)).alias(
-                        "text"
-                    ),
-                )
-            )
-        return reduce(lambda a, b: a.unionByName(b), copies)
-
-    def build(k: int) -> DataFrame:
-        tokd = corpus(k).select(
-            "doc_id", tokens(F.col("text")).alias("toks")
-        )
-        sites = winnowed_fingerprints(tokd)
-        freq = sites.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
-        return (
-            sites.join(freq, "fp")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_fp"),
-                F.sum((F.col("n_docs") > 1).cast("int")).alias("n_dup"),
-            )
-        )
-
-    t1 = timed(build(1))
-    release_caches()
-    tn = timed(build(n))
-    release_caches()
-    print(json.dumps({
-        "probe": "span_dedup_winnowing", "sf_dir": sf_dir, "n": n,
-        "sec_1x": t1, "sec_nx": tn,
-        "ratio": round(tn / t1, 2) if t1 > 0 else None,
-    }), flush=True)
-
-
-def incremental_refresh_probe(spark, sf_dir: str, n: int) -> None:
-    """Round-7 probe (r6 verdict item 3): incremental signature-store
-    refresh with the CORPUS at 1x vs Nx and a FIXED new batch. Corpus
     replicas carry distinct text (a per-replica token prefix shifts
     every shingle) so only replica-0 matches the new docs — store rows
     grow Nx while the true candidate set stays constant. The store

@@ -1656,22 +1656,16 @@ CROSS JOIN var95 v
 """
 
 
-@register(
-    "indicator_risk_report",
-    _RISK_REPORT_ORACLE,
-    doc="portfolio risk-report capstone: daily P&L, cumulative curve, "
-    "drawdown of the curve, HHI concentration, breadth, and VaR95 "
-    "breach flags composed in ONE plan — the integration exhibit for "
-    "the indicator family; all exact BIGINT, VaR threshold broadcast "
-    "as a one-row scalar (r8 indicators wave 7)",
-)
-def q_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def risk_report_frame(st: DataFrame) -> DataFrame:
+    """The composed risk pipeline on an arbitrary stock frame — split
+    from the registered query so scale probes can feed a replicated
+    input through the IDENTICAL plan (scripts/hundredx_probe.py drives
+    this at 1x/10x/100x symbols and records spill/peak-memory)."""
     from pyspark.sql import Window
 
     from ..caching import track_persist
     from ..operators.window_metrics import with_global_rank
 
-    st = _stock(spark, sf_dir)
     daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
     # pnl feeds three consumers (rank, count, curve) — TRACKED persist
     # so release_caches() can free it between serving requests (a bare
@@ -1732,3 +1726,16 @@ def q_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("var_breach"),
     )
+
+
+@register(
+    "indicator_risk_report",
+    _RISK_REPORT_ORACLE,
+    doc="portfolio risk-report capstone: daily P&L, cumulative curve, "
+    "drawdown of the curve, HHI concentration, breadth, and VaR95 "
+    "breach flags composed in ONE plan — the integration exhibit for "
+    "the indicator family; all exact BIGINT, VaR threshold broadcast "
+    "as a one-row scalar (r8 indicators wave 7)",
+)
+def q_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return risk_report_frame(_stock(spark, sf_dir))

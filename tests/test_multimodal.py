@@ -63,6 +63,30 @@ def test_synthetic_images_carry_real_png_headers(spark):
         assert dims == (16 + r.media_id % 240, 16 + (r.media_id * 7) % 240)
 
 
+def test_png_header_dims_catalyst_matches_python(spark):
+    """The JVM-side IHDR parse (png_header_dims, the planning-pass
+    path with no Arrow hop) must agree with the Python parser on every
+    corpus image, and must FILTER non-PNG payloads rather than emit
+    garbage dims."""
+    media = MM.synthetic_media(spark, 30)
+    got = {
+        r.media_id: (r.width, r.height)
+        for r in MM.png_header_dims(media).collect()
+    }
+    want = {
+        r.media_id: MM.png_dimensions(bytes(r.payload))
+        for r in media.where(F.col("kind") == "image").collect()
+    }
+    assert got == want
+    # audio/video payloads (WAV/MP4 headers) must not survive the
+    # signature filter even though they are >= 24 bytes long.
+    assert set(got) == {r.media_id for r in media.collect() if r.kind == "image"}
+    # and the plan must stay Python-free (the whole point).
+    plan = MM.png_header_dims(media)._jdf.queryExecution().executedPlan().toString()
+    for op in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert op not in plan
+
+
 def _make_wav(rate: int, channels: int, data_size: int, body: bytes = b"") -> bytes:
     block = channels * 2
     return (
