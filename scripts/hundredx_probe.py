@@ -61,11 +61,59 @@ def _stages() -> dict[int, dict]:
     return out
 
 
+def _max_exec_id() -> int:
+    app_id = _ui_json("applications")[0]["id"]
+    execs = _ui_json(f"applications/{app_id}/sql?length=1000")
+    return max((e["id"] for e in execs), default=-1)
+
+
+_SIZE_UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+
+
+def _parse_size_mb(value: str) -> float:
+    """First '<float> <unit>' token in a UI-formatted metric value
+    ('total (min, med, max ...)\\n29.5 GiB (...)' or plain '12.0 MiB')
+    — the leading token is always the total."""
+    import re
+
+    m = re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", value)
+    if not m:
+        return 0.0
+    return round(float(m.group(1)) * _SIZE_UNITS[m.group(2)] / 1e6, 1)
+
+
+def _sql_node_spill(exec_floor: int) -> list[dict]:
+    """Per-OPERATOR spill for SQL executions newer than exec_floor:
+    [{node, spill_mb}], largest first — names the Sort/HashAggregate/
+    Window that spilled instead of an opaque stage id."""
+    app_id = _ui_json("applications")[0]["id"]
+    execs = _ui_json(f"applications/{app_id}/sql?details=true&length=1000")
+    nodes: dict[str, float] = {}
+    for e in execs:
+        if e["id"] <= exec_floor:
+            continue
+        for node in e.get("nodes", []):
+            for metric in node.get("metrics", []):
+                if "spill" in metric["name"].lower():
+                    mb = _parse_size_mb(metric["value"])
+                    if mb > 0:
+                        key = f'{node["nodeName"]}#{node["nodeId"]}'
+                        nodes[key] = nodes.get(key, 0.0) + mb
+    top = sorted(nodes.items(), key=lambda kv: -kv[1])[:6]
+    return [{"node": k, "spill_mb": round(v, 1)} for k, v in top]
+
+
 def main() -> None:
     ns = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # At 100x, shuffle.partitions = cores (the sf0.1 tuning) makes each
+    # sort/agg partition ~2M rows — too coarse for small heaps. The
+    # cluster-correct fix is a high AQE initial partition count (big
+    # stages keep it, small stages coalesce); expose it as a knob so
+    # the probe can measure the partitioning axis, not just memory.
+    init_parts = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     builder = (
         SparkSession.builder.appName("hundredx-probe")
         .master(f"local[{cpus}]")
@@ -74,6 +122,11 @@ def main() -> None:
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(_UI_PORT))
     )
+    if init_parts:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            init_parts,
+        )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -108,13 +161,18 @@ def main() -> None:
 
     for n in ns:
         before = set(_stages())
+        exec_floor = _max_exec_id()
         t0 = time.perf_counter()
         df = risk_report_frame(replicated_stock(n))
         df.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
-        rows = df.count()  # separate action; metrics window spans both
-        release_caches()
+        # Metrics are snapshotted BEFORE the row-count sanity action so
+        # the window covers exactly one execution of the plan (the
+        # first cut of this probe counted every stage twice).
         mine = [s for k, s in _stages().items() if k not in before]
+        per_node_spill = _sql_node_spill(exec_floor)
+        rows = df.count()
+        release_caches()
         rec = {
             "probe": "risk_report_100x",
             "n": n,
@@ -142,6 +200,23 @@ def main() -> None:
                 1,
             ),
             "n_stages": len(mine),
+            # Per-stage attribution: the top spillers, so a regression
+            # names its stage instead of hiding in the sum.
+            "top_spill_stages": [
+                {
+                    "stage": s["stageId"],
+                    "name": (s.get("name") or "")[:60],
+                    "mem_spill_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
+                    "disk_spill_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
+                    "tasks": s.get("numCompleteTasks", 0),
+                }
+                for s in sorted(
+                    mine,
+                    key=lambda s: -s.get("memoryBytesSpilled", 0),
+                )[:5]
+                if s.get("memoryBytesSpilled", 0) > 0
+            ],
+            "spill_by_operator": per_node_spill,
         }
         print(json.dumps(rec), flush=True)
 

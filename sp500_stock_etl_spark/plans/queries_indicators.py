@@ -940,15 +940,24 @@ sdiff AS (
 """
 
 
-def sdiff_frame(st: DataFrame) -> DataFrame:
-    """DataFrame twin of _SDIFF_CTE's `sdiff` (x IS NOT NULL applied)."""
+def sdiff_from_daily(daily: DataFrame) -> DataFrame:
+    """The lag-diff half of _SDIFF_CTE, over a caller-supplied
+    (symbol, trade_date, sc) rollup — split out so risk_report_frame
+    can share ONE daily aggregation between its P&L and HHI branches
+    (the 100x probe showed two identical 60M-group HashAggregates as
+    the top spillers when each branch built its own)."""
     from pyspark.sql import Window
 
-    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
     w = Window.partitionBy("symbol").orderBy("trade_date")
     return daily.select(
         "symbol", "trade_date", (F.col("sc") - F.lag("sc").over(w)).alias("x")
     ).where(F.col("x").isNotNull())
+
+
+def sdiff_frame(st: DataFrame) -> DataFrame:
+    """DataFrame twin of _SDIFF_CTE's `sdiff` (x IS NOT NULL applied)."""
+    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    return sdiff_from_daily(daily)
 
 
 # Historical-simulation portfolio VaR: the portfolio's daily P&L is
@@ -1666,12 +1675,25 @@ def risk_report_frame(st: DataFrame) -> DataFrame:
     from ..caching import track_persist
     from ..operators.window_metrics import with_global_rank
 
-    daily = st.groupBy("symbol", "trade_date").agg(F.sum("cents").alias("sc"))
+    # ONE daily rollup feeds both the P&L chain and the HHI branch
+    # (before r9 each built its own — the 100x probe's top two spill
+    # producers were the twin 60M-group HashAggregates). The explicit
+    # repartition("symbol") makes the aggregation shuffle on symbol
+    # alone — hash(symbol) satisfies the agg's (symbol, trade_date)
+    # clustering AND the lag window's partitioning, so the whole P&L
+    # chain runs off a single wide exchange with no re-shuffle before
+    # the window sort. TRACKED persist: two consumers, and
+    # release_caches() frees it between serving requests.
+    daily = track_persist(
+        st.repartition("symbol")
+        .groupBy("symbol", "trade_date")
+        .agg(F.sum("cents").alias("sc"))
+    )
     # pnl feeds three consumers (rank, count, curve) — TRACKED persist
     # so release_caches() can free it between serving requests (a bare
     # .cache() here would pin it for the session lifetime).
     pnl = track_persist(
-        sdiff_frame(st)
+        sdiff_from_daily(daily)
         .groupBy("trade_date")
         .agg(
             F.sum("x").alias("p"),
@@ -1680,7 +1702,16 @@ def risk_report_frame(st: DataFrame) -> DataFrame:
         )
     )
 
-    tot = daily.groupBy("trade_date").agg(F.sum("sc").alias("total"))
+    # Per-date totals come straight off the stock frame, NOT from
+    # ``daily``: sum(sc) per date over the (symbol, date) rollup equals
+    # sum(cents) per date over the raw rows (associative BIGINT sum),
+    # and ``daily`` is ~1 group per input row (596k groups / 600k rows
+    # at sf0.1) so aggregating it a second time re-does full-width hash
+    # work for zero combine benefit — measured at 100x symbols this
+    # was one of the two big spill producers (scripts/hundredx_probe).
+    # The direct sum map-side-combines to a calendar-bounded group
+    # count instead.
+    tot = st.groupBy("trade_date").agg(F.sum("cents").alias("total"))
     share = F.expr("sc * 1000000 div total")
     hhi = (
         daily.join(F.broadcast(tot), "trade_date")
