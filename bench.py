@@ -276,10 +276,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # Warmup: run the flagship at the smallest sf to absorb JVM startup.
+    # Warmup: run the flagship at the smallest sf to absorb JVM startup,
+    # and one tiny mapInPandas so the Python daemon + worker pool and
+    # their numpy/pandas imports exist before any plan is timed (the
+    # r9 fold put the codec-execute plans mid-suite, where a cold
+    # Python spawn showed up as a phantom 3x on the first of them).
     registry["flagship_window_metrics"].spark_fn(
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
+    from sp500_stock_etl_spark.operators.multimodal import synthetic_png_corpus
+
+    synthetic_png_corpus(spark, 2).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # The quadratic exhibit is benched at sf0.01 (see module docstring);
     # everything else at the bench sf.

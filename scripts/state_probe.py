@@ -444,8 +444,78 @@ def large_state_probe(n_keys: int = 10_000_000) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def state_scale_probe(ns: list[int]) -> None:
+    """Feed-density axis for the session store (round-8 verdict item
+    6's state-store half, alongside scripts/hundredx_probe.py's
+    shuffle-spill axis): replicate the events feed n-x with DISJOINT
+    user spaces — live session keys scale n-fold while the watermark
+    horizon stays fixed — and record state rows, live-store bytes and
+    the marginal bytes/key at each n. The claim under test: session
+    state grows linearly in live keys with a flat per-key cost (the
+    watermark, not corpus size, bounds the store), so a 100x feed
+    needs 100x state bytes and nothing else.
+
+    Usage: python scripts/state_probe.py scale [n1 n2 ...]
+    (default 1 10 30; one JSON line per n)
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("state-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="state_scale_")
+    try:
+        staged = _stage_events_dir(sf_dir)
+        base = spark.read.parquet(staged)
+        prev = None
+        for n in ns:
+            landing = os.path.join(work, f"n{n}")
+            rep = base.crossJoin(
+                F.broadcast(spark.range(n).select(F.col("id").alias("rep")))
+            ).select(
+                *[
+                    (F.col("user_id") + F.col("rep") * F.lit(1_000_000_000)).alias(
+                        "user_id"
+                    )
+                    if c == "user_id"
+                    else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            rep.write.mode("overwrite").parquet(landing)
+            stream = EV.read_event_stream(spark, landing)
+            t0 = time.time()
+            m = _run_and_measure(
+                EV.session_counts(stream, "30 minutes"),
+                os.path.join(work, f"ck{n}"),
+                f"sp_scale_{n}",
+                "append",
+            )
+            rec = {
+                "probe": "session_state_scale",
+                "n": n,
+                "wall_sec": round(time.time() - t0, 2),
+                **m,
+            }
+            if prev and m["peak_keys"] != prev["peak_keys"]:
+                rec["marginal_bytes_per_key_vs_prev"] = round(
+                    (m["state_bytes"] - prev["state_bytes"])
+                    / (m["peak_keys"] - prev["peak_keys"]),
+                    1,
+                )
+            prev = m
+            print(json.dumps(rec), flush=True)
+            spark.catalog.dropTempView(f"sp_scale_{n}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "large":
         large_state_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "scale":
+        state_scale_probe([int(a) for a in sys.argv[2:]] or [1, 10, 30])
     else:
         main()
