@@ -266,7 +266,9 @@ BENCH_QUERIES = [
 # Round-9 additions, reported under a SEPARATE key so the headline
 # `value` stays comparable round-over-round; folded at r10. Names not
 # yet registered are skipped so the harness runs mid-build.
-R9_QUERIES: list[str] = []
+R9_QUERIES: list[str] = [
+    "arrow_udtf_installments",
+]
 
 
 def main() -> None:

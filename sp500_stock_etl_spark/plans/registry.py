@@ -74,6 +74,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # parametrize), and output schemas are swept by
 # tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
+    # --- r9 birth (inserted at birth, displacing the last stalest
+    # --- fill streaming_sliding_sums to keep exactly 50):
+    "arrow_udtf_installments",  # r9: Arrow UDTF lateral fan-out
     # --- r9 debt head (round-8 verdict item 1): the SIX r8 births the
     # --- 50-slot window could never fit (each pytest- and sf0.1-sweep
     # --- green, never driver-checked) ...
@@ -131,7 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_join_corpus",  # r4
     "streaming_dedup_keys",  # r4
     "streaming_dedup_keys_ttl",  # r4
-    "streaming_sliding_sums",  # r4
 )
 
 
@@ -149,6 +151,7 @@ def all_queries() -> dict[str, Query]:
     from . import queries_r6  # noqa: F401
     from . import queries_r7  # noqa: F401
     from . import queries_r8  # noqa: F401
+    from . import queries_r9  # noqa: F401
     from . import queries_indicators  # noqa: F401
 
     ordered: dict[str, Query] = {}
