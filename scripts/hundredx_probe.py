@@ -25,7 +25,17 @@ per-stage memoryBytesSpilled / diskBytesSpilled / shuffle read+write
 contributed — stage ids are snapshotted before/after so concurrent
 noise cannot leak in.
 
-Usage: python scripts/hundredx_probe.py [n1 n2 ...]  (default 1 10 100)
+Families:
+- risk (default): the indicator risk-report capstone at n-x symbols;
+- hybrid: the dual-evidence near-dup pipeline
+  (corpus_doc_embedding_hybrid_dedup) at n-x corpora — replicas carry
+  DISTINCT content (per-replica token suffixes; per-replica random
+  sign flips on embeddings) so candidate volume must grow n-fold,
+  never n^2-fold; the record includes lexical / embedding / agreement
+  pair counts alongside the memory columns.
+
+Usage: python scripts/hundredx_probe.py [risk|hybrid] [n1 n2 ...]
+(default: risk 1 10 100; hybrid defaults to 1 10 30)
 Prints one JSON line per n; paste the table into BASELINE.md §11.
 """
 
@@ -103,11 +113,8 @@ def _sql_node_spill(exec_floor: int) -> list[dict]:
     return [{"node": k, "spill_mb": round(v, 1)} for k, v in top]
 
 
-def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _build_session() -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-
     # At 100x, shuffle.partitions = cores (the sf0.1 tuning) makes each
     # sort/agg partition ~2M rows — too coarse for small heaps. The
     # cluster-correct fix is a high AQE initial partition count (big
@@ -132,6 +139,83 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     _ship_package(spark)
+    return spark
+
+
+def _replicate(df, n: int, id_cols: list[str], offset: int = 100_000_000):
+    """n-x in-plan fan-out with disjoint id spaces; callers layer
+    content perturbation (text suffix / sign flips) on top via the
+    surviving ``rep`` column, then drop it."""
+    if n == 1:
+        return df.withColumn("rep", F.lit(0))
+    rep = df.crossJoin(
+        F.broadcast(df.sparkSession.range(n).select(F.col("id").alias("rep")))
+    )
+    for c in id_cols:
+        rep = rep.withColumn(c, F.col(c) + F.col("rep") * F.lit(offset))
+    return rep
+
+
+def _measured(spark, label: str, n: int, run_action) -> dict:
+    """Run ``run_action()`` (returns extra fields) inside a stage/SQL
+    metrics window and emit one JSON record."""
+    before = set(_stages())
+    exec_floor = _max_exec_id()
+    t0 = time.perf_counter()
+    extra = run_action()
+    wall = round(time.perf_counter() - t0, 2)
+    # Metrics are snapshotted right after the timed action(s) so the
+    # window covers exactly the run (the first cut of this probe also
+    # counted the row-count sanity action and doubled every stage).
+    mine = [s for k, s in _stages().items() if k not in before]
+    rec = {
+        "probe": label,
+        "n": n,
+        "wall_sec": wall,
+        "input_rows": sum(s.get("inputRecords", 0) for s in mine),
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in mine) / 1e6, 1
+        ),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in mine) / 1e6, 1
+        ),
+        "memory_spill_mb": round(
+            sum(s.get("memoryBytesSpilled", 0) for s in mine) / 1e6, 1
+        ),
+        "disk_spill_mb": round(
+            sum(s.get("diskBytesSpilled", 0) for s in mine) / 1e6, 1
+        ),
+        "peak_exec_memory_mb": round(
+            max((s.get("peakExecutionMemory", 0) for s in mine), default=0)
+            / 1e6,
+            1,
+        ),
+        "n_stages": len(mine),
+        # Per-stage attribution: the top spillers, so a regression
+        # names its stage instead of hiding in the sum.
+        "top_spill_stages": [
+            {
+                "stage": s["stageId"],
+                "name": (s.get("name") or "")[:60],
+                "mem_spill_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
+                "disk_spill_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
+                "tasks": s.get("numCompleteTasks", 0),
+            }
+            for s in sorted(
+                mine, key=lambda s: -s.get("memoryBytesSpilled", 0)
+            )[:5]
+            if s.get("memoryBytesSpilled", 0) > 0
+        ],
+        "spill_by_operator": _sql_node_spill(exec_floor),
+        **extra,
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def risk_probe(ns: list[int]) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _build_session()
 
     from sp500_stock_etl_spark.caching import release_caches
     from sp500_stock_etl_spark.plans.queries_indicators import (
@@ -140,18 +224,7 @@ def main() -> None:
     )
 
     def replicated_stock(n: int):
-        st = _stock(spark, sf_dir)
-        if n == 1:
-            return st
-        return st.crossJoin(
-            F.broadcast(spark.range(n).select(F.col("id").alias("rep")))
-        ).select(
-            (F.col("symbol") + F.col("rep") * F.lit(100_000_000)).alias("symbol"),
-            "trade_date",
-            "order_key",
-            "line_number",
-            "cents",
-        )
+        return _replicate(_stock(spark, sf_dir), n, ["symbol"]).drop("rep")
 
     # Warmup absorbs JVM/codegen startup so the n=1 row is steady-state.
     risk_report_frame(replicated_stock(1)).write.format("noop").mode(
@@ -160,66 +233,169 @@ def main() -> None:
     release_caches()
 
     for n in ns:
-        before = set(_stages())
-        exec_floor = _max_exec_id()
-        t0 = time.perf_counter()
         df = risk_report_frame(replicated_stock(n))
-        df.write.format("noop").mode("overwrite").save()
-        wall = round(time.perf_counter() - t0, 2)
-        # Metrics are snapshotted BEFORE the row-count sanity action so
-        # the window covers exactly one execution of the plan (the
-        # first cut of this probe counted every stage twice).
-        mine = [s for k, s in _stages().items() if k not in before]
-        per_node_spill = _sql_node_spill(exec_floor)
-        rows = df.count()
+
+        def action():
+            df.write.format("noop").mode("overwrite").save()
+            return {}
+
+        rec = _measured(spark, "risk_report_100x", n, action)
+        rec["out_rows"] = df.count()  # sanity, outside the window
         release_caches()
-        rec = {
-            "probe": "risk_report_100x",
-            "n": n,
-            "wall_sec": wall,
-            "out_rows": rows,
-            "input_rows": sum(s.get("inputRecords", 0) for s in mine),
-            "shuffle_write_mb": round(
-                sum(s.get("shuffleWriteBytes", 0) for s in mine) / 1e6, 1
-            ),
-            "shuffle_read_mb": round(
-                sum(s.get("shuffleReadBytes", 0) for s in mine) / 1e6, 1
-            ),
-            "memory_spill_mb": round(
-                sum(s.get("memoryBytesSpilled", 0) for s in mine) / 1e6, 1
-            ),
-            "disk_spill_mb": round(
-                sum(s.get("diskBytesSpilled", 0) for s in mine) / 1e6, 1
-            ),
-            "peak_exec_memory_mb": round(
-                max(
-                    (s.get("peakExecutionMemory", 0) for s in mine),
-                    default=0,
-                )
-                / 1e6,
-                1,
-            ),
-            "n_stages": len(mine),
-            # Per-stage attribution: the top spillers, so a regression
-            # names its stage instead of hiding in the sum.
-            "top_spill_stages": [
-                {
-                    "stage": s["stageId"],
-                    "name": (s.get("name") or "")[:60],
-                    "mem_spill_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
-                    "disk_spill_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
-                    "tasks": s.get("numCompleteTasks", 0),
-                }
-                for s in sorted(
-                    mine,
-                    key=lambda s: -s.get("memoryBytesSpilled", 0),
-                )[:5]
-                if s.get("memoryBytesSpilled", 0) > 0
-            ],
-            "spill_by_operator": per_node_spill,
-        }
-        print(json.dumps(rec), flush=True)
+
+
+def hybrid_probe(ns: list[int]) -> None:
+    """n-x corpora through the dual-evidence near-dup pipeline. The
+    scale claim under test is the CANDIDATE-VOLUME one: both sides are
+    banded bucket joins, so with independent replica content the
+    lexical pairs, embedding pairs, and agreement pairs must all grow
+    n-fold (an all-pairs bug grows n^2-fold and this probe convicts
+    it). Per-replica independence: every token gets a per-replica
+    suffix (shingles disjoint across replicas) and every embedding a
+    per-replica deterministic sign-flip pattern (cross-replica cosine
+    ~ N(0, 1/64), far below the 0.9 threshold)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _build_session()
+
+    from sp500_stock_etl_spark.caching import release_caches
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.operators import dedup as D
+    from sp500_stock_etl_spark.operators import similarity as S
+    from sp500_stock_etl_spark.plans.queries_northstar import (
+        _BANDS as _SRP_BANDS,
+        _NEARDUP_OFFSET,
+        _PLANES,
+        _docs_with_neardups,
+    )
+    from sp500_stock_etl_spark.plans.queries_r7 import (
+        _INC_BANDS,
+        _INC_JT,
+        _INC_NGRAM,
+        _INC_NUM_HASHES,
+    )
+
+    _HYB_COS = 0.9
+    _HYB_ZERO_FROM = 60
+
+    def docs_n(n: int):
+        base = _docs_with_neardups(spark, sf_dir)
+        rep = _replicate(base, n, ["doc_id"], offset=1_000_000_000)
+        # Per-replica token suffix: replica contents are disjoint at
+        # the shingle level, so cross-replica lexical candidates are
+        # structurally impossible (the dup RATE stays constant).
+        return rep.select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1q"), F.col("rep")),
+            ).alias("text"),
+        )
+
+    def ebase_n(n: int):
+        emb = load_table(spark, sf_dir, "embeddings")
+        variants = emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + _NEARDUP_OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i < _HYB_ZERO_FROM, x).otherwise(
+                    F.lit(0).cast("float")
+                ),
+            ).alias("embedding"),
+        )
+        base = emb.select("vec_id", "embedding").unionByName(variants)
+        rep = _replicate(base, n, ["vec_id"], offset=1_000_000_000)
+        # Per-replica sign flips: within-replica cosines are preserved
+        # exactly (both vectors flip identically), cross-replica
+        # cosines collapse to ~0.
+        return rep.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    F.pmod(F.hash(F.col("rep") * F.lit(64) + i), F.lit(2))
+                    == 0,
+                    x,
+                ).otherwise(-x),
+            ).alias("embedding"),
+        )
+
+    n_vec_base = (
+        load_table(spark, sf_dir, "embeddings").count() * 6 // 5
+    )  # base + the %5 variants
+
+    def build(n: int, fixed_r: bool):
+        lex = D.minhash_lsh_dedup(
+            docs_n(n), "doc_id", "text",
+            ngram=_INC_NGRAM, num_hashes=_INC_NUM_HASHES,
+            bands=_INC_BANDS, threshold=_INC_JT,
+        )
+        # The registered query PINS r = 8 planes/band (oracle
+        # determinism at the test scale; queries_northstar.py:359).
+        # The documented scale path is srp_params_for: r grows with
+        # log N so expected bucket population — and candidates per
+        # vector — stays constant. The probe runs the scaled r by
+        # default and the pinned r on demand, so the quadratic cliff
+        # of a fixed bucket space is a MEASURED exhibit, not a claim.
+        r = _PLANES if fixed_r else S.srp_params_for(n_vec_base * n)
+        ebase = ebase_n(n)
+        sig = S.srp_id_band_rows(
+            ebase, "__sid__", "vec_id", "embedding", _SRP_BANDS, r
+        )
+        band_cands = (
+            sig.select(F.col("__sid__").alias("id_a"), "band", "sig")
+            .join(
+                sig.select(F.col("__sid__").alias("id_b"), "band", "sig"),
+                ["band", "sig"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+        )
+        epairs = S.cosine_neardup_pairs(
+            ebase, threshold=_HYB_COS, planes=r, bands=_SRP_BANDS
+        ).select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("cosine").alias("cosine_sc"),
+        )
+        return r, lex, band_cands, epairs, lex.join(epairs, ["doc_a", "doc_b"])
+
+    fixed_r = os.environ.get("SPARK_GRAFT_SRP_FIXED_R") == "1"
+
+    # Warmup.
+    build(1, fixed_r)[4].write.format("noop").mode("overwrite").save()
+    release_caches()
+
+    for n in ns:
+        r, lex, band_cands, epairs, agree = build(n, fixed_r)
+
+        def action():
+            # No cache release between the actions: the shingle and
+            # signature persists fill on the first count and the
+            # agreement join reuses them, so the wall is one pipeline
+            # plus cheap cached-side counts, not independent rebuilds.
+            n_band = band_cands.count()
+            n_lex = lex.count()
+            n_emb = epairs.count()
+            n_agree = agree.count()
+            return {
+                "srp_planes_per_band": r,
+                "embedding_band_candidates": n_band,
+                "lexical_pairs": n_lex,
+                "embedding_pairs": n_emb,
+                "agreement_pairs": n_agree,
+            }
+
+        _measured(spark, "hybrid_dedup_100x", n, action)
+        release_caches()
 
 
 if __name__ == "__main__":
-    main()
+    args = sys.argv[1:]
+    family = "risk"
+    if args and args[0] in ("risk", "hybrid"):
+        family = args.pop(0)
+    ns = [int(a) for a in args]
+    if family == "hybrid":
+        hybrid_probe(ns or [1, 10, 30])
+    else:
+        risk_probe(ns or [1, 10, 100])

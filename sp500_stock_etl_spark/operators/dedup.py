@@ -182,7 +182,17 @@ def jaccard_verify(
     pairs: DataFrame, shingled: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard on the candidate pairs: |A∩B| / |A∪B| over the
-    distinct-shingle arrays. Output (doc_a, doc_b, jaccard)."""
+    distinct-shingle arrays. Output (doc_a, doc_b, jaccard).
+
+    Join strategy matters here at scale: the shingle side's rows are
+    FAT (a whole document's distinct-shingle array), and a sort-merge
+    join would sort that side twice — the r9 30x hybrid probe measured
+    the two SMJ sorts as ~12 GB spill each. The candidate side is
+    orders of magnitude smaller than the corpus BY CONSTRUCTION (the
+    banding argument), so hint it as the shuffle-hash build side: both
+    joins then stream the fat arrays through an unsorted exchange and
+    probe a hash map of pair keys — no sort of either side at any n
+    (and SHJ spills its build map gracefully if pairs ever grow)."""
     sa = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -192,7 +202,9 @@ def jaccard_verify(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
     return (
-        pairs.join(sa, "doc_a")
+        pairs.hint("shuffle_hash")
+        .join(sa, "doc_a")
+        .hint("shuffle_hash")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
