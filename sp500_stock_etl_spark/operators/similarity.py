@@ -320,13 +320,24 @@ def cosine_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # The join-backs hash-build on the SKINNY (id, vec) side: a
+    # sort-merge join here sorts the candidate-pair side — 40M fat
+    # rows and ~12 GB of sort spill per join at the r9 100x probe —
+    # while the vector table is N skinny rows that fit a per-partition
+    # hash map at any N the banding keeps candidates proportional to.
     v = df.select(F.col(id_col), F.col(vec_col))
     return (
         pairs.join(
-            v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__")), "id_a"
+            v.select(
+                F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__")
+            ).hint("shuffle_hash"),
+            "id_a",
         )
         .join(
-            v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__")), "id_b"
+            v.select(
+                F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__")
+            ).hint("shuffle_hash"),
+            "id_b",
         )
         .select("id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
