@@ -57,12 +57,23 @@ _INSTALLMENTS_SQL = """
 SELECT o.o_orderkey AS orderkey,
        i.installment AS installment,
        i.amount_cents AS amount_cents
-FROM (SELECT o_orderkey,
+FROM (SELECT /*+ REPARTITION({parts}) */ o_orderkey,
              CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
              CAST(1 + o_orderkey % 6 AS INT) AS k
       FROM orders) o,
 LATERAL sg_installments(o.total_cents, o.k) i
 """
+# The REPARTITION is load-bearing: the UDTF evaluates per ROW (Arrow
+# batches the transfer, not the eval), and a single-file scan would
+# otherwise run the whole fan-out in ONE task — measured 15-19 s at
+# sf0.1 vs ~1 s with the skinny 2-column input spread over the cores.
+# The count must be EXPLICIT (defaultParallelism, injected at call
+# time): a bare /*+ REPARTITION */ hint is AQE-coalescible, and AQE
+# happily squeezed the ~3 MB input to 2 partitions — byte-based
+# coalescing is blind to the Python cost per row above it. Standard
+# shape for any Python fan-out: spread the cheap side BEFORE the
+# expensive per-row stage so parallelism equals task count, not file
+# count or input bytes.
 
 _INSTALLMENTS_ORACLE = """
 WITH o AS (
@@ -93,4 +104,6 @@ def q_arrow_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocations (serving mix, parity loops) are safe.
     spark.udtf.register("sg_installments", _InstallmentsUDTF)
     register_views(spark, sf_dir)
-    return spark.sql(_INSTALLMENTS_SQL)
+    return spark.sql(
+        _INSTALLMENTS_SQL.format(parts=spark.sparkContext.defaultParallelism)
+    )

@@ -20,10 +20,15 @@ def _q(spark):
     return all_queries()["arrow_udtf_installments"].spark_fn(spark, SF_DIR)
 
 
-def test_udtf_plan_arrow_pruned_no_shuffle(spark):
+def test_udtf_plan_arrow_pruned_shuffle_below(spark):
     plan = _q(spark)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPythonUDTF" in plan
-    assert "Exchange" not in plan  # map-side fan-out, no shuffle
+    # Exactly one exchange, and it sits BELOW the UDTF (children print
+    # after parents): the round-robin spread of the skinny input that
+    # gives the per-row eval its parallelism. Nothing shuffles the fat
+    # fan-out output above.
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert plan.index("Exchange") > plan.index("ArrowEvalPythonUDTF")
     # column pruning reaches the scan: only the two inputs are read.
     scan = plan[plan.index("FileScan") :]
     assert "o_orderkey" in scan and "o_totalprice" in scan
