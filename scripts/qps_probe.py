@@ -84,12 +84,24 @@ def main() -> None:
     lat: dict[str, list[float]] = defaultdict(list)
     deadline = time.perf_counter() + budget
 
+    errors: dict[str, int] = defaultdict(int)
+
     def worker() -> int:
         done = 0
         while time.perf_counter() < deadline:
             with lock:
                 name = next(mix_iter)
-            dt = run_one(name)
+            # A serving benchmark records failures; it does not die on
+            # one. (Observed once in r9: a transient
+            # FileAlreadyExistsException in a store delta write under
+            # 8-way concurrency killed the whole probe — the very
+            # datum a serving probe exists to count.)
+            try:
+                dt = run_one(name)
+            except Exception as ex:  # noqa: BLE001
+                with lock:
+                    errors[f"{name}: {str(ex)[:120]}"] += 1
+                continue
             with lock:
                 lat[name].append(dt)
             done += 1
@@ -116,6 +128,8 @@ def main() -> None:
                 "budget_sec": budget,
                 "elapsed_sec": round(elapsed, 2),
                 "completed_queries": completed,
+                "errors": dict(errors),
+                "n_errors": sum(errors.values()),
                 "qps": round(completed / elapsed, 2),
                 "solo_latency_sec": {n: round(v, 3) for n, v in solo.items()},
                 "concurrent_mean_latency_sec": mean_conc,
