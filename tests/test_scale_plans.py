@@ -232,3 +232,21 @@ def test_ensure_parallelism_is_guarded(spark, sf_dir):
     # Already at/above target -> returns the SAME plan, no shuffle.
     wide = docs.repartition(8)
     assert ensure_parallelism(wide, min_partitions=4) is wide
+
+
+def test_verify_joins_hash_build_never_sort(spark, sf_dir):
+    """The r9 100x hybrid probe convicted two sort-merge joins that
+    sorted a fat side: jaccard_verify's candidate->shingle joins
+    (whole-document arrays) and cosine_neardup_pairs' pair->vector
+    join-backs (tens of millions of candidate rows at scale). Both are
+    pinned as shuffled-hash: the only SMJ allowed in these plans is
+    the banded bucket self-join, whose sides are skinny (id, band,
+    sig) rows."""
+    for name in ("dedup_minhash_lsh", "dedup_embedding_cosine"):
+        plan = _plan(all_queries()[name].spark_fn(spark, sf_dir))
+        assert "ShuffledHashJoin" in plan, name
+        # Any SortMergeJoin present must be the band self-join (keyed
+        # by band/sig), never an id-keyed verify join.
+        for line in plan.splitlines():
+            if "SortMergeJoin" in line and "Inner" in line:
+                assert "band" in line, f"{name}: id-keyed SMJ crept back: {line[:160]}"
