@@ -239,8 +239,11 @@ def risk_probe(ns: list[int]) -> None:
             df.write.format("noop").mode("overwrite").save()
             return {}
 
-        rec = _measured(spark, "risk_report_100x", n, action)
-        rec["out_rows"] = df.count()  # sanity, outside the window
+        _measured(spark, "risk_report_100x", n, action)
+        # Row-count sanity OUTSIDE the metrics window, printed as its
+        # own line (the first cut attached it to the record after the
+        # record had already printed).
+        print(json.dumps({"n": n, "out_rows": df.count()}), flush=True)
         release_caches()
 
 
