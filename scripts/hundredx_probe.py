@@ -392,13 +392,84 @@ def hybrid_probe(ns: list[int]) -> None:
         release_caches()
 
 
+def cc_probe(ns: list[int]) -> None:
+    """Connected components at n-x EDGES with constant component
+    diameter (each replica plants its own dup groups in a disjoint id
+    space): the iterative min-label propagation must cost per-round
+    join volume x a round count set by DIAMETER, not corpus size, so
+    n-x edges = n-x per-round work at the same number of rounds."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _build_session()
+
+    from sp500_stock_etl_spark.caching import release_caches
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.operators.dedup import connected_components
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    def edges_n(n: int):
+        # Star components of size <= 3 per replica (the exact-dup
+        # shape): (i, i+10M) for i%3==0, (i, i+20M) for i%6==0.
+        ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        base = (
+            ids.where(F.col("doc_id") % 3 == 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                (F.col("doc_id") + 10_000_000).alias("dst"),
+            )
+            .unionByName(
+                ids.where(F.col("doc_id") % 6 == 0).select(
+                    F.col("doc_id").alias("src"),
+                    (F.col("doc_id") + 20_000_000).alias("dst"),
+                )
+            )
+        )
+        return _replicate(base, n, ["src", "dst"], offset=1_000_000_000).drop(
+            "rep"
+        )
+
+    connected_components(edges_n(1)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_caches()
+
+    for n in ns:
+        out = {}
+
+        def action():
+            # connected_components iterates EAGERLY (per-round
+            # localCheckpoint), so the construction IS the work and
+            # must happen inside the metrics window.
+            out["df"] = connected_components(edges_n(n))
+            out["df"].write.format("noop").mode("overwrite").save()
+            return {}
+
+        _measured(spark, "connected_components_100x", n, action)
+        print(
+            json.dumps(
+                {
+                    "n": n,
+                    "components": out["df"]
+                    .select("component")
+                    .distinct()
+                    .count(),
+                    "nodes": out["df"].count(),
+                }
+            ),
+            flush=True,
+        )
+        release_caches()
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     family = "risk"
-    if args and args[0] in ("risk", "hybrid"):
+    if args and args[0] in ("risk", "hybrid", "cc"):
         family = args.pop(0)
     ns = [int(a) for a in args]
     if family == "hybrid":
         hybrid_probe(ns or [1, 10, 30])
+    elif family == "cc":
+        cc_probe(ns or [1, 10, 100])
     else:
         risk_probe(ns or [1, 10, 100])
