@@ -71,10 +71,25 @@ def _stages() -> dict[int, dict]:
     return out
 
 
+def _sql_execs(app_id: str, details: bool = False) -> list[dict]:
+    """All SQL executions, paging until the API returns a short page —
+    a long-lived probe session can exceed any single `length`, and a
+    silent truncation would mis-set exec_floor / drop spill rows."""
+    page, offset, out = 1000, 0, []
+    detail = "details=true&" if details else ""
+    while True:
+        batch = _ui_json(
+            f"applications/{app_id}/sql?{detail}offset={offset}&length={page}"
+        )
+        out.extend(batch)
+        if len(batch) < page:
+            return out
+        offset += page
+
+
 def _max_exec_id() -> int:
     app_id = _ui_json("applications")[0]["id"]
-    execs = _ui_json(f"applications/{app_id}/sql?length=1000")
-    return max((e["id"] for e in execs), default=-1)
+    return max((e["id"] for e in _sql_execs(app_id)), default=-1)
 
 
 _SIZE_UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
@@ -97,7 +112,7 @@ def _sql_node_spill(exec_floor: int) -> list[dict]:
     [{node, spill_mb}], largest first — names the Sort/HashAggregate/
     Window that spilled instead of an opaque stage id."""
     app_id = _ui_json("applications")[0]["id"]
-    execs = _ui_json(f"applications/{app_id}/sql?details=true&length=1000")
+    execs = _sql_execs(app_id, details=True)
     nodes: dict[str, float] = {}
     for e in execs:
         if e["id"] <= exec_floor:

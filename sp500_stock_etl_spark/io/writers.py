@@ -95,6 +95,97 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def write_bucketed_table_atomic(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Concurrency-hardened ``write_bucketed_table``: stage, then
+    publish with one atomic rename.
+
+    Motivation (r9 watch item → r9 verdict item 3): one transient
+    ``FileAlreadyExistsException`` was seen in a signature-store delta
+    write under the 8-thread qps mix. FileOutputCommitter stages task
+    attempts under ``$path/_temporary/$appAttemptId`` — appAttemptId
+    is a constant 0 in local/client mode, so any two write jobs that
+    ever share a destination path (retry, replay, or two invocations
+    racing to the same store) share one staging namespace and can
+    collide on attempt files. Rather than waiting for a recurrence:
+
+    1. Data lands in a per-invocation staging directory
+       ``{path}.__stage__{uuid}`` — a committer namespace no other
+       write job can ever share (uuid4 per call).
+    2. One ``os.rename(stage, path)`` publishes it. POSIX rename is
+       atomic, so readers see the old store or the new one, never a
+       half-written directory. If ``path`` exists (overwrite replay),
+       it is first renamed aside and removed after publish — each
+       individual rename stays atomic.
+    3. The catalog entry is re-created OVER the published files
+       (``CREATE TABLE ... CLUSTERED BY ... LOCATION``); bucket ids
+       live in the file names (``..._00007.c000``), so the bucketed
+       no-exchange join layout survives the rename (pinned in
+       tests/test_compaction.py::test_atomic_bucketed_write).
+
+    Cluster note: this is the local-filesystem realization of a
+    commit protocol. On HDFS the same rename is atomic; on S3 the
+    production analogue is a metadata-swap table format — the staged
+    layout maps onto it directly.
+
+    Requires ``path`` (the mechanism IS the path swap); staging is a
+    sibling of ``path`` so the rename never crosses a filesystem.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if path is None:
+        raise ValueError("write_bucketed_table_atomic requires an explicit path")
+    spark = df.sparkSession
+    tok = uuid.uuid4().hex
+    stage_path = f"{path}.__stage__{tok}"
+    stage_table = f"{table}__stage_{tok}"
+    write_bucketed_table(df, stage_table, bucket_col, n_buckets, path=stage_path)
+    # External table: DROP removes only the catalog entry, files stay.
+    spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
+
+    # Publish loop: if a concurrent writer re-creates ``path`` between
+    # our rename-aside and rename-in, the rename-in fails cleanly
+    # (EEXIST/ENOTEMPTY — never a partial mix); take the racer's
+    # publish aside and retry. Last writer wins; every attempt is a
+    # pair of atomic renames, so readers always see a complete store.
+    for attempt in range(50):
+        old_path = None
+        if os.path.exists(path):
+            old_path = f"{path}.__old__{tok}_{attempt}"
+            os.rename(path, old_path)
+        try:
+            os.rename(stage_path, path)
+        except OSError:
+            if old_path is not None:
+                shutil.rmtree(old_path, ignore_errors=True)
+            continue
+        if old_path is not None:
+            shutil.rmtree(old_path, ignore_errors=True)
+        break
+    else:
+        raise RuntimeError(
+            f"atomic publish to {path!r} lost 50 straight races; "
+            f"staged data left at {stage_path!r}"
+        )
+
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -179,7 +179,7 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingled: DataFrame, threshold: float
+    pairs: DataFrame, shingled: DataFrame, threshold: float, safe: bool = False
 ) -> DataFrame:
     """Exact Jaccard on the candidate pairs: |A∩B| / |A∪B| over the
     distinct-shingle arrays. Output (doc_a, doc_b, jaccard).
@@ -189,10 +189,19 @@ def jaccard_verify(
     join would sort that side twice — the r9 30x hybrid probe measured
     the two SMJ sorts as ~12 GB spill each. The candidate side is
     orders of magnitude smaller than the corpus BY CONSTRUCTION (the
-    banding argument), so hint it as the shuffle-hash build side: both
-    joins then stream the fat arrays through an unsorted exchange and
-    probe a hash map of pair keys — no sort of either side at any n
-    (and SHJ spills its build map gracefully if pairs ever grow)."""
+    banding argument), so hint it as the shuffle-hash build side.
+
+    Memory precondition (NOT graceful): ShuffledHashJoinExec builds an
+    in-memory HashedRelation that does not spill, so forcing the hint
+    removes sort-merge's spill fallback. Join 1 builds the bare pair
+    keys (2 longs/row — cheap at any sane candidate count). Join 2
+    builds (pairs ⨝ sa), which carries one sh_a shingle array per
+    candidate: build memory scales with candidates × document size.
+    That is still the smaller side whenever banding holds (candidate
+    pairs ≪ corpus docs), but a mis-tuned bands/threshold that blows
+    up candidates fails with task OOM instead of degrading. For
+    untrusted parameterizations pass safe=True to skip the hints and
+    let Spark fall back to sort-merge (slower, but spills)."""
     sa = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -201,11 +210,12 @@ def jaccard_verify(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    left = pairs if safe else pairs.hint("shuffle_hash")
+    joined = left.join(sa, "doc_a")
+    if not safe:
+        joined = joined.hint("shuffle_hash")
     return (
-        pairs.hint("shuffle_hash")
-        .join(sa, "doc_a")
-        .hint("shuffle_hash")
-        .join(sb, "doc_b")
+        joined.join(sb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

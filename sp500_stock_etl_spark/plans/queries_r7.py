@@ -381,7 +381,7 @@ def q_dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_signature_store_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..io.writers import write_bucketed_table
+    from ..io.writers import write_bucketed_table_atomic
 
     verified, new_bands, offset, base_dir, tok = _inc_refresh_frames(
         spark, sf_dir
@@ -395,7 +395,11 @@ def q_dedup_signature_store_roundtrip(
 
     # Delta append: own table + path, overwrite mode — replaying the
     # same batch overwrites the same delta (idempotent), never dupes.
-    write_bucketed_table(
+    # Atomic variant (r9 verdict item 3): the delta lands in a
+    # per-invocation staging dir and publishes via one rename, so no
+    # two write jobs — not even a replay of this one — ever share a
+    # FileOutputCommitter namespace.
+    write_bucketed_table_atomic(
         survivors,
         f"sg_sigstore_delta_{tok}",
         "band_key",

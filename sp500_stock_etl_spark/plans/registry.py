@@ -62,8 +62,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Explicit driver-facing ordering. The verify driver hash-checks the first
 # 50 registry entries against their DuckDB oracles. The window ROTATES
-# each round (round-2 verdict item 1). Round-9 policy (unchanged from
-# r7/r8): (a) queries BORN this round — and queries whose oracle was
+# each round (round-2 verdict item 1). Round-10 policy (unchanged from
+# r7/r8/r9): (a) queries BORN this round — and queries whose oracle was
 # UPGRADED — are inserted at the head the moment they land, so
 # after-rotation debt cannot recur; (b) every remaining slot is the
 # stalest-green fill, GENERATED from the CORRECTNESS union by
@@ -74,66 +74,64 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # parametrize), and output schemas are swept by
 # tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- r9 birth (inserted at birth, displacing the last stalest
-    # --- fill streaming_sliding_sums to keep exactly 50):
-    "arrow_udtf_installments",  # r9: Arrow UDTF lateral fan-out
-    # --- r9 debt head (round-8 verdict item 1): the SIX r8 births the
-    # --- 50-slot window could never fit (each pytest- and sf0.1-sweep
-    # --- green, never driver-checked) ...
-    "multimodal_resize_execute",  # real PNG decode + NN resample
-    "multimodal_pcm_chunk_execute",  # real WAV PCM chunk stats
-    "tpcds_q38_channel_intersect",  # 3-channel INTERSECT census
-    "tpcds_q87_channel_except",  # EXCEPT/anti-join twin
-    "tpcds_q14_cross_channel_items",  # INTERSECT under aggregation
-    "streaming_stream_stream_right_join",  # 4th outer-join mode
-    # --- ... plus the THREE r8 oracle UPGRADES whose only driver rows
-    # --- predate the upgrade (r2-era rows-only):
-    "multimodal_decode_features",  # upgraded: hex-rebuild histogram oracle
-    "token_heavy_hitters_sketch",  # upgraded: certificate oracle
-    "approx_monitoring_profile",  # upgraded: HLL/percentile certificate
-    # --- stalest-green fill, generated 2026-08-15 from
-    # --- `scripts/coverage_report.py` stalest_ok after CORRECTNESS_r08
-    # --- (oracle-bearing only; r3-era rows first, then r4):
-    "streaming_quote_feed_agg",  # r3
-    "string_functions_suite",  # r3
-    "tpch_q10_returned_items",  # r3
-    "tpch_q11_important_parts",  # r3
-    "tpch_q13_custdist",  # r3
-    "tpch_q19_disjunctive_join",  # r3
-    "tpch_q22_idle_segments",  # r3
-    "tpch_q4_priority_exists",  # r3
-    "variant_json_agg",  # r3
-    "weighted_avg_pricing",  # r3
-    "window_navigation_suite",  # r3
-    "anti_join_customers",  # r4
-    "broadcast_star_join",  # r4
-    "corpus_boilerplate_segments",  # r4
-    "corpus_chunking",  # r4
-    "corpus_sequence_packing",  # r4
-    "correlated_subqueries",  # r4
-    "cross_join_dims",  # r4
-    "csv_roundtrip_agg",  # r4
-    "cube_agg",  # r4
-    "dedup_embedding_cosine",  # r4
-    "dedup_exact",  # r4
-    "full_outer_reconciliation",  # r4
-    "grouped_agg_pricing",  # r4
-    "grouped_map_value_diff",  # r4
-    "left_outer_enrichment",  # r4
-    "multimodal_metadata_agg",  # r4
-    "null_safe_join",  # r4
-    "orc_roundtrip_agg",  # r4
-    "pivot_event_counts",  # r4
-    "ranking_top3_per_flag",  # r4
-    "rolling_avg_sma7",  # r4
-    "scd2_event_history",  # r4
-    "semi_join_customers",  # r4
-    "session_window_agg",  # r4
-    "set_ops_cohorts",  # r4
-    "similarity_ivf_topk_nprobe2",  # r4
-    "similarity_join_corpus",  # r4
-    "streaming_dedup_keys",  # r4
-    "streaming_dedup_keys_ttl",  # r4
+    # --- r10 window: zero births pending, zero debts
+    # (CORRECTNESS_r09 closed everything — coverage_report shows
+    # never_checked=[], oracle_upgraded_pending=[], ever_error=[]),
+    # so this is the first PURE stalest-green rotation. Generated
+    # 2026-08-15 from `scripts/coverage_report.py` stalest_ok after
+    # CORRECTNESS_r09 (oracle-bearing only; r4-era rows first, then
+    # the whole r5 band — 51st stalest is abc_pareto_classification
+    # at r6, next round's head):
+    "streaming_sliding_sums",  # r4
+    "streaming_static_enrich",  # r4
+    "streaming_stream_stream_join",  # r4
+    "streaming_tumbling_counts_rocksdb",  # r4
+    "symbol_validation",  # r4
+    "text_quality_stats",  # r4
+    "topk_movers_per_day",  # r4
+    "udtf_split_sentences",  # r4
+    "unpivot_order_metrics",  # r4
+    "weighted_avg_pricing_decimal",  # r4
+    "array_functions_suite",  # r5
+    "basket_part_cooccurrence",  # r5
+    "bitwise_agg_suite",  # r5
+    "bucketed_fact_join",  # r5
+    "cohort_retention_weekly",  # r5
+    "corpus_boilerplate_rewrite",  # r5
+    "corpus_decontamination_bloom",  # r5
+    "corpus_reservoir_sample",  # r5
+    "corpus_tfidf_topterms",  # r5
+    "corpus_train_val_test_split",  # r5
+    "corpus_training_build",  # r5
+    "corpus_unigram_stats",  # r5
+    "dedup_connected_components",  # r5
+    "dedup_semantic_clusters",  # r5
+    "event_funnel_conversion",  # r5
+    "feature_outlier_fences",  # r5
+    "max_drawdown_per_symbol",  # r5
+    "ohlc_hourly_resample",  # r5
+    "regex_functions_suite",  # r5
+    "schema_evolution_scan",  # r5
+    "sma_crossover_signals",  # r5
+    "streaming_ohlc_bars",  # r5
+    "streaming_stream_stream_left_join",  # r5
+    "streaming_tumbling_counts",  # r5
+    "text_repetition_stats",  # r5
+    "tpch_q12_shipmode",  # r5
+    "tpch_q14_promo_share",  # r5
+    "tpch_q15_top_supplier",  # r5
+    "tpch_q16_supplier_counts",  # r5
+    "tpch_q17_small_quantity",  # r5
+    "tpch_q18_large_orders",  # r5
+    "tpch_q20_excess_share_supplier",  # r5
+    "tpch_q21_waiting_supplier",  # r5
+    "tpch_q2_min_cost_supplier",  # r5
+    "tpch_q7_nation_volume",  # r5
+    "tpch_q8_market_share",  # r5
+    "tpch_q9_profit",  # r5
+    "triangle_count_basket",  # r5
+    "vwap_per_symbol_day",  # r5
+    "xml_roundtrip_agg",  # r5
 )
 
 
