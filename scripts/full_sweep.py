@@ -23,14 +23,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Oracles that are PATHOLOGICAL for DuckDB above sf0.01 — not the
 # engine's plans, the ground-truth constructs: all-pairs quadratics
-# and single-threaded recursive-CTE replays. They stay verified at
-# sf0.01 (every vloop run) and by their engine-side invariant tests;
-# the sf0.1 certification pass skips them and says so.
-HEAVY_ORACLE_SKIP = {
+# and single-threaded recursive-CTE replays. r10 (r9 verdict item 7):
+# the outright skip is RETIRED — above sf0.01 these now run a SLICED
+# certification instead: the sweep materializes a deterministic
+# id-band slice of `documents` (doc_id % 8 = 0; 625 of sf0.1's 5000)
+# into a temp sf-dir with every other table symlinked, then runs the
+# UNCHANGED registered query and oracle on it. Both engines see
+# identical input, the checked content is real sf0.1 documents, and
+# the quadratic/recursive oracle work stays ~sf0.01-sized. The band
+# keeps ids divisible by 40, so the doc_id%5==0 planted-variant rate
+# (1 in 5) is preserved exactly — the near-dup query still has
+# positives to find.
+SLICED_CERT = {
     "dedup_ngram_jaccard",  # all-pairs exact baseline (documented exhibit)
     "corpus_sequence_packing",  # recursive-CTE greedy-pack replay
     "corpus_training_build",  # composed recursive-CTE capstone oracle
 }
+SLICE_PRED = "doc_id % 8 = 0"
+
+
+def _make_sliced_dir(sf_dir: str) -> str:
+    import atexit
+    import glob as g
+    import shutil
+    import tempfile
+
+    import duckdb as dk
+
+    d = tempfile.mkdtemp(prefix="sg_sliced_cert_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    for p in sorted(g.glob(sf_dir.rstrip("/") + "/*.parquet")):
+        name = os.path.basename(p)
+        if name == "documents.parquet":
+            dk.sql(
+                f"COPY (SELECT * FROM read_parquet('{p}') WHERE {SLICE_PRED})"
+                f" TO '{d}/{name}' (FORMAT parquet)"
+            )
+        else:
+            os.symlink(p, f"{d}/{name}")
+    return d
 
 
 def main() -> None:
@@ -64,24 +95,31 @@ def main() -> None:
     names = sorted(qs)[start:end]
     t0 = time.time()
     fails = []
+    sliced_dir = None
+    sliced_con = None
     for i, name in enumerate(names):
         try:
             sf_val = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
         except ValueError:
             sf_val = 0.0
-        if name in HEAVY_ORACLE_SKIP and sf_val >= 0.1:
-            print(f"PROG {start + i + 1} {name} SKIP(heavy-oracle)", flush=True)
-            continue
+        sliced = name in SLICED_CERT and sf_val >= 0.1
+        if sliced and sliced_dir is None:
+            sliced_dir = _make_sliced_dir(sf_dir)
+            sliced_con = duckdb_connect(sliced_dir)
+        run_dir = sliced_dir if sliced else sf_dir
+        run_con = sliced_con if sliced else con
+        tag = " (sliced-cert)" if sliced else ""
         try:
-            d = qs[name](spark, sf_dir)
+            d = qs[name](spark, run_dir)
             if name in oracles:
-                ok, msg = compare(d, con, oracles[name])
+                ok, msg = compare(d, run_con, oracles[name])
                 if not ok:
                     fails.append((name, msg[:150]))
             else:
                 d.count()
             print(
-                f"PROG {start + i + 1} {name} {round(time.time() - t0, 1)}s",
+                f"PROG {start + i + 1} {name} "
+                f"{round(time.time() - t0, 1)}s{tag}",
                 flush=True,
             )
         except Exception as ex:  # noqa: BLE001
