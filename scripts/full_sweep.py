@@ -84,6 +84,14 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master("local[16]")
+        # Explicit heap: Spark's 1g default gives 16 concurrent tasks
+        # ~27 MB of execution memory each — below what any
+        # shuffle-heavy operator can run in (the r10 sweep caught
+        # dedup_prefix_jaccard heap-OOMing there; the same plan passes
+        # at local[4]/1g and local[16]/2g). 512 MB+/core is the
+        # realistic provisioning floor; certify under it, not under a
+        # toy default.
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.shuffle.partitions", "16")

@@ -476,15 +476,188 @@ def cc_probe(ns: list[int]) -> None:
         release_caches()
 
 
+def cdc_probe(ns: list[int]) -> None:
+    """n-x the streaming CDC merge (r9 verdict item 5): feed AND store
+    both scale n-fold. Events replicate on event_id with a per-replica
+    14-bit device key space (16384·n store keys), staged as four
+    ts-ordered chunk files consumed with maxFilesPerTrigger=1 — the
+    registered plan's exact shape (queries_streaming.py:1668), with
+    the same ``_keep_newest`` union-rewrite in foreachBatch. Metrics:
+    per-batch merge wall from the streaming progress log, per-version
+    store rows + bytes, the stage window's shuffle/spill columns, and
+    CARRY correctness: the final store must be row-for-row equal
+    (exceptAll both ways = 0, all four columns, ts/value bit-exact) to
+    the batch last-event-per-key rollup over the same replicated feed;
+    ``carried_keys`` counts store keys whose last write predates the
+    final chunk — the rows a cross-batch merge bug would lose."""
+    import atexit
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _build_session()
+
+    from sp500_stock_etl_spark.io.readers import (
+        _normalize_event_ts,
+        load_table,
+    )
+    from sp500_stock_etl_spark.plans.queries_streaming import _keep_newest
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id",
+        _normalize_event_ts(ev_raw.schema["ts"].dataType).alias("ts"),
+        "value",
+    )
+    _OFFSET = 10_000_000
+    _KEY_BITS = 14  # 16384 devices per replica
+
+    from sp500_stock_etl_spark.plans.queries_streaming import (
+        _cdc_device_expr,
+    )
+
+    # The registered query's xor-multiply scramble (NOT the old Knuth
+    # multiplicative hash — that one is a low-discrepancy sequence, so
+    # any contiguous id window covers every key and carry collapses to
+    # zero), applied to the per-replica base id, then offset by
+    # rep·2^14 so the store key space grows n-fold with the feed.
+    _dev = _cdc_device_expr(
+        lambda a, b: f"(({a}) ^ ({b}))",
+        lambda a, b: f"(({a}) div {b})",
+        id_expr=f"(event_id % {_OFFSET})",
+    )
+
+    def keyed_feed(n: int):
+        rep = _replicate(ev, n, ["event_id"], offset=_OFFSET)
+        return rep.select(
+            (F.expr(_dev) + F.col("rep") * F.lit(1 << _KEY_BITS)).alias(
+                "device_id"
+            ),
+            "ts",
+            "event_id",
+            "value",
+        )
+
+    _CUTS = ["2024-01-08", "2024-01-15", "2024-01-22"]
+
+    def stage_chunks(keyed) -> str:
+        d = tempfile.mkdtemp(prefix="sg_cdc_probe_feed_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        conds = [
+            F.col("ts") < _CUTS[0],
+            (F.col("ts") >= _CUTS[0]) & (F.col("ts") < _CUTS[1]),
+            (F.col("ts") >= _CUTS[1]) & (F.col("ts") < _CUTS[2]),
+            F.col("ts") >= _CUTS[2],
+        ]
+        for i, cond in enumerate(conds):
+            tmp = f"{d}/_w{i}"
+            keyed.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")
+            if part:
+                shutil.move(part[0], f"{d}/{i:03d}.parquet")
+                os.utime(
+                    f"{d}/{i:03d}.parquet",
+                    (1700000000 + i, 1700000000 + i),
+                )
+            shutil.rmtree(tmp)
+        return d
+
+    for n in ns:
+        keyed = keyed_feed(n)
+        staged = stage_chunks(keyed)
+        store_base = tempfile.mkdtemp(prefix="sg_cdc_probe_store_")
+        atexit.register(shutil.rmtree, store_base, ignore_errors=True)
+        state: dict[str, str | None] = {"dir": None}
+
+        def _apply(batch_df, batch_id: int) -> None:
+            latest = _keep_newest(batch_df)
+            if state["dir"] is not None:
+                old = batch_df.sparkSession.read.parquet(state["dir"])
+                latest = _keep_newest(old.unionByName(latest))
+            new_dir = f"{store_base}/v{batch_id}"
+            latest.write.mode("overwrite").parquet(new_dir)
+            state["dir"] = new_dir
+
+        schema = spark.read.parquet(staged).schema
+
+        def action():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(staged)
+                .writeStream.foreachBatch(_apply)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="sg_cdc_probe_ckpt_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            batches = [
+                {
+                    "batch": p["batchId"],
+                    "rows": p["numInputRows"],
+                    "wall_ms": p["durationMs"]["triggerExecution"],
+                }
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+            return {"batches": batches}
+
+        rec = _measured(spark, "cdc_merge_100x", n, action)
+
+        # --- Outside the metrics window: store-size series + carry
+        # correctness (bit-equal vs the batch rollup).
+        versions = []
+        for vdir in sorted(_glob.glob(f"{store_base}/v*")):
+            files = _glob.glob(f"{vdir}/*.parquet")
+            versions.append(
+                {
+                    "version": os.path.basename(vdir),
+                    "rows": spark.read.parquet(vdir).count(),
+                    "bytes": sum(os.path.getsize(f) for f in files),
+                }
+            )
+        final = spark.read.parquet(state["dir"])
+        rollup = _keep_newest(keyed)
+        diff = (
+            final.exceptAll(rollup).count()
+            + rollup.exceptAll(final).count()
+        )
+        carried = final.where(F.col("ts") < _CUTS[2]).count()
+        print(
+            json.dumps(
+                {
+                    "n": n,
+                    "store_versions": versions,
+                    "final_store_rows": versions[-1]["rows"] if versions else 0,
+                    "bit_equal_vs_batch_rollup": diff == 0,
+                    "symmetric_diff_rows": diff,
+                    "carried_keys": carried,
+                }
+            ),
+            flush=True,
+        )
+        from sp500_stock_etl_spark.caching import release_caches
+
+        release_caches()
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(store_base, ignore_errors=True)
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     family = "risk"
-    if args and args[0] in ("risk", "hybrid", "cc"):
+    if args and args[0] in ("risk", "hybrid", "cc", "cdc"):
         family = args.pop(0)
     ns = [int(a) for a in args]
     if family == "hybrid":
         hybrid_probe(ns or [1, 10, 30])
     elif family == "cc":
         cc_probe(ns or [1, 10, 100])
+    elif family == "cdc":
+        cdc_probe(ns or [1, 10, 100])
     else:
         risk_probe(ns or [1, 10, 100])

@@ -179,46 +179,88 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingled: DataFrame, threshold: float, safe: bool = False
+    pairs: DataFrame, shingled: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard on the candidate pairs: |A∩B| / |A∪B| over the
-    distinct-shingle arrays. Output (doc_a, doc_b, jaccard).
+    distinct-shingle arrays. Output (doc_a, doc_b, jaccard), one row
+    per distinct candidate pair at or above the threshold.
 
-    Join strategy matters here at scale: the shingle side's rows are
-    FAT (a whole document's distinct-shingle array), and a sort-merge
-    join would sort that side twice — the r9 30x hybrid probe measured
-    the two SMJ sorts as ~12 GB spill each. The candidate side is
-    orders of magnitude smaller than the corpus BY CONSTRUCTION (the
-    banding argument), so hint it as the shuffle-hash build side.
+    Shape history — this is the third design, and the first whose
+    every operator degrades gracefully under memory pressure at any
+    candidate volume:
 
-    Memory precondition (NOT graceful): ShuffledHashJoinExec builds an
-    in-memory HashedRelation that does not spill, so forcing the hint
-    removes sort-merge's spill fallback. Join 1 builds the bare pair
-    keys (2 longs/row — cheap at any sane candidate count). Join 2
-    builds (pairs ⨝ sa), which carries one sh_a shingle array per
-    candidate: build memory scales with candidates × document size.
-    That is still the smaller side whenever banding holds (candidate
-    pairs ≪ corpus docs), but a mis-tuned bands/threshold that blows
-    up candidates fails with task OOM instead of degrading. For
-    untrusted parameterizations pass safe=True to skip the hints and
-    let Spark fall back to sort-merge (slower, but spills)."""
+    1. Sort-merge on the arrays (r8): spills ~12 GB per join at 30x —
+       SMJ SORTS the fat side (whole-document shingle arrays), twice,
+       and the sorted set is the CORPUS.
+    2. Forced shuffle-hash with the candidate side as build (r9):
+       fast (100x hybrid probe: 331→231 s), but ShuffledHashJoinExec's
+       HashedRelation does NOT spill, and join 2's build carried one
+       sh_a array per candidate — the r10 full sf0.1 sweep reproduced
+       the predicted failure ("Can't acquire 16777216 bytes memory to
+       build hash relation") under a default-memory 16-thread session.
+    3. Now: no fat row ever enters a HASH BUILD. Both shingle fetches
+       are shuffle-hash joins whose build side is the BARE PAIR KEYS
+       (2 longs/row — bounded at any sane candidate count; the corpus
+       arrays only ever STREAM through the exchanges, exactly as in
+       shape 2). The fetched sides are then paired by a per-pair
+       AGGREGATE over exactly two rows per candidate — an agg, unlike
+       a hash-join build, falls back to sort-based spilling when
+       memory is tight, and what it would sort is 2·|pairs| rows (the
+       candidate set, small by the banding argument), never the
+       corpus. The intersection stays the exact array_intersect over
+       the paired arrays; the extra cost vs shape 2 is one exchange of
+       2·|pairs| fat rows.
+
+    (A fourth shape — explode to skinny (pair, shingle) rows and count
+    shared shingles with a two-level agg, no fat row anywhere — was
+    measured at ~2x the r9 wall at sf0.1 even with xxhash64-packed
+    shingles: per-shingle row overhead swamps what it saves. Not worth
+    it while candidates stay banded; revisit only if a workload breaks
+    the candidate bound.)"""
     sa = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
     sb = shingled.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
+    # Both fetches consume the candidate set; without a persist the
+    # candidate-generation subtree (typically an LSH bucket self-join)
+    # executes twice. Tracked — released after the query's action.
+    pairs = track_persist(pairs)
+    xa = (
+        pairs.hint("shuffle_hash")
+        .join(sa, "doc_a")
+        .select(
+            "doc_a", "doc_b", F.col("sh_a").alias("sh"), F.lit(1).alias("side")
+        )
+    )
+    xb = (
+        pairs.hint("shuffle_hash")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", F.col("sh_b").alias("sh"), F.lit(2).alias("side")
+        )
+    )
+    paired = (
+        xa.unionByName(xb)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("side") == 1, F.col("sh")), ignorenulls=True
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("side") == 2, F.col("sh")), ignorenulls=True
+            ).alias("sh_b"),
+        )
+        # Inner-join semantics of the old shape: a pair whose doc was
+        # dropped by with_shingles (< ngram tokens) has one side null.
+        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
-    left = pairs if safe else pairs.hint("shuffle_hash")
-    joined = left.join(sa, "doc_a")
-    if not safe:
-        joined = joined.hint("shuffle_hash")
-    return (
-        joined.join(sb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return paired.select(
+        "doc_a", "doc_b", (inter / union).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_dedup(

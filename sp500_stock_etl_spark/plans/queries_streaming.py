@@ -1606,17 +1606,51 @@ def q_streaming_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(batch + touched buckets), not O(store).
 # ---------------------------------------------------------------------------
 
-# Key = device_id (synthetic device dimension): the top 8 bits of a
-# Knuth multiplicative hash of event_id. A plain modulus would NOT
-# work — event_id is assigned in ts order, so `id % 256` cycles and
-# the final chunk refreshes every key; the hash decorrelates key
-# from time, leaving ~12% of keys whose LAST write predates the
-# final chunk and must be carried through the store (user_id — 15
-# keys, all active to the end — never exercises the carry either).
-# Exact in both engines: products <= max_id * 2654435761 << 2^63.
-_CDC_ORACLE = """
+# Key = device_id (synthetic device dimension): the top 14 bits of a
+# xor-multiply SCRAMBLE of event_id (lowbias32-shaped, constants
+# < 2^31 so every product stays < 2^63 — exact in both engines).
+# Two design lessons are load-bearing here:
+# 1. A plain modulus would not work — event_id is assigned in ts
+#    order, so a cycling key refreshes every device in the final
+#    chunk (user_id — 15 keys, all active to the end — never
+#    exercises the carry either).
+# 2. Neither would the original Knuth multiplicative hash
+#    (id * 2654435761 >> k): the golden-ratio step is a LOW-
+#    DISCREPANCY sequence, so any contiguous id window longer than
+#    the key space covers EVERY key — at sf0.01/sf0.1 the final
+#    chunk touched all 256 devices and the driver's hash checks
+#    never exercised the cross-batch carry (a merge that dropped
+#    the store entirely would still have hashed green there; only
+#    the sf0.001 mechanism test saw carried keys). The scramble
+#    makes per-chunk device occupancy binomial: ~16% of devices
+#    carry at sf0.1, ~64% at sf0.01, ~73% at sf0.001 — nonzero at
+#    every checked scale, pinned by tests/test_streaming_semantics
+#    ::test_cdc_carry_present_at_driver_scale.
+
+
+def _cdc_device_expr(xor, idiv, id_expr: str = "event_id") -> str:
+    """The shared device-key derivation, rendered per engine (DuckDB
+    spells bitwise xor ``xor(a,b)`` and int-div ``//``; Spark ``^``
+    and ``div``) from ONE structure so the pair cannot diverge.
+    ``id_expr`` lets the scale probe key on a per-replica base id."""
+    x1 = xor(id_expr, idiv(id_expr, 65536))
+    x2 = f"((({x1}) * 2146121005) % 4294967296)"
+    x3 = xor(x2, idiv(x2, 32768))
+    x4 = f"((({x3}) * 1935202711) % 4294967296)"
+    x5 = xor(x4, idiv(x4, 65536))
+    return idiv(f"({x5})", 262144)
+
+
+_CDC_DEVICE_DUCK = _cdc_device_expr(
+    lambda a, b: f"xor({a}, {b})", lambda a, b: f"(({a}) // {b})"
+)
+_CDC_DEVICE_SPARK = _cdc_device_expr(
+    lambda a, b: f"(({a}) ^ ({b}))", lambda a, b: f"(({a}) div {b})"
+)
+
+_CDC_ORACLE = f"""
 WITH keyed AS (
-    SELECT ((event_id * 2654435761) % 4294967296) // 16777216
+    SELECT {_CDC_DEVICE_DUCK}
                AS device_id,
            ts, event_id, value
     FROM events
@@ -1679,9 +1713,7 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
         .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
         .select(
-            F.expr(
-                "((event_id * 2654435761) % 4294967296) div 16777216"
-            ).alias("device_id"),
+            F.expr(_CDC_DEVICE_SPARK).alias("device_id"),
             "ts",
             "event_id",
             "value",

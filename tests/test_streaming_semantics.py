@@ -117,9 +117,7 @@ def test_cdc_upsert_applies_across_batches(spark):
     ev = load_table(spark, sf, "events")
     last = (
         ev.groupBy(
-            F.expr(
-                "((event_id * 2654435761) % 4294967296) div 16777216"
-            ).alias("device_id")
+            F.expr(QS._CDC_DEVICE_SPARK).alias("device_id")
         )
         .agg(F.max("ts").alias("last_ts"))
         .withColumn("early", F.col("last_ts") < F.lit("2024-01-22"))
@@ -140,3 +138,28 @@ def test_cdc_upsert_applies_across_batches(spark):
     )
     assert mismatch == 0
     final.unpersist()
+
+
+def test_cdc_carry_present_at_driver_scale(spark):
+    """The carry property must hold at the scales the DRIVER
+    hash-checks (sf0.01/sf0.1), not just the sf0.001 smoke: with the
+    original 8-bit device key, every device's last write at those
+    scales landed in the final chunk, so the oracle comparison never
+    exercised the cross-batch store path — a merge that dropped the
+    store would still have hashed green. The 14-bit key pins ~6
+    events per device at sf0.1; this test fails if a future key
+    change re-degenerates the check."""
+    from pyspark.sql import functions as F
+
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.plans import queries_streaming as QS
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        last = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.expr(QS._CDC_DEVICE_SPARK).alias("device_id"))
+            .agg(F.max("ts").alias("last_ts"))
+        )
+        n_keys = last.count()
+        n_early = last.where(F.col("last_ts") < F.lit("2024-01-22")).count()
+        assert 0 < n_early < n_keys, (sf_dir, n_early, n_keys)
