@@ -291,7 +291,9 @@ BENCH_QUERIES = [
 # Round-10 additions, reported under a SEPARATE key so the full-suite
 # number stays comparable round-over-round; folded at r11. Names not
 # yet registered are skipped so the harness runs mid-build.
-NEW_QUERIES: list[str] = []
+NEW_QUERIES: list[str] = [
+    "streaming_cdc_upsert_bucketed",
+]
 
 # The 55-plan HEADLINE CORE (r10 growth policy, module docstring):
 # reference surface + one per operator family, fixed forever; `value`

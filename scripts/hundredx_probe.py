@@ -563,6 +563,13 @@ def cdc_probe(ns: list[int]) -> None:
             shutil.rmtree(tmp)
         return d
 
+    # SPARK_GRAFT_CDC_BUCKETED=1 probes the PRODUCTION store path
+    # (streaming_cdc_upsert_bucketed): Hive-partitioned by
+    # bucket = device_id % 64, each batch rewriting only touched
+    # buckets via merge_touched_partitions. Same feed, same
+    # correctness gate.
+    bucketed = os.environ.get("SPARK_GRAFT_CDC_BUCKETED") == "1"
+
     for n in ns:
         keyed = keyed_feed(n)
         staged = stage_chunks(keyed)
@@ -570,14 +577,32 @@ def cdc_probe(ns: list[int]) -> None:
         atexit.register(shutil.rmtree, store_base, ignore_errors=True)
         state: dict[str, str | None] = {"dir": None}
 
-        def _apply(batch_df, batch_id: int) -> None:
-            latest = _keep_newest(batch_df)
-            if state["dir"] is not None:
-                old = batch_df.sparkSession.read.parquet(state["dir"])
-                latest = _keep_newest(old.unionByName(latest))
-            new_dir = f"{store_base}/v{batch_id}"
-            latest.write.mode("overwrite").parquet(new_dir)
-            state["dir"] = new_dir
+        if bucketed:
+            from sp500_stock_etl_spark.io.writers import (
+                merge_touched_partitions,
+            )
+
+            bstore = f"{store_base}/store"
+            state["dir"] = None
+
+            def _apply(batch_df, batch_id: int) -> None:
+                latest = _keep_newest(batch_df).withColumn(
+                    "bucket", F.pmod("device_id", F.lit(64)).cast("int")
+                )
+                merge_touched_partitions(
+                    bstore, latest, "bucket", _keep_newest
+                )
+                state["dir"] = bstore
+        else:
+
+            def _apply(batch_df, batch_id: int) -> None:
+                latest = _keep_newest(batch_df)
+                if state["dir"] is not None:
+                    old = batch_df.sparkSession.read.parquet(state["dir"])
+                    latest = _keep_newest(old.unionByName(latest))
+                new_dir = f"{store_base}/v{batch_id}"
+                latest.write.mode("overwrite").parquet(new_dir)
+                state["dir"] = new_dir
 
         schema = spark.read.parquet(staged).schema
 
@@ -606,7 +631,12 @@ def cdc_probe(ns: list[int]) -> None:
             ]
             return {"batches": batches}
 
-        rec = _measured(spark, "cdc_merge_100x", n, action)
+        rec = _measured(
+            spark,
+            "cdc_merge_bucketed_100x" if bucketed else "cdc_merge_100x",
+            n,
+            action,
+        )
 
         # --- Outside the metrics window: store-size series + carry
         # correctness (bit-equal vs the batch rollup).
@@ -620,7 +650,8 @@ def cdc_probe(ns: list[int]) -> None:
                     "bytes": sum(os.path.getsize(f) for f in files),
                 }
             )
-        final = spark.read.parquet(state["dir"])
+        final = spark.read.parquet(state["dir"]).drop("bucket")
+        final_rows = final.count()
         rollup = _keep_newest(keyed)
         diff = (
             final.exceptAll(rollup).count()
@@ -631,8 +662,9 @@ def cdc_probe(ns: list[int]) -> None:
             json.dumps(
                 {
                     "n": n,
+                    "bucketed": bucketed,
                     "store_versions": versions,
-                    "final_store_rows": versions[-1]["rows"] if versions else 0,
+                    "final_store_rows": final_rows,
                     "bit_equal_vs_batch_rollup": diff == 0,
                     "symmetric_diff_rows": diff,
                     "carried_keys": carried,

@@ -266,3 +266,73 @@ def compact_parquet(
         "files_after": _parquet_files(src),
         "bytes": total,
     }
+
+
+def merge_touched_partitions(
+    store_dir: str,
+    batch_latest: DataFrame,
+    partition_col: str,
+    resolve,
+) -> list:
+    """CDC merge into a Hive-partitioned store that rewrites ONLY the
+    partitions the batch touches — the production shape for an
+    ever-growing keyed store (the whole-store rewrite in the
+    registered CDC query is the documented test-scale simplification;
+    its per-batch cost is O(store), this one's is O(batch + touched
+    partitions)).
+
+    Mechanics:
+    1. First batch (no store yet): plain partitioned write.
+    2. Otherwise: the touched partition values are collected (bounded
+       by the partition-space size — the caller picks a bucket count,
+       so this is a driver-safe small list), the OLD rows of only
+       those partitions are read back (directory-level partition
+       pruning — untouched buckets are never opened), merged with the
+       batch through ``resolve`` (e.g. last-write-wins keep-newest),
+       and written with dynamic partitionOverwriteMode: Spark replaces
+       exactly the partitions present in the written frame, leaving
+       every untouched bucket's files byte-identical on disk (pinned
+       by tests/test_compaction.py::test_merge_touched_partitions).
+    3. The merged frame is localCheckpoint-ed before the write: the
+       write overwrites directories the plan reads, and materializing
+       first both breaks that read-own-write hazard and bounds the
+       reread to touched-partition size.
+
+    Returns the touched partition values (for observability/tests).
+    """
+    import os
+
+    spark = batch_latest.sparkSession
+    if not os.path.exists(store_dir):
+        batch_latest.write.partitionBy(partition_col).mode(
+            "overwrite"
+        ).parquet(store_dir)
+        return sorted(
+            r[0]
+            for r in batch_latest.select(partition_col).distinct().collect()
+        )
+
+    from ..caching import track_local_checkpoint
+
+    touched = sorted(
+        r[0]
+        for r in batch_latest.select(partition_col).distinct().collect()
+    )
+    old = spark.read.parquet(store_dir).where(
+        F.col(partition_col).isin(touched)
+    )
+    merged = track_local_checkpoint(
+        resolve(old.unionByName(batch_latest)).localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy(partition_col).mode("overwrite").parquet(
+            store_dir
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched

@@ -1758,3 +1758,79 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("last_ms"),
         F.floor(F.col("value") * 100).cast("bigint").alias("last_cents"),
     )
+
+
+# Per-run observable for the bucketed variant's mechanism test: the
+# touched-bucket list each applied batch rewrote.
+_LAST_CDC_TOUCHED: list[list[int]] = []
+
+_CDC_N_BUCKETS = 64
+
+
+@register(
+    "streaming_cdc_upsert_bucketed",
+    _CDC_ORACLE,
+    doc="the CDC apply's PRODUCTION store path (r10; closes the "
+    "documented test-scale simplification in the sibling query): the "
+    "store is Hive-partitioned by bucket = device_id % 64, and each "
+    "microbatch merge rewrites ONLY the buckets the batch touches — "
+    "old rows of touched buckets read back under directory-level "
+    "partition pruning, last-write-wins resolve, dynamic "
+    "partitionOverwriteMode write. Per-batch cost O(batch + touched "
+    "buckets), not O(store); untouched buckets stay byte-identical "
+    "on disk (pinned in tests). Same oracle as the whole-store twin "
+    "— the two plans must agree bit-for-bit",
+)
+def q_streaming_cdc_upsert_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import atexit
+    import shutil
+
+    from ..io.readers import _normalize_event_ts
+    from ..io.writers import merge_touched_partitions
+
+    staged = _stage_events_multibatch(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+        .select(
+            F.expr(_CDC_DEVICE_SPARK).alias("device_id"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+
+    store_dir = tempfile.mkdtemp(prefix="sg_cdc_bstore_") + "/store"
+    atexit.register(
+        shutil.rmtree, os.path.dirname(store_dir), ignore_errors=True
+    )
+    _LAST_CDC_TOUCHED.clear()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _keep_newest(batch_df).withColumn(
+            "bucket", F.pmod("device_id", F.lit(_CDC_N_BUCKETS)).cast("int")
+        )
+        touched = merge_touched_partitions(
+            store_dir, latest, "bucket", _keep_newest
+        )
+        _LAST_CDC_TOUCHED.append(touched)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(store_dir)
+    return final.select(
+        "device_id",
+        F.unix_millis("ts").alias("last_ms"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("last_cents"),
+    )

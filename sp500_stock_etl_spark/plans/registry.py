@@ -74,14 +74,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # parametrize), and output schemas are swept by
 # tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- r10 window: zero births pending, zero debts
-    # (CORRECTNESS_r09 closed everything — coverage_report shows
-    # never_checked=[], oracle_upgraded_pending=[], ever_error=[]),
-    # so this is the first PURE stalest-green rotation. Generated
-    # 2026-08-15 from `scripts/coverage_report.py` stalest_ok after
-    # CORRECTNESS_r09 (oracle-bearing only; r4-era rows first, then
-    # the whole r5 band — 51st stalest is abc_pareto_classification
-    # at r6, next round's head):
+    # --- r10 birth (inserted at birth per the standing policy,
+    # displacing the last stalest fill xml_roundtrip_agg to keep
+    # exactly 50):
+    "streaming_cdc_upsert_bucketed",  # r10: touched-buckets CDC merge
+    # --- r10 fills: zero debts pending (CORRECTNESS_r09 closed
+    # everything — coverage_report shows never_checked=[],
+    # oracle_upgraded_pending=[], ever_error=[]), so the rest is pure
+    # stalest-green rotation. Generated 2026-08-15 from
+    # `scripts/coverage_report.py` stalest_ok after CORRECTNESS_r09
+    # (oracle-bearing only; r4-era rows first, then the r5 band —
+    # next stalest after these: xml_roundtrip_agg (r5, displaced),
+    # then abc_pareto_classification at r6):
     "streaming_sliding_sums",  # r4
     "streaming_static_enrich",  # r4
     "streaming_stream_stream_join",  # r4
@@ -131,7 +135,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q9_profit",  # r5
     "triangle_count_basket",  # r5
     "vwap_per_symbol_day",  # r5
-    "xml_roundtrip_agg",  # r5
 )
 
 
