@@ -570,8 +570,23 @@ def cdc_probe(ns: list[int]) -> None:
     # correctness gate.
     bucketed = os.environ.get("SPARK_GRAFT_CDC_BUCKETED") == "1"
 
+    # SPARK_GRAFT_CDC_SPARSE_BUCKETS=K restricts every chunk AFTER the
+    # first to devices in buckets < K (chunk 0 still builds the full
+    # store): the production CDC regime where most entities are quiet
+    # per window. Under it the bucketed path's per-batch read-back is
+    # K/64 of the store while the whole-store twin still rewrites
+    # everything — the measured crossover the uniform feed can't show.
+    # The correctness gate (rollup over the SAME filtered feed) holds
+    # in every mode.
+    sparse_k = int(os.environ.get("SPARK_GRAFT_CDC_SPARSE_BUCKETS", "0"))
+
     for n in ns:
         keyed = keyed_feed(n)
+        if sparse_k:
+            keyed = keyed.where(
+                (F.col("ts") < _CUTS[0])
+                | (F.pmod("device_id", F.lit(64)) < sparse_k)
+            )
         staged = stage_chunks(keyed)
         store_base = tempfile.mkdtemp(prefix="sg_cdc_probe_store_")
         atexit.register(shutil.rmtree, store_base, ignore_errors=True)
@@ -663,6 +678,7 @@ def cdc_probe(ns: list[int]) -> None:
                 {
                     "n": n,
                     "bucketed": bucketed,
+                    "sparse_buckets": sparse_k,
                     "store_versions": versions,
                     "final_store_rows": final_rows,
                     "bit_equal_vs_batch_rollup": diff == 0,
