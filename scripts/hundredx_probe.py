@@ -41,6 +41,7 @@ Prints one JSON line per n; paste the table into BASELINE.md §11.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -695,10 +696,138 @@ def cdc_probe(ns: list[int]) -> None:
         shutil.rmtree(store_base, ignore_errors=True)
 
 
+def sort_probe(ns: list[int]) -> None:
+    """Generalize the spill-regime cliff (BASELINE §12 risk series) to
+    the other two sort-heavy shapes the r10 starters flagged. 1x =
+    sf0.1 lineitem (600k rows), so the n axis matches the risk series
+    row-for-row (1000x = 600M rows — the n the risk capstone cliffed
+    at under 32 partitions / 8 GiB).
+
+    Three runs per n:
+
+    - global_sort — the registered O1 ordering (price desc, orderkey,
+      linenumber) over ALL rows, noop sink. Range exchange + full
+      per-partition UnsafeExternalSorter sort: rows/task grow n-fold
+      at fixed partitioning, so the spill-file-merge cliff (each
+      spill file costs a ~1 MB read-ahead buffer AT MERGE) must
+      appear here if it generalizes.
+    - topk — the SAME ordering with limit(100), collected (how the
+      registered global_sort_topk is consumed). Claim under test:
+      Spark plans TakeOrderedAndProject — a bounded per-partition
+      heap + one driver merge, NO materialized sort — so this path
+      is scan-bound and has no cliff at ANY n. The record carries
+      plan flags (take_ordered / range_exchange) so a regression
+      into a real global sort convicts itself, plus an
+      order-sensitive hash of the 100 rows: at a given n the hash
+      must be identical under every partitioning knob (bit-exact
+      output independent of the memory/partition axis, same
+      certificate the risk series used).
+    - window — the reference's W1/W2 lag metrics over n-x SYMBOLS
+      (WindowExec sorts each shuffle partition by (symbol, order);
+      same sorter, same merge mechanics). Consumed by a 1-row
+      xxhash64 checksum aggregate over every derived value — a
+      bit-exactness certificate across n and across the
+      partitioning knob for ~zero extra plan weight.
+
+    Knob axis: SPARK_GRAFT_INITIAL_PARTITIONS (AQE initial partition
+    count) — the cluster-correct remedy the risk series validated.
+    Usage: python scripts/hundredx_probe.py sort [n1 n2 ...]
+    (default 100 300 1000).
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _build_session()
+
+    from sp500_stock_etl_spark.caching import release_caches
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.operators.window_metrics import (
+        with_lag_metrics,
+    )
+    from sp500_stock_etl_spark.plans.queries_indicators import _stock
+
+    def replicated_li(n: int):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+        )
+        return _replicate(li, n, ["l_orderkey"]).drop("rep")
+
+    _ORDER = (
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+
+    # Warmup (JVM/codegen) so the first measured row is steady-state.
+    replicated_li(1).orderBy(*_ORDER).limit(100).collect()
+    release_caches()
+
+    for n in ns:
+        # --- 1. full global sort --------------------------------------
+        gs = replicated_li(n).orderBy(*_ORDER)
+
+        def gs_action():
+            gs.write.format("noop").mode("overwrite").save()
+            plan = gs._jdf.queryExecution().executedPlan().toString()
+            return {
+                "range_exchange": "rangepartitioning" in plan.lower(),
+                "take_ordered": "TakeOrderedAndProject" in plan,
+            }
+
+        _measured(spark, "global_sort_100x", n, gs_action)
+        release_caches()
+
+        # --- 2. top-k over the same ordering --------------------------
+        tk = replicated_li(n).orderBy(*_ORDER).limit(100)
+
+        def tk_action():
+            rows = tk.collect()
+            plan = tk._jdf.queryExecution().executedPlan().toString()
+            return {
+                "rows_out": len(rows),
+                # Order-SENSITIVE certificate: position folded in;
+                # md5 over repr so it is stable across processes
+                # (builtin hash() is salted for str).
+                "topk_hash": hashlib.md5(
+                    repr([(i, *r) for i, r in enumerate(rows)]).encode()
+                ).hexdigest(),
+                "take_ordered": "TakeOrderedAndProject" in plan,
+                "range_exchange": "rangepartitioning" in plan.lower(),
+            }
+
+        _measured(spark, "topk_100x", n, tk_action)
+        release_caches()
+
+        # --- 3. window family (W1/W2 lag metrics) over n-x symbols ----
+        stock = _replicate(_stock(spark, sf_dir), n, ["symbol"]).drop("rep")
+        win = with_lag_metrics(
+            stock.withColumn("close", F.col("cents") / F.lit(100.0)),
+            "symbol",
+            ("trade_date", "order_key", "line_number"),
+            "close",
+        )
+        cert = win.agg(
+            F.sum(
+                F.xxhash64(
+                    "symbol",
+                    "trade_date",
+                    "close_change",
+                    "close_pct_change",
+                )
+            ).alias("checksum"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+
+        def win_action():
+            row = cert.collect()[0]
+            return {"window_checksum": row["checksum"], "rows_out": row["rows"]}
+
+        _measured(spark, "window_lag_100x", n, win_action)
+        release_caches()
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     family = "risk"
-    if args and args[0] in ("risk", "hybrid", "cc", "cdc"):
+    if args and args[0] in ("risk", "hybrid", "cc", "cdc", "sort"):
         family = args.pop(0)
     ns = [int(a) for a in args]
     if family == "hybrid":
@@ -707,5 +836,7 @@ if __name__ == "__main__":
         cc_probe(ns or [1, 10, 100])
     elif family == "cdc":
         cdc_probe(ns or [1, 10, 100])
+    elif family == "sort":
+        sort_probe(ns or [100, 300, 1000])
     else:
         risk_probe(ns or [1, 10, 100])
