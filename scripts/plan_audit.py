@@ -152,6 +152,9 @@ AUDITED = [
     "indicator_portfolio_var",
     "indicator_cusum_changepoint",
     "indicator_risk_report",
+    # round 9/10 births
+    "arrow_udtf_installments",
+    "streaming_cdc_upsert_bucketed",
 ]
 
 
