@@ -234,6 +234,20 @@ def test_ensure_parallelism_is_guarded(spark, sf_dir):
     assert ensure_parallelism(wide, min_partitions=4) is wide
 
 
+def test_global_sort_topk_is_take_ordered(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject — a
+    per-partition bounded heap with one driver merge — never a
+    materialized global sort. The r10 sort probe measured the payoff
+    (600M rows: zero shuffle, zero spill, scan-bound 52.6 s vs 302 s
+    for the full sort — BASELINE §12); this pins the plan shape a
+    regression would silently discard."""
+    plan = _plan(all_queries()["global_sort_topk"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower(), (
+        "limit lost: the top-k is paying a full range-exchange sort"
+    )
+
+
 def test_verify_joins_hash_build_never_sort(spark, sf_dir):
     """The r9 100x hybrid probe convicted two sort-merge joins that
     sorted a fat side: jaccard_verify's candidate->shingle joins
