@@ -159,12 +159,31 @@ def write_bucketed_table_atomic(
         old_path = None
         if os.path.exists(path):
             old_path = f"{path}.__old__{tok}_{attempt}"
-            os.rename(path, old_path)
+            try:
+                os.rename(path, old_path)
+            except OSError:
+                # A racer moved ``path`` between our exists() check and
+                # the rename-aside (both atomic renames — never a mix).
+                # Nothing of ours changed state; retry from the top.
+                continue
         try:
             os.rename(stage_path, path)
         except OSError:
             if old_path is not None:
-                shutil.rmtree(old_path, ignore_errors=True)
+                # Restore the previous store BEFORE retrying, so a
+                # persistent failure (EACCES, quota) can never end the
+                # loop with ``path`` missing and the old data deleted.
+                try:
+                    os.rename(old_path, path)
+                except OSError:
+                    # Restore lost to a racer that already re-published
+                    # ``path``: our aside copy is superseded under
+                    # last-writer-wins, so dropping it is safe — but
+                    # only once ``path`` demonstrably exists again.
+                    if os.path.exists(path):
+                        shutil.rmtree(old_path, ignore_errors=True)
+                    # else: leave the aside copy on disk for manual
+                    # recovery; the RuntimeError below names the stage.
             continue
         if old_path is not None:
             shutil.rmtree(old_path, ignore_errors=True)
@@ -172,9 +191,17 @@ def write_bucketed_table_atomic(
     else:
         raise RuntimeError(
             f"atomic publish to {path!r} lost 50 straight races; "
-            f"staged data left at {stage_path!r}"
+            f"staged data left at {stage_path!r} (any prior store is "
+            f"restored at {path!r} or preserved at a .__old__ sibling)"
         )
 
+    # Catalog publish is NOT atomic (DROP then CREATE): Spark's session
+    # catalog has no v1 CREATE OR REPLACE, so a concurrent reader of
+    # ``table`` between the two statements can see TABLE_NOT_FOUND, and
+    # two writers to the SAME table name can collide on CREATE. The
+    # FILE publish above is what is atomic; concurrent callers must use
+    # distinct table names (current callers do, via the per-invocation
+    # tok) and share only the path.
     schema_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )

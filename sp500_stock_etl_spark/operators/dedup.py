@@ -178,6 +178,61 @@ def lsh_candidate_pairs(
     )
 
 
+def _verify_size_gate(pairs: DataFrame, shingled: DataFrame) -> bool:
+    """Decide whether the candidate set is PROVABLY small enough to
+    broadcast (fast path) or must take the spill-safe aggregate shape.
+
+    The estimate is deliberately pessimistic at every step:
+
+    - per-row bytes = max(2 x sampled avg, sampled max) of the
+      UnsafeRow-ish footprint (string bytes + 24/element + 80 fixed);
+    - the WHOLE estimated build must fit in ONE task's conservative
+      execution share (heap x 0.6 unified pool / parallelism) with a
+      further /4 safety factor — i.e. we assume AQE could coalesce the
+      relation into a single partition and still demand it fit with
+      room to spare. Under the r10 OOM config (1 GiB heap, 16 threads)
+      the budget is ~9.8 MB; prefix_jaccard at sf0.1 estimates ~300 MB
+      and is routed to the aggregate shape, while the banded MinHash
+      candidate sets (hundreds of pairs, <1 MB) take the fast path.
+
+    Cluster note: in local mode Runtime.maxMemory IS the executor
+    heap; on a real cluster this gate runs on the driver, where the
+    same number bounds the broadcast-collect side — the stricter of
+    the two constraints for a broadcast plan.
+    """
+    import os
+
+    forced = os.environ.get("SPARK_GRAFT_VERIFY_SHAPE", "")
+    if forced == "broadcast":
+        return True
+    if forced == "agg":
+        return False
+    spark = pairs.sparkSession
+    n_pairs = pairs.count()  # pairs is persisted by the caller
+    if n_pairs == 0:
+        return True
+    row_bytes = (
+        F.length(F.concat_ws(" ", "shingles"))
+        + F.size("shingles") * 24
+        + 80
+    ).alias("b")
+    sample = (
+        shingled.select(row_bytes)
+        .limit(2048)
+        .agg(F.avg("b").alias("avg"), F.max("b").alias("mx"))
+        .first()
+    )
+    if sample is None or sample["avg"] is None:
+        return False
+    est_row = max(2.0 * float(sample["avg"]), float(sample["mx"]))
+    est_total = n_pairs * est_row
+    jvm_rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    heap = int(jvm_rt.maxMemory())
+    cores = max(spark.sparkContext.defaultParallelism, 1)
+    budget = heap * 0.6 / cores / 4
+    return est_total <= budget
+
+
 def jaccard_verify(
     pairs: DataFrame, shingled: DataFrame, threshold: float
 ) -> DataFrame:
@@ -185,7 +240,18 @@ def jaccard_verify(
     distinct-shingle arrays. Output (doc_a, doc_b, jaccard), one row
     per distinct candidate pair at or above the threshold.
 
-    Shape history — this is the third design, and the first whose
+    Shape selection (r11, the r10 verdict's top item): a size gate
+    (``_verify_size_gate``) routes a PROVABLY-bounded candidate set to
+    a zero-shuffle broadcast plan — both shingle fetches become
+    broadcast-hash joins with the candidate side as the broadcast
+    relation, so the corpus never shuffles and the per-pair aggregate
+    disappears entirely. Anything the gate cannot bound takes shape 3
+    below, whose every operator degrades gracefully at any candidate
+    volume. Measured at sf0.1: MinHash candidates (285 pairs) take the
+    fast path; prefix_jaccard's 160k candidates (~300 MB of fat build,
+    the reproduced r10 OOM) stay on shape 3.
+
+    Shape history — shape 3 is the third design, and the first whose
     every operator degrades gracefully under memory pressure at any
     candidate volume:
 

@@ -23,8 +23,10 @@ date-partitioned parquet (io/writers.py) for partition pruning.
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -36,6 +38,15 @@ _SEQ = itertools.count()
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _tmp_ckpt() -> str:
+    """Checkpoint tempdir with atexit cleanup — availableNow runs are
+    one-shot, so the checkpoint has no value past the process (a bare
+    mkdtemp here leaked one directory per run; ADVICE r10)."""
+    d = tempfile.mkdtemp(prefix="sg_ckpt_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _stage_table_dir(sf_dir: str, table: str) -> str:
@@ -76,7 +87,7 @@ def _snapshot_and_drop(spark: SparkSession, name: str) -> DataFrame:
 def _run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
     name = f"sg_stream_{next(_SEQ)}_{os.getpid()}"
     SE.run_available_now(
-        stream_df, tempfile.mkdtemp(prefix="sg_ckpt_"), name, output_mode=mode
+        stream_df, _tmp_ckpt(), name, output_mode=mode
     )
     return _snapshot_and_drop(spark, name)
 
@@ -661,7 +672,7 @@ def q_streaming_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .option("checkpointLocation", _tmp_ckpt())
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -1607,8 +1618,10 @@ def q_streaming_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Key = device_id (synthetic device dimension): the top 14 bits of a
-# xor-multiply SCRAMBLE of event_id (lowbias32-shaped, constants
-# < 2^31 so every product stays < 2^63 — exact in both engines).
+# xor-multiply SCRAMBLE of event_id (lowbias32-shaped; the input is
+# reduced mod 2^32 before the first multiply and every later stage is
+# already < 2^32, so with constants < 2^31 every product stays < 2^63
+# — exact int64 arithmetic in both engines at ANY event_id).
 # Two design lessons are load-bearing here:
 # 1. A plain modulus would not work — event_id is assigned in ts
 #    order, so a cycling key refreshes every device in the final
@@ -1633,7 +1646,7 @@ def _cdc_device_expr(xor, idiv, id_expr: str = "event_id") -> str:
     spells bitwise xor ``xor(a,b)`` and int-div ``//``; Spark ``^``
     and ``div``) from ONE structure so the pair cannot diverge.
     ``id_expr`` lets the scale probe key on a per-replica base id."""
-    x1 = xor(id_expr, idiv(id_expr, 65536))
+    x1 = f"(({xor(id_expr, idiv(id_expr, 65536))}) % 4294967296)"
     x2 = f"((({x1}) * 2146121005) % 4294967296)"
     x3 = xor(x2, idiv(x2, 32768))
     x4 = f"((({x3}) * 1935202711) % 4294967296)"
@@ -1737,7 +1750,7 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .option("checkpointLocation", _tmp_ckpt())
         .trigger(availableNow=True)
         .start()
     )
@@ -1822,7 +1835,7 @@ def q_streaming_cdc_upsert_bucketed(
 
     q = (
         stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .option("checkpointLocation", _tmp_ckpt())
         .trigger(availableNow=True)
         .start()
     )

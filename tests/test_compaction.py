@@ -259,3 +259,48 @@ def test_merge_touched_partitions(spark, tmp_path):
     assert final.where("k = 1").select("ver").first()[0] == 1  # updated
     assert final.where("k = 99").count() == 1  # inserted
     assert final.where("k = 2").select("ver").first()[0] == 0  # carried
+
+
+def test_atomic_publish_restores_old_store_on_persistent_failure(
+    spark, tmp_path, monkeypatch
+):
+    """Publish-loop hardening (ADVICE r10, writers.py mediums): when
+    the rename-in fails PERSISTENTLY (EACCES-style, not a race), the
+    previous store must be restored at ``path`` — not deleted — and
+    the staged data must survive for manual recovery."""
+    import os
+
+    from sp500_stock_etl_spark.io.writers import write_bucketed_table_atomic
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    p = str(tmp_path / "b_restore")
+    write_bucketed_table_atomic(df, "b_restore_v1", "k", 4, path=p)
+    before = sorted(os.listdir(p))
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        # Only the rename-IN (stage -> path) fails; aside/restore work.
+        if "__stage__" in str(src) and str(dst) == p:
+            raise PermissionError(13, "injected EACCES", str(src))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    half = df.where("k % 2 = 0")
+    try:
+        write_bucketed_table_atomic(half, "b_restore_v2", "k", 4, path=p)
+        raise AssertionError("publish must fail under injected EACCES")
+    except RuntimeError as e:
+        assert "50 straight races" in str(e)
+    finally:
+        monkeypatch.setattr(os, "rename", real_rename)
+
+    # The old store is fully restored at path — nothing was destroyed.
+    assert os.path.isdir(p), "previous store must survive the failure"
+    assert sorted(os.listdir(p)) == before
+    assert spark.read.parquet(p).count() == 100
+    # The staged copy is preserved for recovery.
+    stage_dirs = [d for d in os.listdir(tmp_path) if "__stage__" in d]
+    assert len(stage_dirs) == 1, stage_dirs
+    spark.sql("DROP TABLE IF EXISTS b_restore_v1")
+    spark.sql("DROP TABLE IF EXISTS b_restore_v2")
