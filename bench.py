@@ -81,6 +81,9 @@ coverage or comparability. From r10 the headline splits in two:
   163 + the r9 section folded in). Pre-registered anchor from
   BENCH_r09.json: 207.968 + 1.924 = **209.892 s like-for-like**.
   New rounds' births keep folding in here (coverage is never capped).
+  Round-11 fold: the one r10 birth (streaming_cdc_upsert_bucketed)
+  joins the tail; pre-registered anchor from BENCH_r10.json:
+  200.828 + 7.407 (value_new) = **208.235 s for the 165-plan union**.
 - When the full suite exceeds 600 s wall, set
   ``SPARK_GRAFT_BENCH_TAIL=rotate``: the non-core tail then runs in
   deterministic halves (sorted-name index parity vs the round count
@@ -286,14 +289,14 @@ BENCH_QUERIES = [
     "tpcds_q80_channel_netting",
     # --- round-9 additions (folded in round 10) ---
     "arrow_udtf_installments",
-]
-
-# Round-10 additions, reported under a SEPARATE key so the full-suite
-# number stays comparable round-over-round; folded at r11. Names not
-# yet registered are skipped so the harness runs mid-build.
-NEW_QUERIES: list[str] = [
+    # --- round-10 addition (folded in round 11) ---
     "streaming_cdc_upsert_bucketed",
 ]
+
+# Round-11 additions, reported under a SEPARATE key so the full-suite
+# number stays comparable round-over-round; folded at r12. Names not
+# yet registered are skipped so the harness runs mid-build.
+NEW_QUERIES: list[str] = []
 
 # The 55-plan HEADLINE CORE (r10 growth policy, module docstring):
 # reference surface + one per operator family, fixed forever; `value`
@@ -485,7 +488,7 @@ def main() -> None:
                 "metric": "55-plan headline core wall-clock (noop sink; "
                 "fixed forever per r10 growth policy; core anchor 64.601s "
                 "= same plans in BENCH_r09 driver detail; full-suite "
-                "anchor 209.892s = BENCH_r09 207.968 + r9 section 1.924, "
+                "anchor 208.235s = BENCH_r10 200.828 + r10 section 7.407, "
                 "see value_full_suite)",
                 "value": core_value,
                 "unit": "sec",

@@ -248,6 +248,19 @@ def risk_probe(ns: list[int]) -> None:
     ).save()
     release_caches()
 
+    # Partition advisor (r11, r10 verdict item 7): estimate the
+    # replicated input volume and let the measured spill-cliff rule
+    # pick initialPartitionNum — no hand-set SPARK_GRAFT_INITIAL_
+    # PARTITIONS needed for the 1000x point, and a guaranteed no-op
+    # in the smooth regime (advised=None).
+    from sp500_stock_etl_spark.tuning import (
+        sort_inflight_bytes,
+        spill_safe_partitions,
+    )
+
+    base = _stock(spark, sf_dir)
+    base_rows = base.count()
+
     for n in ns:
         df = risk_report_frame(replicated_stock(n))
 
@@ -255,7 +268,15 @@ def risk_probe(ns: list[int]) -> None:
             df.write.format("noop").mode("overwrite").save()
             return {}
 
-        _measured(spark, "risk_report_100x", n, action)
+        est = sort_inflight_bytes(base_rows * n, base.schema)
+        with spill_safe_partitions(spark, est) as advised:
+            _measured(spark, "risk_report_100x", n, action)
+        print(
+            json.dumps(
+                {"n": n, "advised_initial_partitions": advised}
+            ),
+            flush=True,
+        )
         # Row-count sanity OUTSIDE the metrics window, printed as its
         # own line (the first cut attached it to the record after the
         # record had already printed).

@@ -226,10 +226,14 @@ def _verify_size_gate(pairs: DataFrame, shingled: DataFrame) -> bool:
         return False
     est_row = max(2.0 * float(sample["avg"]), float(sample["mx"]))
     est_total = n_pairs * est_row
-    jvm_rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
-    heap = int(jvm_rt.maxMemory())
-    cores = max(spark.sparkContext.defaultParallelism, 1)
-    budget = heap * 0.6 / cores / 4
+    budget_env = os.environ.get("SPARK_GRAFT_VERIFY_BUDGET_BYTES")
+    if budget_env:
+        budget = float(budget_env)
+    else:
+        jvm_rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        heap = int(jvm_rt.maxMemory())
+        cores = max(spark.sparkContext.defaultParallelism, 1)
+        budget = heap * 0.6 / cores / 4
     return est_total <= budget
 
 
@@ -293,6 +297,27 @@ def jaccard_verify(
     # candidate-generation subtree (typically an LSH bucket self-join)
     # executes twice. Tracked — released after the query's action.
     pairs = track_persist(pairs)
+
+    if _verify_size_gate(pairs, shingled):
+        # Fast path: ZERO-shuffle verify. The candidate side is the
+        # broadcast relation in BOTH fetches, so the corpus arrays
+        # stream map-side and never hit an exchange; the per-pair
+        # aggregate is unnecessary because join 2's output already
+        # carries (sh_a, sh_b) on one row. dropDuplicates keeps the
+        # one-row-per-distinct-pair contract that shape 3's groupBy
+        # provides for free (callers pass distinct pairs today; this
+        # pins the contract for ones that might not).
+        p = pairs.dropDuplicates(["doc_a", "doc_b"])
+        xa_fast = F.broadcast(p).join(sa, "doc_a")
+        fat = F.broadcast(xa_fast).join(sb, "doc_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast(
+            "double"
+        )
+        return fat.select(
+            "doc_a", "doc_b", (inter / union).alias("jaccard")
+        ).where(F.col("jaccard") >= threshold)
+
     xa = (
         pairs.hint("shuffle_hash")
         .join(sa, "doc_a")

@@ -248,19 +248,42 @@ def test_global_sort_topk_is_take_ordered(spark, sf_dir):
     )
 
 
-def test_verify_joins_hash_build_never_sort(spark, sf_dir):
+def test_verify_joins_hash_build_never_sort(spark, sf_dir, monkeypatch):
     """The r9 100x hybrid probe convicted two sort-merge joins that
     sorted a fat side: jaccard_verify's candidate->shingle joins
     (whole-document arrays) and cosine_neardup_pairs' pair->vector
-    join-backs (tens of millions of candidate rows at scale). Both are
-    pinned as shuffled-hash: the only SMJ allowed in these plans is
-    the banded bucket self-join, whose sides are skinny (id, band,
-    sig) rows."""
-    for name in ("dedup_minhash_lsh", "dedup_embedding_cosine"):
-        plan = _plan(all_queries()[name].spark_fn(spark, sf_dir))
-        assert "ShuffledHashJoin" in plan, name
-        # Any SortMergeJoin present must be the band self-join (keyed
-        # by band/sig), never an id-keyed verify join.
+    join-backs (tens of millions of candidate rows at scale). Neither
+    may ever sort a fat side:
+
+    - dedup_embedding_cosine stays shuffled-hash;
+    - dedup_minhash_lsh's verify is SIZE-GATED (r11): a provably
+      bounded candidate set broadcasts (zero corpus shuffle), an
+      unbounded one takes the spill-safe aggregate shape — forced
+      here via the env knobs to pin BOTH plans.
+    The only SMJ allowed anywhere is the banded bucket self-join,
+    whose sides are skinny (id, band, sig) rows."""
+
+    def assert_no_fat_smj(plan: str, name: str) -> None:
         for line in plan.splitlines():
             if "SortMergeJoin" in line and "Inner" in line:
-                assert "band" in line, f"{name}: id-keyed SMJ crept back: {line[:160]}"
+                assert "band" in line, (
+                    f"{name}: id-keyed SMJ crept back: {line[:160]}"
+                )
+
+    plan = _plan(all_queries()["dedup_embedding_cosine"].spark_fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert_no_fat_smj(plan, "dedup_embedding_cosine")
+
+    q = all_queries()["dedup_minhash_lsh"].spark_fn
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_SHAPE", "broadcast")
+    plan = _plan(q(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "gated fast path must broadcast"
+    assert "ShuffledHashJoin" not in plan, (
+        "broadcast-gated verify must not shuffle the corpus"
+    )
+    assert_no_fat_smj(plan, "dedup_minhash_lsh[broadcast]")
+
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_SHAPE", "agg")
+    plan = _plan(q(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, "agg shape must keep SHJ fetches"
+    assert_no_fat_smj(plan, "dedup_minhash_lsh[agg]")
