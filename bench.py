@@ -296,7 +296,9 @@ BENCH_QUERIES = [
 # Round-11 additions, reported under a SEPARATE key so the full-suite
 # number stays comparable round-over-round; folded at r12. Names not
 # yet registered are skipped so the harness runs mid-build.
-NEW_QUERIES: list[str] = []
+NEW_QUERIES: list[str] = [
+    "streaming_cdc_upsert_filestats",
+]
 
 # The 55-plan HEADLINE CORE (r10 growth policy, module docstring):
 # reference surface + one per operator family, fixed forever; `value`

@@ -262,14 +262,22 @@ def risk_probe(ns: list[int]) -> None:
     base_rows = base.count()
 
     for n in ns:
-        df = risk_report_frame(replicated_stock(n))
-
-        def action():
-            df.write.format("noop").mode("overwrite").save()
-            return {}
-
         est = sort_inflight_bytes(base_rows * n, base.schema)
+        # Plan construction INSIDE the advisor scope: risk_report_frame
+        # persists its daily rollup, and persist() compiles the cached
+        # relation's physical plan AT CALL TIME — a frame built before
+        # the conf change would keep 32-partition exchanges under the
+        # cache no matter what the action later sees (found the hard
+        # way: the first r11 1000x run OOMed in the window sort over a
+        # 32-partition cached daily while every post-cache exchange
+        # dutifully showed 251).
         with spill_safe_partitions(spark, est) as advised:
+            df = risk_report_frame(replicated_stock(n))
+
+            def action():
+                df.write.format("noop").mode("overwrite").save()
+                return {}
+
             _measured(spark, "risk_report_100x", n, action)
         print(
             json.dumps(

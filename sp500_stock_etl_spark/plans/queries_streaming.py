@@ -1847,3 +1847,74 @@ def q_streaming_cdc_upsert_bucketed(
         F.unix_millis("ts").alias("last_ms"),
         F.floor(F.col("value") * 100).cast("bigint").alias("last_cents"),
     )
+
+
+# Per-run observable for the file-stats variant's mechanism test:
+# the merge stats dict each applied batch produced.
+_LAST_CDC_FILE_STATS: list[dict] = []
+
+
+@register(
+    "streaming_cdc_upsert_filestats",
+    _CDC_ORACLE,
+    doc="the CDC store's FILE-level merge path (r11; r10 verdict item "
+    "2): at a 10^8-10^9-key store the touched buckets themselves get "
+    "large, and a partition-overwrite merge must read and rewrite "
+    "every row of a touched bucket. Here each bucket holds several "
+    "key-range-clustered parquet files; the merge reads each file's "
+    "FOOTER min/max, selects only the files whose key range the "
+    "batch's keys actually hit, resolves last-write-wins over "
+    "(selected files ∪ batch), appends the result as new clustered "
+    "files and removes the replaced ones — read-back tracks touched "
+    "KEYS, not touched buckets. Same oracle as both store twins",
+)
+def q_streaming_cdc_upsert_filestats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..io.readers import _normalize_event_ts
+    from ..io.writers import merge_touched_files
+
+    staged = _stage_events_multibatch(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+        .select(
+            F.expr(_CDC_DEVICE_SPARK).alias("device_id"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+
+    store_dir = tempfile.mkdtemp(prefix="sg_cdc_fstore_") + "/store"
+    atexit.register(
+        shutil.rmtree, os.path.dirname(store_dir), ignore_errors=True
+    )
+    _LAST_CDC_FILE_STATS.clear()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _keep_newest(batch_df).withColumn(
+            "bucket", F.pmod("device_id", F.lit(_CDC_N_BUCKETS)).cast("int")
+        )
+        stats = merge_touched_files(
+            store_dir, latest, "device_id", "bucket", _keep_newest
+        )
+        _LAST_CDC_FILE_STATS.append(stats)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", _tmp_ckpt())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(store_dir)
+    return final.select(
+        "device_id",
+        F.unix_millis("ts").alias("last_ms"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("last_cents"),
+    )

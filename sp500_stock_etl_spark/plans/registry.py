@@ -74,67 +74,65 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # parametrize), and output schemas are swept by
 # tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- r10 birth (inserted at birth per the standing policy,
-    # displacing the last stalest fill xml_roundtrip_agg to keep
-    # exactly 50):
-    "streaming_cdc_upsert_bucketed",  # r10: touched-buckets CDC merge
-    # --- r10 fills: zero debts pending (CORRECTNESS_r09 closed
-    # everything — coverage_report shows never_checked=[],
-    # oracle_upgraded_pending=[], ever_error=[]), so the rest is pure
-    # stalest-green rotation. Generated 2026-08-15 from
-    # `scripts/coverage_report.py` stalest_ok after CORRECTNESS_r09
-    # (oracle-bearing only; r4-era rows first, then the r5 band —
-    # next stalest after these: xml_roundtrip_agg (r5, displaced),
-    # then abc_pareto_classification at r6):
-    "streaming_sliding_sums",  # r4
-    "streaming_static_enrich",  # r4
-    "streaming_stream_stream_join",  # r4
-    "streaming_tumbling_counts_rocksdb",  # r4
-    "symbol_validation",  # r4
-    "text_quality_stats",  # r4
-    "topk_movers_per_day",  # r4
-    "udtf_split_sentences",  # r4
-    "unpivot_order_metrics",  # r4
-    "weighted_avg_pricing_decimal",  # r4
-    "array_functions_suite",  # r5
-    "basket_part_cooccurrence",  # r5
-    "bitwise_agg_suite",  # r5
-    "bucketed_fact_join",  # r5
-    "cohort_retention_weekly",  # r5
-    "corpus_boilerplate_rewrite",  # r5
-    "corpus_decontamination_bloom",  # r5
-    "corpus_reservoir_sample",  # r5
-    "corpus_tfidf_topterms",  # r5
-    "corpus_train_val_test_split",  # r5
-    "corpus_training_build",  # r5
-    "corpus_unigram_stats",  # r5
-    "dedup_connected_components",  # r5
-    "dedup_semantic_clusters",  # r5
-    "event_funnel_conversion",  # r5
-    "feature_outlier_fences",  # r5
-    "max_drawdown_per_symbol",  # r5
-    "ohlc_hourly_resample",  # r5
-    "regex_functions_suite",  # r5
-    "schema_evolution_scan",  # r5
-    "sma_crossover_signals",  # r5
-    "streaming_ohlc_bars",  # r5
-    "streaming_stream_stream_left_join",  # r5
-    "streaming_tumbling_counts",  # r5
-    "text_repetition_stats",  # r5
-    "tpch_q12_shipmode",  # r5
-    "tpch_q14_promo_share",  # r5
-    "tpch_q15_top_supplier",  # r5
-    "tpch_q16_supplier_counts",  # r5
-    "tpch_q17_small_quantity",  # r5
-    "tpch_q18_large_orders",  # r5
-    "tpch_q20_excess_share_supplier",  # r5
-    "tpch_q21_waiting_supplier",  # r5
-    "tpch_q2_min_cost_supplier",  # r5
-    "tpch_q7_nation_volume",  # r5
-    "tpch_q8_market_share",  # r5
-    "tpch_q9_profit",  # r5
-    "triangle_count_basket",  # r5
-    "vwap_per_symbol_day",  # r5
+    # --- r11 window. Policy unchanged (r7/r8/r9/r10): births at the
+    # head the moment they land; every remaining slot is the
+    # stalest-green fill GENERATED from the CORRECTNESS union by
+    # `scripts/coverage_report.py` (stalest_ok, oracle-bearing only).
+    # Generated 2026-08-15 after CORRECTNESS_r10 (zero debts pending:
+    # never_checked = [the r11 birth], oracle_upgraded_pending = [],
+    # ever_error = []): one r5 straggler (xml_roundtrip_agg, displaced
+    # by the r10 birth last round), then the r6 band — next stalest
+    # after these fills: dedup_prefix_jaccard (r7).
+    "streaming_cdc_upsert_filestats",  # r11 birth: file-level CDC merge
+    "xml_roundtrip_agg",  # r5
+    "abc_pareto_classification",  # r6
+    "asof_join_forward",  # r6
+    "asof_join_nearest",  # r6
+    "asof_join_tolerance",  # r6
+    "batch_sessionization",  # r6
+    "corpus_bigram_lm",  # r6
+    "corpus_budget_fill",  # r6
+    "corpus_curation_pipeline",  # r6
+    "corpus_curation_v2",  # r6
+    "corpus_decontamination_overlap",  # r6
+    "corpus_domain_mix_report",  # r6
+    "corpus_lm_quality_score",  # r6
+    "corpus_pagerank",  # r6
+    "corpus_url_canonical_dedup",  # r6
+    "dedup_connected_components_star",  # r6
+    "dedup_keep_best_quality",  # r6
+    "dedup_minhash_lsh",  # r6
+    "dedup_simhash",  # r6
+    "embedding_quantize_int8",  # r6
+    "entity_resolution_customers",  # r6
+    "fact_fact_join",  # r6
+    "feature_equidepth_histogram",  # r6
+    "feature_histogram_bins",  # r6
+    "filtered_scan_projection",  # r6
+    "flagship_window_metrics",  # r6
+    "gap_fill_forward",  # r6
+    "gap_fill_interpolate",  # r6
+    "global_sort_topk",  # r6
+    "grouping_sets_agg",  # r6
+    "hourly_event_agg",  # r6
+    "interval_overlap_agg",  # r6
+    "jsonl_sink_roundtrip_agg",  # r6
+    "merge_upsert_customers",  # r6
+    "multimodal_decode_dims",  # r6
+    "qa_aggregate",  # r6
+    "rollup_agg",  # r6
+    "similarity_lsh_topk",  # r6
+    "sql_api_shipping_priority",  # r6
+    "streaming_jsonl_sink_roundtrip",  # r6
+    "streaming_ohlc_bars_append",  # r6
+    "text_lang_id",  # r6
+    "token_frequency_topn",  # r6
+    "tpch_q6_forecast_revenue",  # r6
+    "union_all_distinct",  # r6
+    "window_deduped_latest_snapshot",  # r6
+    "zorder_layout_stats",  # r6
+    "zorder_pruning_demo",  # r6
+    "asof_join_events",  # r7
 )
 
 

@@ -125,7 +125,13 @@ def advise_initial_partitions(
 def spill_safe_partitions(spark: SparkSession, est_input_bytes: int):
     """Apply the advisor for the duration of one heavy action, then
     restore the previous conf. Yields the advised count (None = no-op,
-    the smooth-regime guarantee the r10 window measurement demands)."""
+    the smooth-regime guarantee the r10 window measurement demands).
+
+    ORDERING CONTRACT: construct the plan INSIDE this context if it
+    (or anything it calls) uses ``persist()`` — Spark compiles a
+    cached relation's physical plan when persist() is CALLED, so a
+    frame persisted before entry keeps its old exchange partitioning
+    under the cache regardless of what runs inside the block."""
     advised = advise_initial_partitions(spark, est_input_bytes)
     if advised is None:
         yield None
