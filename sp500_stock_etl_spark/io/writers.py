@@ -418,7 +418,7 @@ def merge_touched_files(
       so footer min/max ranges are narrow and file-level pruning has
       teeth. Ranges may overlap after many merges (pruning degrades
       gracefully, correctness never depends on disjointness — see
-      below); ``compact_parquet`` is the periodic repair.
+      below); ``compact_store_files`` is the periodic repair.
 
     Per batch:
     1. collect the batch's distinct keys per bucket (bounded by batch
@@ -542,4 +542,54 @@ def merge_touched_files(
         "files_total": len(all_files),
         "bytes_read": bytes_read,
         "bytes_total": bytes_total,
+    }
+
+
+def compact_store_files(
+    spark,
+    store_dir: str,
+    key_col: str,
+    partition_col: str,
+    files_per_bucket: int = 4,
+) -> dict:
+    """Periodic repair for a ``merge_touched_files`` store: rewrite it
+    as ONE freshly key-range-clustered generation.
+
+    Many merges degrade the layout two ways — file count grows (each
+    merge appends up to files_per_bucket x touched buckets), and file
+    key ranges start overlapping (a merge's output spans the ranges of
+    everything it replaced), which widens footer min/max and weakens
+    future pruning. Compaction restores both invariants: read the
+    whole store, repartitionByRange on the key, stage the rewrite in a
+    sibling directory, and publish with the same atomic rename-aside
+    protocol as ``write_bucketed_table_atomic`` (readers see the old
+    generation or the new one, never a mix). Content is untouched —
+    pinned byte-for-value in tests/test_compaction.py.
+
+    Returns {"files_before", "files_after"}.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    pattern = os.path.join(store_dir, f"{partition_col}=*", "*.parquet")
+    files_before = len(glob.glob(pattern))
+    df = spark.read.parquet(store_dir)
+    stage = f"{store_dir}.__compactstage__{uuid.uuid4().hex}"
+    df.repartitionByRange(
+        max(int(files_per_bucket), 1), F.col(key_col)
+    ).write.partitionBy(partition_col).mode("overwrite").parquet(stage)
+    old = f"{store_dir}.__compactold__{uuid.uuid4().hex}"
+    os.rename(store_dir, old)
+    try:
+        os.rename(stage, store_dir)
+    except OSError:
+        os.rename(old, store_dir)  # restore; never leave the store gone
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": len(glob.glob(pattern)),
     }

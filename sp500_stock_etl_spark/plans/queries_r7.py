@@ -266,7 +266,14 @@ def _inc_refresh(store: DataFrame, new: DataFrame, corpus: DataFrame):
         "text",
         _INC_NGRAM,
     )
-    verified = jaccard_verify(cand, corpus_sh.unionByName(new_sh), _INC_JT)
+    # PERSIST the verify's shingle frame (r11 serving fix): the verify
+    # consumes it twice (both shingle fetches) and the size gate
+    # samples it once — unpersisted, each consumer re-ran the semi
+    # join's candidate subtree (a store x new bucket join per scan),
+    # measured as the whole serving-throughput gap on the 8-thread
+    # qps mix. Same pattern as minhash_lsh_dedup's shingled persist.
+    verify_sh = track_persist(corpus_sh.unionByName(new_sh))
+    verified = jaccard_verify(cand, verify_sh, _INC_JT)
     return verified, new_bands
 
 

@@ -22,23 +22,28 @@ def _n_persistent(spark) -> int:
 
 
 def test_lsh_caches_released_after_action(spark):
-    release_caches()  # clean slate
+    # Baseline-relative (r11): other test FILES may leave untracked
+    # persistent RDDs (their own .cache() fixtures); this suite pins
+    # only that THIS query's caches come and go.
+    release_caches()  # clean slate for our thread's tracked caches
+    base = _n_persistent(spark)
     docs = load_table(spark, SF_DIR, "documents")
     out = minhash_lsh_dedup(docs, "doc_id", "text")
     out.count()  # terminal action — caches are live here
-    assert _n_persistent(spark) > 0, "expected live caches during/after action"
+    assert _n_persistent(spark) > base, "expected live caches after action"
     release_caches()
-    assert _n_persistent(spark) == 0, "caches must not linger after release"
+    assert _n_persistent(spark) == base, "caches must not linger after release"
 
 
 def test_similarity_join_caches_released(spark):
     release_caches()
+    base = _n_persistent(spark)
     docs = load_table(spark, SF_DIR, "documents")
     q = docs.where(F.col("doc_id") % 2 == 0)
     c = docs.where(F.col("doc_id") % 2 == 1)
     minhash_similarity_join(q, c, "doc_id", "text").count()
     release_caches()
-    assert _n_persistent(spark) == 0
+    assert _n_persistent(spark) == base
 
 
 def test_release_is_thread_local(spark):
@@ -49,6 +54,7 @@ def test_release_is_thread_local(spark):
     from sp500_stock_etl_spark.caching import track_persist
 
     release_caches()
+    base = _n_persistent(spark)
     df = track_persist(spark.range(10))
     df.count()
     released_elsewhere = []
@@ -58,7 +64,7 @@ def test_release_is_thread_local(spark):
     t.start()
     t.join()
     assert released_elsewhere == [0], "other thread released our cache"
-    assert _n_persistent(spark) == 1, "cache must survive foreign release"
+    assert _n_persistent(spark) == base + 1, "cache must survive foreign release"
     assert release_caches() == 1
 
 
@@ -69,12 +75,13 @@ def test_registry_wrapper_releases_previous_query_caches(spark):
     from sp500_stock_etl_spark.plans.registry import all_queries
 
     release_caches()
+    base = _n_persistent(spark)
     qs = all_queries()
     qs["dedup_minhash_lsh"].spark_fn(spark, SF_DIR).count()
-    assert _n_persistent(spark) > 0
+    assert _n_persistent(spark) > base
     # Any subsequent registry build releases the lingering caches.
     qs["qa_aggregate"].spark_fn(spark, SF_DIR)
-    assert _n_persistent(spark) == 0
+    assert _n_persistent(spark) == base
     release_caches()
 
 

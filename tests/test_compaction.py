@@ -396,3 +396,45 @@ def test_merge_touched_files_untouched_bucket_never_opened(spark, tmp_path):
     final = spark.read.parquet(store)
     assert final.count() == 1000
     assert final.where("k = 8").first()["ver"] == 1
+
+
+def test_compact_store_files_restores_clustering(spark, tmp_path):
+    """After merges degrade the file-level store (more files,
+    overlapping ranges), compact_store_files rewrites one clustered
+    generation: fewer files, identical content, and a subsequent
+    clustered merge prunes again."""
+    from sp500_stock_etl_spark.io.writers import (
+        compact_store_files,
+        merge_touched_files,
+    )
+
+    def keep_max(df):
+        return df.groupBy("k", "bucket").agg(F.max("ver").alias("ver")).select(
+            "k", "ver", "bucket"
+        )
+
+    store = str(tmp_path / "cstore")
+    base = spark.range(4096).selectExpr(
+        "id AS k", "CAST(0 AS INT) AS ver", "CAST(id % 4 AS INT) AS bucket"
+    )
+    merge_touched_files(store, base, "k", "bucket", keep_max)
+    # Several scattered merges -> appended files with wide ranges.
+    for ver in (1, 2, 3):
+        batch = spark.range(64).selectExpr(
+            f"id * 64 AS k", f"CAST({ver} AS INT) AS ver",
+            "CAST((id * 64) % 4 AS INT) AS bucket",
+        )
+        merge_touched_files(store, batch, "k", "bucket", keep_max)
+
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    stats = compact_store_files(spark, store, "k", "bucket")
+    assert stats["files_after"] <= stats["files_before"]
+    after = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert after == before, "compaction must not change content"
+
+    # Clustered pruning works again post-compaction.
+    batch = spark.range(64).selectExpr(
+        "id AS k", "CAST(9 AS INT) AS ver", "CAST(id % 4 AS INT) AS bucket"
+    )
+    st = merge_touched_files(store, batch, "k", "bucket", keep_max)
+    assert st["files_read"] < st["files_total"], st
