@@ -1865,14 +1865,17 @@ _LAST_CDC_FILE_STATS: list[dict] = []
     "FOOTER min/max, selects only the files whose key range the "
     "batch's keys actually hit, resolves last-write-wins over "
     "(selected files ∪ batch), appends the result as new clustered "
-    "files and removes the replaced ones — read-back tracks touched "
-    "KEYS, not touched buckets. Same oracle as both store twins",
+    "files and swaps an atomic MANIFEST generation (replaced files "
+    "retained one generation for lagging readers, then GC'd) — "
+    "read-back tracks touched KEYS, not touched buckets, and "
+    "concurrent readers always see a complete generation. Same "
+    "oracle as both store twins",
 )
 def q_streaming_cdc_upsert_filestats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..io.manifest_store import merge_manifest_store, read_store
     from ..io.readers import _normalize_event_ts
-    from ..io.writers import merge_touched_files
 
     staged = _stage_events_multibatch(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
@@ -1899,7 +1902,7 @@ def q_streaming_cdc_upsert_filestats(
         latest = _keep_newest(batch_df).withColumn(
             "bucket", F.pmod("device_id", F.lit(_CDC_N_BUCKETS)).cast("int")
         )
-        stats = merge_touched_files(
+        stats = merge_manifest_store(
             store_dir, latest, "device_id", "bucket", _keep_newest
         )
         _LAST_CDC_FILE_STATS.append(stats)
@@ -1912,7 +1915,7 @@ def q_streaming_cdc_upsert_filestats(
     )
     q.awaitTermination()
 
-    final = spark.read.parquet(store_dir)
+    final = read_store(spark, store_dir)
     return final.select(
         "device_id",
         F.unix_millis("ts").alias("last_ms"),
