@@ -26,15 +26,25 @@ contributed — stage ids are snapshotted before/after so concurrent
 noise cannot leak in.
 
 Families:
-- risk (default): the indicator risk-report capstone at n-x symbols;
+- risk (default): the indicator risk-report capstone at n-x symbols
+  (r11: the tuning.py partition advisor picks initialPartitionNum
+  from the estimated volume — no hand-set env var);
 - hybrid: the dual-evidence near-dup pipeline
   (corpus_doc_embedding_hybrid_dedup) at n-x corpora — replicas carry
   DISTINCT content (per-replica token suffixes; per-replica random
   sign flips on embeddings) so candidate volume must grow n-fold,
   never n^2-fold; the record includes lexical / embedding / agreement
   pair counts alongside the memory columns.
+- cdc: the streaming CDC upsert at n-x feed AND store. Store-path env
+  knobs: SPARK_GRAFT_CDC_BUCKETED=1 (partition-level merge),
+  SPARK_GRAFT_CDC_FILESTATS=1 (manifest/file-level merge, r11;
+  per-batch files/bytes read-back recorded), default = whole-store
+  twin. Feed-sparsity knobs: SPARK_GRAFT_CDC_SPARSE_BUCKETS=K
+  (bucket-sparse) and SPARK_GRAFT_CDC_SPARSE_RANGE=R
+  (globally-range-clustered — hits every bucket, prunes by file).
+- cc / sort families as documented at their functions.
 
-Usage: python scripts/hundredx_probe.py [risk|hybrid] [n1 n2 ...]
+Usage: python scripts/hundredx_probe.py [risk|hybrid|cc|cdc|sort] [n1 n2 ...]
 (default: risk 1 10 100; hybrid defaults to 1 10 30)
 Prints one JSON line per n; paste the table into BASELINE.md §11.
 """
@@ -600,6 +610,30 @@ def cdc_probe(ns: list[int]) -> None:
     # correctness gate.
     bucketed = os.environ.get("SPARK_GRAFT_CDC_BUCKETED") == "1"
 
+    # SPARK_GRAFT_CDC_FILESTATS=1 probes the FILE-level manifest store
+    # (streaming_cdc_upsert_filestats): key-range-clustered files per
+    # bucket, merges select replaced files from the manifest's key
+    # ranges, publish = atomic manifest swap. Per-batch read-back
+    # stats (files/bytes) are recorded so the sparse-feed runs can
+    # show read-back tracking touched KEYS on the streaming path too.
+    filestats = os.environ.get("SPARK_GRAFT_CDC_FILESTATS") == "1"
+
+    # SPARK_GRAFT_CDC_SPARSE_RANGE=R restricts every chunk AFTER the
+    # first to the GLOBALLY-contiguous key range device_id < R·2^14
+    # (the first R replicas' key spaces) — the clustered sparse shape
+    # file-range pruning is built for: a key subset that is contiguous
+    # in the global order but touches EVERY bucket (keys mod 64 cover
+    # all buckets), so partition-level pruning gets nothing while file
+    # ranges prune hard. Production analogue: recently-created
+    # entities hot, old id ranges quiet. (A first cut restricted the
+    # PER-REPLICA range device_id % 2^14 < M instead — that spreads n
+    # clusters across the whole global range, one per replica, and the
+    # 4 global range files per bucket all intersect: measured 256/256
+    # files read, no pruning. Kept as a reminder that file stats prune
+    # GLOBAL ranges, not per-tenant ones — per-tenant clustering needs
+    # (tenant, key) as the range key.)
+    sparse_range = int(os.environ.get("SPARK_GRAFT_CDC_SPARSE_RANGE", "0"))
+
     # SPARK_GRAFT_CDC_SPARSE_BUCKETS=K restricts every chunk AFTER the
     # first to devices in buckets < K (chunk 0 still builds the full
     # store): the production CDC regime where most entities are quiet
@@ -617,12 +651,35 @@ def cdc_probe(ns: list[int]) -> None:
                 (F.col("ts") < _CUTS[0])
                 | (F.pmod("device_id", F.lit(64)) < sparse_k)
             )
+        if sparse_range:
+            keyed = keyed.where(
+                (F.col("ts") < _CUTS[0])
+                | (F.col("device_id") < sparse_range * (1 << _KEY_BITS))
+            )
         staged = stage_chunks(keyed)
         store_base = tempfile.mkdtemp(prefix="sg_cdc_probe_store_")
         atexit.register(shutil.rmtree, store_base, ignore_errors=True)
         state: dict[str, str | None] = {"dir": None}
+        merge_stats: list[dict] = []
 
-        if bucketed:
+        if filestats:
+            from sp500_stock_etl_spark.io.manifest_store import (
+                merge_manifest_store,
+            )
+
+            fstore = f"{store_base}/store"
+
+            def _apply(batch_df, batch_id: int) -> None:
+                latest = _keep_newest(batch_df).withColumn(
+                    "bucket", F.pmod("device_id", F.lit(64)).cast("int")
+                )
+                merge_stats.append(
+                    merge_manifest_store(
+                        fstore, latest, "device_id", "bucket", _keep_newest
+                    )
+                )
+                state["dir"] = fstore
+        elif bucketed:
             from sp500_stock_etl_spark.io.writers import (
                 merge_touched_partitions,
             )
@@ -695,7 +752,14 @@ def cdc_probe(ns: list[int]) -> None:
                     "bytes": sum(os.path.getsize(f) for f in files),
                 }
             )
-        final = spark.read.parquet(state["dir"]).drop("bucket")
+        if filestats:
+            from sp500_stock_etl_spark.io.manifest_store import read_store
+
+            # Directory listing would see the retained dead generation;
+            # the manifest IS the store.
+            final = read_store(spark, state["dir"]).drop("bucket")
+        else:
+            final = spark.read.parquet(state["dir"]).drop("bucket")
         final_rows = final.count()
         rollup = _keep_newest(keyed)
         diff = (
@@ -708,8 +772,23 @@ def cdc_probe(ns: list[int]) -> None:
                 {
                     "n": n,
                     "bucketed": bucketed,
+                    "filestats": filestats,
                     "sparse_buckets": sparse_k,
+                    "sparse_range": sparse_range,
                     "store_versions": versions,
+                    "merge_stats": [
+                        {
+                            k: s[k]
+                            for k in (
+                                "generation",
+                                "files_read",
+                                "files_total",
+                                "bytes_read",
+                                "bytes_total",
+                            )
+                        }
+                        for s in merge_stats
+                    ],
                     "final_store_rows": final_rows,
                     "bit_equal_vs_batch_rollup": diff == 0,
                     "symmetric_diff_rows": diff,

@@ -229,3 +229,56 @@ def merge_manifest_store(
         "bytes_read": bytes_read,
         "bytes_total": bytes_total,
     }
+
+
+def compact_manifest_store(
+    spark: SparkSession,
+    store_dir: str,
+    key_col: str,
+    partition_col: str,
+    files_per_bucket: int = 4,
+) -> dict:
+    """Periodic repair under the manifest: rewrite ONE freshly
+    key-range-clustered generation (merges grow the file count by up
+    to files_per_bucket x touched buckets each, and their outputs'
+    ranges overlap older files', weakening future pruning — the
+    n=1000 sparse probe measured 256 → 640 files over 3 merges).
+
+    The rewrite APPENDS the new generation (existing files are never
+    touched, so concurrent readers of the old generation are
+    undisturbed), swaps the manifest atomically, marks the ENTIRE old
+    live set dead (retained one generation, like any merge), and GCs
+    the previous generation's dead list. Content identity is pinned in
+    tests/test_manifest_store.py.
+
+    Returns {"generation", "files_before", "files_after"}.
+    """
+    m = read_manifest(store_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {store_dir!r}")
+    df = read_store(spark, store_dir)
+    n_out = max(int(files_per_bucket), 1)
+    before = _glob_files(store_dir, partition_col)
+    df.repartitionByRange(n_out, F.col(key_col)).write.partitionBy(
+        partition_col
+    ).mode("append").parquet(store_dir)
+    new_rels = _glob_files(store_dir, partition_col) - before
+    _write_manifest_atomic(
+        store_dir,
+        {
+            "generation": m["generation"] + 1,
+            "key_col": key_col,
+            "files": _file_entries(store_dir, new_rels, key_col),
+            "dead": [e["path"] for e in m["files"]],
+        },
+    )
+    for rel in m.get("dead", []):
+        try:
+            os.remove(os.path.join(store_dir, rel))
+        except OSError:
+            pass
+    return {
+        "generation": m["generation"] + 1,
+        "files_before": len(m["files"]),
+        "files_after": len(new_rels),
+    }

@@ -178,6 +178,12 @@ def lsh_candidate_pairs(
     )
 
 
+# Per-process observability trail for probes/tests: one record per
+# gate evaluation — {n_pairs, est_row, est_total, budget, fast}.
+# (Forced decisions via SPARK_GRAFT_VERIFY_SHAPE record only `fast`.)
+LAST_GATE_DECISIONS: list[dict] = []
+
+
 def _verify_size_gate(pairs: DataFrame, shingled: DataFrame) -> bool:
     """Decide whether the candidate set is PROVABLY small enough to
     broadcast (fast path) or must take the spill-safe aggregate shape.
@@ -204,8 +210,10 @@ def _verify_size_gate(pairs: DataFrame, shingled: DataFrame) -> bool:
 
     forced = os.environ.get("SPARK_GRAFT_VERIFY_SHAPE", "")
     if forced == "broadcast":
+        LAST_GATE_DECISIONS.append({"fast": True, "forced": True})
         return True
     if forced == "agg":
+        LAST_GATE_DECISIONS.append({"fast": False, "forced": True})
         return False
     spark = pairs.sparkSession
     n_pairs = pairs.count()  # pairs is persisted by the caller
@@ -234,7 +242,17 @@ def _verify_size_gate(pairs: DataFrame, shingled: DataFrame) -> bool:
         heap = int(jvm_rt.maxMemory())
         cores = max(spark.sparkContext.defaultParallelism, 1)
         budget = heap * 0.6 / cores / 4
-    return est_total <= budget
+    fast = est_total <= budget
+    LAST_GATE_DECISIONS.append(
+        {
+            "n_pairs": n_pairs,
+            "est_row": round(est_row, 1),
+            "est_total": round(est_total, 1),
+            "budget": round(budget, 1),
+            "fast": fast,
+        }
+    )
+    return fast
 
 
 def jaccard_verify(

@@ -139,3 +139,42 @@ def test_reader_consistency_under_merges(spark, tmp_path):
         t.join()
     assert errors == [], errors
     assert MS.read_store(spark, store).count() == n
+
+
+def test_compact_manifest_store(spark, tmp_path):
+    """Compaction resets the file count to one clustered generation,
+    preserves content exactly, retains the old generation for lagging
+    readers, and restores pruning effectiveness."""
+    from sp500_stock_etl_spark.io.manifest_store import (
+        compact_manifest_store,
+    )
+
+    store = str(tmp_path / "mstore4")
+    MS.merge_manifest_store(store, _base(spark), "k", "bucket", _keep_newest)
+    for ver in (1, 2, 3):
+        MS.merge_manifest_store(
+            store, _batch(spark, ver, 256), "k", "bucket", _keep_newest
+        )
+    m_before = MS.read_manifest(store)
+    before_rows = sorted(map(tuple, MS.read_store(spark, store).collect()))
+
+    stats = compact_manifest_store(spark, store, "k", "bucket")
+    assert stats["files_after"] <= stats["files_before"]
+    assert sorted(map(tuple, MS.read_store(spark, store).collect())) == (
+        before_rows
+    ), "compaction must not change content"
+
+    # Old generation retained (dead) until the next swap GCs it.
+    m = MS.read_manifest(store)
+    assert set(m["dead"]) == {f["path"] for f in m_before["files"]}
+    on_disk = {
+        os.path.relpath(p, store)
+        for p in glob.glob(os.path.join(store, "bucket=*", "*.parquet"))
+    }
+    assert set(m["dead"]) <= on_disk
+
+    # Post-compaction, a narrow batch prunes again.
+    st = MS.merge_manifest_store(
+        store, _batch(spark, 9, 64), "k", "bucket", _keep_newest
+    )
+    assert st["files_read"] < st["files_total"], st

@@ -62,3 +62,15 @@ def test_empty_candidates_both_shapes(spark, monkeypatch):
         out = D.jaccard_verify(empty, sh, 0.6)
         assert out.count() == 0
         assert out.columns == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_gate_decision_trail(spark, monkeypatch):
+    docs = _corpus(spark)
+    monkeypatch.delenv("SPARK_GRAFT_VERIFY_SHAPE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_VERIFY_BUDGET_BYTES", raising=False)
+    D.LAST_GATE_DECISIONS.clear()
+    D.minhash_lsh_dedup(docs, "doc_id", "text").count()
+    assert len(D.LAST_GATE_DECISIONS) == 1
+    rec = D.LAST_GATE_DECISIONS[0]
+    assert {"n_pairs", "est_total", "budget", "fast"} <= set(rec)
+    assert rec["fast"] is True  # tiny corpus must take the fast path
