@@ -97,6 +97,7 @@ def merge_manifest_store(
     partition_col: str,
     resolve,
     files_per_bucket: int = 4,
+    max_collected_keys: int = 1_000_000,
 ) -> dict:
     """``merge_touched_files`` semantics behind a manifest generation:
 
@@ -110,6 +111,13 @@ def merge_manifest_store(
     4. GC: physically delete the PREVIOUS generation's dead list —
        every file is retained for one full generation after it stops
        being live.
+
+    Driver-memory bound: batch keys are collected only up to
+    ``max_collected_keys`` distinct keys; past that the merge prunes
+    by per-bucket [min, max] intervals (2 values per bucket — bounded
+    by the bucket count at ANY batch size). Interval pruning is a
+    superset of key pruning, so correctness is unchanged; at 100 TB
+    this is what keeps the driver out of the data path.
 
     Returns the same observability dict as merge_touched_files plus
     ``generation``.
@@ -153,14 +161,35 @@ def merge_manifest_store(
             ),
         }
 
+    # Driver-side batch keys are O(|batch|) — safe for CDC batches but
+    # not unbounded. Past ``max_collected_keys`` distinct keys, fall
+    # back to per-bucket [min, max] INTERVALS (2 values per bucket,
+    # bounded by the bucket count): pruning weakens from exact
+    # key-membership to interval overlap, correctness is unchanged
+    # (an interval superset can only select MORE files, never miss a
+    # key's file).
+    n_batch_keys = (
+        batch_latest.select(key_col).distinct().count()
+    )
     batch_keys: dict[str, list] = {}
-    for part, key in (
-        batch_latest.select(partition_col, key_col).distinct().collect()
-    ):
-        batch_keys.setdefault(str(part), []).append(key)
-    for ks in batch_keys.values():
-        ks.sort()
-    if not batch_keys:
+    batch_ranges: dict[str, tuple] = {}
+    if n_batch_keys <= max_collected_keys:
+        for part, key in (
+            batch_latest.select(partition_col, key_col).distinct().collect()
+        ):
+            batch_keys.setdefault(str(part), []).append(key)
+        for ks in batch_keys.values():
+            ks.sort()
+        touched_parts = set(batch_keys)
+    else:
+        for part, lo, hi in (
+            batch_latest.groupBy(partition_col)
+            .agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi"))
+            .collect()
+        ):
+            batch_ranges[str(part)] = (lo, hi)
+        touched_parts = set(batch_ranges)
+    if not touched_parts:
         return {
             "generation": m["generation"],
             "touched_buckets": [],
@@ -174,11 +203,15 @@ def merge_manifest_store(
         return rel.split(os.sep, 1)[0].split("=", 1)[1]
 
     def entry_touched(e: dict) -> bool:
-        keys = batch_keys.get(bucket_raw(e["path"]))
-        if keys is None:
+        b = bucket_raw(e["path"])
+        if b not in touched_parts:
             return False
         if e["lo"] is None:
             return True  # no stats recorded -> cannot prune
+        if batch_ranges:
+            lo, hi = batch_ranges[b]
+            return not (e["hi"] < lo or hi < e["lo"])
+        keys = batch_keys[b]
         i = bisect.bisect_left(keys, e["lo"])
         return i < len(keys) and keys[i] <= e["hi"]
 
@@ -223,7 +256,7 @@ def merge_manifest_store(
             pass
     return {
         "generation": m["generation"] + 1,
-        "touched_buckets": sorted(batch_keys),
+        "touched_buckets": sorted(touched_parts),
         "files_read": len(replaced),
         "files_total": len(m["files"]),
         "bytes_read": bytes_read,

@@ -178,3 +178,21 @@ def test_compact_manifest_store(spark, tmp_path):
         store, _batch(spark, 9, 64), "k", "bucket", _keep_newest
     )
     assert st["files_read"] < st["files_total"], st
+
+
+def test_interval_fallback_for_huge_batches(spark, tmp_path):
+    """Past max_collected_keys the merge never collects the key set —
+    it prunes by per-bucket [min,max] intervals instead. Weaker
+    pruning (interval superset), identical results."""
+    store = str(tmp_path / "mstore5")
+    MS.merge_manifest_store(store, _base(spark), "k", "bucket", _keep_newest)
+    batch = _batch(spark, 1, 64)
+    stats = MS.merge_manifest_store(
+        store, batch, "k", "bucket", _keep_newest, max_collected_keys=8
+    )
+    # Narrow interval still prunes (keys 0..63 -> low-range files).
+    assert 0 < stats["files_read"] < stats["files_total"], stats
+    final = MS.read_store(spark, store)
+    assert final.count() == 4096
+    assert final.where("k < 64").agg(F.min("ver")).first()[0] == 1
+    assert final.select("k").distinct().count() == 4096
