@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -90,6 +91,26 @@ def _file_entries(store_dir: str, rels, key_col: str) -> list[dict]:
     return entries
 
 
+def _retire_dead(
+    m: dict, retention_seconds: float, now: float
+) -> tuple[list[str], list[str]]:
+    """Split the previous generation's dead list into files whose
+    retention lapsed (physically deleted after the next swap) and
+    files carried forward as still-dead. Manifests written before
+    time-based retention carry no ``dead_since``; their dead files
+    default to ts=0 — i.e. expired on the next swap, the original
+    one-generation lag."""
+    since = m.get("dead_since", {})
+    expired: list[str] = []
+    carried: list[str] = []
+    for rel in m.get("dead", []):
+        if now - since.get(rel, 0.0) >= retention_seconds:
+            expired.append(rel)
+        else:
+            carried.append(rel)
+    return expired, carried
+
+
 def merge_manifest_store(
     store_dir: str,
     batch_latest: DataFrame,
@@ -98,6 +119,8 @@ def merge_manifest_store(
     resolve,
     files_per_bucket: int = 4,
     max_collected_keys: int = 1_000_000,
+    batch_keys_hint: int | None = None,
+    retention_seconds: float = 0.0,
 ) -> dict:
     """``merge_touched_files`` semantics behind a manifest generation:
 
@@ -108,19 +131,25 @@ def merge_manifest_store(
        APPEND the result as new key-range-clustered files;
     3. swap ``_manifest.json`` atomically: live = (old live −
        replaced) + new files; dead = replaced (retained on disk);
-    4. GC: physically delete the PREVIOUS generation's dead list —
-       every file is retained for one full generation after it stops
-       being live.
+    4. GC: physically delete dead files that have been dead for one
+       full generation AND for at least ``retention_seconds`` —
+       production table formats retain by time so lagging readers can
+       finish arbitrarily old scans; the default (0) keeps the
+       single-generation lag the concurrency probe hammers.
 
-    Driver-memory bound: batch keys are collected only up to
-    ``max_collected_keys`` distinct keys; past that the merge prunes
-    by per-bucket [min, max] intervals (2 values per bucket — bounded
-    by the bucket count at ANY batch size). Interval pruning is a
-    superset of key pruning, so correctness is unchanged; at 100 TB
-    this is what keeps the driver out of the data path.
+    Driver-memory bound: the batch's distinct (bucket, key) pairs are
+    collected through a ``limit(max_collected_keys + 1)`` probe — ONE
+    bounded job, never an unbounded collect. If the probe overflows
+    (or the caller passes ``batch_keys_hint > max_collected_keys``,
+    skipping the probe entirely — CDC appliers usually know their
+    batch size upstream), the merge prunes by per-bucket [min, max]
+    intervals instead (2 values per bucket — bounded by the bucket
+    count at ANY batch size). Interval pruning is a superset of key
+    pruning, so correctness is unchanged; at 100 TB this is what keeps
+    the driver out of the data path.
 
     Returns the same observability dict as merge_touched_files plus
-    ``generation``.
+    ``generation`` and ``pruning`` ("keys" | "intervals").
     """
     import bisect
 
@@ -159,28 +188,37 @@ def merge_manifest_store(
             "bytes_total": sum(
                 os.path.getsize(os.path.join(store_dir, r)) for r in rels
             ),
+            "pruning": "none",
         }
 
     # Driver-side batch keys are O(|batch|) — safe for CDC batches but
-    # not unbounded. Past ``max_collected_keys`` distinct keys, fall
-    # back to per-bucket [min, max] INTERVALS (2 values per bucket,
-    # bounded by the bucket count): pruning weakens from exact
-    # key-membership to interval overlap, correctness is unchanged
-    # (an interval superset can only select MORE files, never miss a
-    # key's file).
-    n_batch_keys = (
-        batch_latest.select(key_col).distinct().count()
-    )
+    # not unbounded. The probe collects distinct (bucket, key) pairs
+    # through limit(max+1): one job whose driver footprint is bounded
+    # by construction. On overflow (or an upstream hint that the batch
+    # is huge), fall back to per-bucket [min, max] INTERVALS (2 values
+    # per bucket, bounded by the bucket count): pruning weakens from
+    # exact key-membership to interval overlap, correctness is
+    # unchanged (an interval superset can only select MORE files,
+    # never miss a key's file).
     batch_keys: dict[str, list] = {}
     batch_ranges: dict[str, tuple] = {}
-    if n_batch_keys <= max_collected_keys:
-        for part, key in (
-            batch_latest.select(partition_col, key_col).distinct().collect()
-        ):
+    pairs = None
+    if batch_keys_hint is None or batch_keys_hint <= max_collected_keys:
+        pairs = (
+            batch_latest.select(partition_col, key_col)
+            .distinct()
+            .limit(max_collected_keys + 1)
+            .collect()
+        )
+        if len(pairs) > max_collected_keys:
+            pairs = None  # overflow -> interval fallback
+    if pairs is not None:
+        for part, key in pairs:
             batch_keys.setdefault(str(part), []).append(key)
         for ks in batch_keys.values():
             ks.sort()
         touched_parts = set(batch_keys)
+        pruning = "keys"
     else:
         for part, lo, hi in (
             batch_latest.groupBy(partition_col)
@@ -189,6 +227,7 @@ def merge_manifest_store(
         ):
             batch_ranges[str(part)] = (lo, hi)
         touched_parts = set(batch_ranges)
+        pruning = "intervals"
     if not touched_parts:
         return {
             "generation": m["generation"],
@@ -197,6 +236,7 @@ def merge_manifest_store(
             "files_total": len(m["files"]),
             "bytes_read": 0,
             "bytes_total": 0,
+            "pruning": pruning,
         }
 
     def bucket_raw(rel: str) -> str:
@@ -239,17 +279,26 @@ def merge_manifest_store(
     write_clustered(merged, "append")
     new_rels = _glob_files(store_dir, partition_col) - before
 
+    now = time.time()
+    expired, carried = _retire_dead(m, retention_seconds, now)
+    newly_dead = [e["path"] for e in replaced]
+    since = m.get("dead_since", {})
     _write_manifest_atomic(
         store_dir,
         {
             "generation": m["generation"] + 1,
             "key_col": key_col,
             "files": kept + _file_entries(store_dir, new_rels, key_col),
-            "dead": [e["path"] for e in replaced],
+            "dead": carried + newly_dead,
+            "dead_since": {
+                **{rel: since.get(rel, 0.0) for rel in carried},
+                **{rel: now for rel in newly_dead},
+            },
         },
     )
-    # GC the generation that has now been dead for one full swap.
-    for rel in m.get("dead", []):
+    # GC only files dead for one full swap AND past retention — after
+    # the new manifest is durable, so no reader resolves a removed path.
+    for rel in expired:
         try:
             os.remove(os.path.join(store_dir, rel))
         except OSError:
@@ -261,6 +310,7 @@ def merge_manifest_store(
         "files_total": len(m["files"]),
         "bytes_read": bytes_read,
         "bytes_total": bytes_total,
+        "pruning": pruning,
     }
 
 
@@ -270,6 +320,7 @@ def compact_manifest_store(
     key_col: str,
     partition_col: str,
     files_per_bucket: int = 4,
+    retention_seconds: float = 0.0,
 ) -> dict:
     """Periodic repair under the manifest: rewrite ONE freshly
     key-range-clustered generation (merges grow the file count by up
@@ -296,16 +347,24 @@ def compact_manifest_store(
         partition_col
     ).mode("append").parquet(store_dir)
     new_rels = _glob_files(store_dir, partition_col) - before
+    now = time.time()
+    expired, carried = _retire_dead(m, retention_seconds, now)
+    newly_dead = [e["path"] for e in m["files"]]
+    since = m.get("dead_since", {})
     _write_manifest_atomic(
         store_dir,
         {
             "generation": m["generation"] + 1,
             "key_col": key_col,
             "files": _file_entries(store_dir, new_rels, key_col),
-            "dead": [e["path"] for e in m["files"]],
+            "dead": carried + newly_dead,
+            "dead_since": {
+                **{rel: since.get(rel, 0.0) for rel in carried},
+                **{rel: now for rel in newly_dead},
+            },
         },
     )
-    for rel in m.get("dead", []):
+    for rel in expired:
         try:
             os.remove(os.path.join(store_dir, rel))
         except OSError:

@@ -182,17 +182,146 @@ def test_compact_manifest_store(spark, tmp_path):
 
 def test_interval_fallback_for_huge_batches(spark, tmp_path):
     """Past max_collected_keys the merge never collects the key set —
-    it prunes by per-bucket [min,max] intervals instead. Weaker
-    pruning (interval superset), identical results."""
+    the limit(max+1) probe overflows and it prunes by per-bucket
+    [min,max] intervals instead. Weaker pruning (interval superset),
+    identical results."""
     store = str(tmp_path / "mstore5")
     MS.merge_manifest_store(store, _base(spark), "k", "bucket", _keep_newest)
     batch = _batch(spark, 1, 64)
     stats = MS.merge_manifest_store(
         store, batch, "k", "bucket", _keep_newest, max_collected_keys=8
     )
+    assert stats["pruning"] == "intervals"
     # Narrow interval still prunes (keys 0..63 -> low-range files).
     assert 0 < stats["files_read"] < stats["files_total"], stats
     final = MS.read_store(spark, store)
     assert final.count() == 4096
     assert final.where("k < 64").agg(F.min("ver")).first()[0] == 1
     assert final.select("k").distinct().count() == 4096
+
+
+def test_batch_keys_hint_skips_probe(spark, tmp_path):
+    """A huge batch_keys_hint skips the bounded probe entirely and
+    goes straight to interval pruning; a small/absent hint keeps the
+    exact key path."""
+    store = str(tmp_path / "mstore6")
+    MS.merge_manifest_store(store, _base(spark), "k", "bucket", _keep_newest)
+    st_hint = MS.merge_manifest_store(
+        store, _batch(spark, 1, 64), "k", "bucket", _keep_newest,
+        batch_keys_hint=10**9,
+    )
+    assert st_hint["pruning"] == "intervals"
+    st_keys = MS.merge_manifest_store(
+        store, _batch(spark, 2, 64), "k", "bucket", _keep_newest
+    )
+    assert st_keys["pruning"] == "keys"
+    final = MS.read_store(spark, store)
+    assert final.count() == 4096
+    assert final.where("k < 64").agg(F.min("ver")).first()[0] == 2
+
+
+def test_composite_tenant_key_pruning(spark, tmp_path):
+    """Per-tenant hot keys (r11 starter): with the store range-keyed
+    on the COMPOSITE tenant*2^20 + k (and bucketed by tenant), a
+    one-tenant batch prunes to that tenant's files; the same logical
+    batch against a store range-keyed on the bare per-tenant k (which
+    every tenant shares) cannot prune below its bucket set. No engine
+    change — key_col is generic; scripts/tenant_probe.py measures the
+    same at 12.8M rows."""
+    from pyspark.sql import Window as W
+
+    def keep_newest_ck(df):
+        w = W.partitionBy("ck").orderBy(F.col("ver").desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+
+    def frame(tenants, ks, ver):
+        return (
+            spark.range(len(tenants) * 0 + 1)
+            .crossJoin(spark.range(ks).selectExpr("id AS k"))
+            .crossJoin(
+                spark.createDataFrame(
+                    [(t,) for t in tenants], "tenant: long"
+                )
+            )
+            .selectExpr(
+                "tenant",
+                "k",
+                f"CAST({ver} AS INT) AS ver",
+                "tenant * 1048576 + k AS ck",
+            )
+        )
+
+    results = {}
+    for layout, key_col in (("composite", "ck"), ("global_key", "k")):
+        bucket = "tenant % 4" if layout == "composite" else "k % 4"
+        base = frame(range(8), 512, 0).selectExpr(
+            "*", f"CAST({bucket} AS INT) AS bucket"
+        )
+        batch = frame([3], 512, 1).selectExpr(
+            "*", f"CAST({bucket} AS INT) AS bucket"
+        )
+        store = str(tmp_path / f"tstore_{layout}")
+        MS.merge_manifest_store(
+            store, base, key_col, "bucket", keep_newest_ck
+        )
+        st = MS.merge_manifest_store(
+            store, batch, key_col, "bucket", keep_newest_ck
+        )
+        final = MS.read_store(spark, store)
+        assert final.count() == 8 * 512
+        assert final.where("ver = 1").count() == 512
+        results[layout] = st["bytes_read"] / max(st["bytes_total"], 1)
+    # Composite layout must read a strictly smaller store fraction.
+    assert results["composite"] < results["global_key"] / 2, results
+
+
+def test_time_based_retention(spark, tmp_path):
+    """With retention_seconds > 0, a dead file survives subsequent
+    swaps (carried in the manifest's dead list with its dead_since
+    timestamp) until its retention lapses; retention 0 reproduces the
+    one-generation lag. Old manifests without dead_since GC on the
+    next swap as before."""
+    store = str(tmp_path / "mstore7")
+    MS.merge_manifest_store(store, _base(spark), "k", "bucket", _keep_newest)
+    MS.merge_manifest_store(
+        store, _batch(spark, 1), "k", "bucket", _keep_newest,
+        retention_seconds=3600.0,
+    )
+    dead_g1 = set(MS.read_manifest(store)["dead"])
+    assert dead_g1, "gen 1 must have retained gen 0's replaced files"
+
+    # Two more swaps under retention: the gen-1 dead set stays on disk
+    # AND in the manifest (carried), because 3600 s has not lapsed.
+    for ver in (2, 3):
+        MS.merge_manifest_store(
+            store, _batch(spark, ver), "k", "bucket", _keep_newest,
+            retention_seconds=3600.0,
+        )
+    m = MS.read_manifest(store)
+    on_disk = {
+        os.path.relpath(p, store)
+        for p in glob.glob(os.path.join(store, "bucket=*", "*.parquet"))
+    }
+    assert dead_g1 <= set(m["dead"]) and dead_g1 <= on_disk
+    assert set(m["dead_since"]) == set(m["dead"])
+    # Dead files are invisible to the manifest-pinned read.
+    final = MS.read_store(spark, store)
+    assert final.count() == 4096
+    assert final.where("k < 64").agg(F.min("ver")).first()[0] == 3
+
+    # Retention lapsed (0 s): the next swap GCs everything carried.
+    MS.merge_manifest_store(
+        store, _batch(spark, 4), "k", "bucket", _keep_newest
+    )
+    on_disk2 = {
+        os.path.relpath(p, store)
+        for p in glob.glob(os.path.join(store, "bucket=*", "*.parquet"))
+    }
+    assert not (dead_g1 & on_disk2), "lapsed dead files must be GC'd"
+    assert MS.read_store(spark, store).where("k < 64").agg(
+        F.min("ver")
+    ).first()[0] == 4
