@@ -298,6 +298,7 @@ BENCH_QUERIES = [
 # yet registered are skipped so the harness runs mid-build.
 NEW_QUERIES: list[str] = [
     "streaming_cdc_upsert_filestats",
+    "streaming_cdc_upsert_tenant",
 ]
 
 # The 55-plan HEADLINE CORE (r10 growth policy, module docstring):

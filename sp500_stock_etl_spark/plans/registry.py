@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     # ever_error = []): one r5 straggler (xml_roundtrip_agg, displaced
     # by the r10 birth last round), then the r6 band — next stalest
     # after these fills: dedup_prefix_jaccard (r7).
+    "streaming_cdc_upsert_tenant",  # r11 birth: composite-tenant CDC store
     "streaming_cdc_upsert_filestats",  # r11 birth: file-level CDC merge
     "xml_roundtrip_agg",  # r5
     "abc_pareto_classification",  # r6

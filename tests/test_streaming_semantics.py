@@ -140,6 +140,64 @@ def test_cdc_upsert_applies_across_batches(spark):
     final.unpersist()
 
 
+def test_cdc_tenant_store_mechanism(spark):
+    """streaming_cdc_upsert_tenant must (a) apply one manifest merge
+    per staged chunk, (b) leave a manifest whose retention actually
+    carried dead files (retention_seconds=3600 > test wall time):
+    dead nonempty with dead_since stamps, all dead files still on
+    disk, none of them live, and (c) carry per (tenant, device): the
+    final store preserves pairs whose last event predates the final
+    chunk bit-for-bit. Pruning itself is pinned deterministically by
+    tests/test_manifest_store.py::test_composite_tenant_key_pruning."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sp500_stock_etl_spark.io.manifest_store import read_manifest
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.plans import queries_streaming as QS
+    from sp500_stock_etl_spark.plans.queries_streaming import (
+        q_streaming_cdc_upsert_tenant,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    final = q_streaming_cdc_upsert_tenant(spark, sf).cache()
+    assert len(QS._LAST_CDC_TENANT_STATS) >= 4, QS._LAST_CDC_TENANT_STATS
+    store = QS._LAST_CDC_TENANT_STORE[0]
+
+    m = read_manifest(store)
+    assert m["dead"], "retention must have carried replaced files"
+    assert set(m["dead_since"]) == set(m["dead"])
+    live = {f["path"] for f in m["files"]}
+    on_disk = {
+        os.path.relpath(p, store)
+        for p in glob.glob(os.path.join(store, "bucket=*", "*.parquet"))
+    }
+    assert set(m["dead"]) <= on_disk - live
+
+    ev = load_table(spark, sf, "events")
+    last = (
+        ev.groupBy(
+            F.pmod("user_id", F.lit(QS._CDC_N_TENANTS)).alias("tenant"),
+            F.expr(QS._CDC_DEVICE_SPARK).alias("device_id"),
+        )
+        .agg(F.max("ts").alias("last_ts"))
+        .withColumn("early", F.col("last_ts") < F.lit("2024-01-22"))
+    )
+    n_early = last.where("early").count()
+    n_pairs = last.count()
+    assert 0 < n_early < n_pairs, (n_early, n_pairs)
+    assert final.count() == n_pairs
+    mismatch = (
+        final.join(last.where("early"), ["tenant", "device_id"])
+        .where(F.col("last_ms") != F.unix_millis("last_ts"))
+        .count()
+    )
+    assert mismatch == 0
+    final.unpersist()
+
+
 def test_cdc_carry_present_at_driver_scale(spark):
     """The carry property must hold at the scales the DRIVER
     hash-checks (sf0.01/sf0.1), not just the sf0.001 smoke: with the
