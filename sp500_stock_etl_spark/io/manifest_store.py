@@ -21,8 +21,21 @@ is a MANIFEST generation:
   single-generation lag is the test-scale realization and the
   concurrency probe hammers it.
 
-Single WRITER still assumed (CDC apply is one foreachBatch loop);
-readers are unrestricted and that is the point.
+Readers are unrestricted. Writers use OPTIMISTIC concurrency (the
+Iceberg/Delta commit shape, realized with POSIX primitives): each
+merge stages its output files in a hidden dir (so every writer knows
+exactly which files are its own — nothing reader-visible before the
+swap), then takes a short exclusive-create commit lock for the
+read-validate-swap of the manifest only; the expensive Spark work
+never holds the lock. Validation fails — and the whole merge redoes
+against the fresh manifest — iff a concurrent commit replaced one of
+this merge's input files or added live files overlapping its batch
+keys; writers touching disjoint FILES therefore commit without redo,
+and overlapping writers serialize through redo (each redo resolves
+over the winner's output, so last-write-wins stays consistent
+regardless of commit order). The CDC apply remains one foreachBatch
+loop in practice, but concurrent appliers are now safe by
+construction (pinned in tests/test_manifest_store.py).
 """
 
 from __future__ import annotations
@@ -30,6 +43,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -68,19 +82,88 @@ def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.option("basePath", store_dir).parquet(*paths)
 
 
-def _glob_files(store_dir: str, partition_col: str) -> set:
-    return set(
-        os.path.relpath(p, store_dir)
+_LOCK = "_commit.lock"
+
+
+class _CommitLock:
+    """Exclusive-create commit lock serializing the manifest's
+    read-validate-swap critical section — the filesystem's O_EXCL is
+    the put-if-absent primitive every log-based table format leans on.
+    Only metadata work (validate, renames, one JSON write, GC) runs
+    under it; Spark jobs never hold it. A lock file older than
+    ``stale_seconds`` is presumed abandoned (crashed writer) and taken
+    over."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        timeout: float = 120.0,
+        poll: float = 0.02,
+        stale_seconds: float = 600.0,
+    ) -> None:
+        self.path = os.path.join(store_dir, _LOCK)
+        self.timeout = timeout
+        self.poll = poll
+        self.stale_seconds = stale_seconds
+
+    def __enter__(self) -> "_CommitLock":
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                    if age > self.stale_seconds:
+                        os.unlink(self.path)  # abandoned; take over
+                        continue
+                except OSError:
+                    continue  # holder released between open and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock at {self.path!r} held for "
+                        f">{self.timeout}s"
+                    )
+                time.sleep(self.poll)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+def _stage_clustered(
+    df: DataFrame,
+    key_col: str,
+    partition_col: str,
+    n_out: int,
+    store_dir: str,
+) -> tuple[str, list[dict]]:
+    """Write the clustered output into a hidden staging dir inside the
+    store and return (stage_dir, manifest entries with store-relative
+    paths + footer key ranges). Staging — not a direct append — is
+    what makes the commit protocol safe under concurrent writers:
+    every writer knows EXACTLY which files are its own (a
+    directory-diff would claim a concurrent writer's files) and
+    nothing becomes reader-visible before the manifest swap. Part
+    filenames carry task UUIDs, so publishing is collision-free."""
+    stage = os.path.join(store_dir, f".stage-{uuid.uuid4().hex}")
+    df.repartitionByRange(n_out, F.col(key_col)).write.partitionBy(
+        partition_col
+    ).mode("overwrite").parquet(stage)
+    rels = sorted(
+        os.path.relpath(p, stage)
         for p in glob.glob(
-            os.path.join(store_dir, f"{partition_col}=*", "*.parquet")
+            os.path.join(stage, f"{partition_col}=*", "*.parquet")
         )
     )
-
-
-def _file_entries(store_dir: str, rels, key_col: str) -> list[dict]:
     entries = []
-    for rel in sorted(rels):
-        rng = _parquet_key_range(os.path.join(store_dir, rel), key_col)
+    for rel in rels:
+        rng = _parquet_key_range(os.path.join(stage, rel), key_col)
         entries.append(
             {
                 "path": rel,
@@ -88,7 +171,19 @@ def _file_entries(store_dir: str, rels, key_col: str) -> list[dict]:
                 "hi": None if rng is None else rng[1],
             }
         )
-    return entries
+    return stage, entries
+
+
+def _publish_staged(stage: str, store_dir: str, entries: list[dict]) -> None:
+    """Move this writer's staged files into the store tree (same-fs
+    renames: metadata-only). Runs under the commit lock, after
+    validation, before the manifest swap — readers resolve files
+    through the manifest, so the not-yet-live files are invisible."""
+    for e in entries:
+        dst = os.path.join(store_dir, e["path"])
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(stage, e["path"]), dst)
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def _retire_dead(
@@ -121,6 +216,8 @@ def merge_manifest_store(
     max_collected_keys: int = 1_000_000,
     batch_keys_hint: int | None = None,
     retention_seconds: float = 0.0,
+    max_commit_retries: int = 20,
+    lock_timeout: float = 120.0,
 ) -> dict:
     """``merge_touched_files`` semantics behind a manifest generation:
 
@@ -148,48 +245,28 @@ def merge_manifest_store(
     pruning, so correctness is unchanged; at 100 TB this is what keeps
     the driver out of the data path.
 
+    Concurrency: writers commit OPTIMISTICALLY (module docstring).
+    The clustered output is staged in a hidden dir (exact file
+    ownership; nothing reader-visible early), then a short
+    exclusive-create lock covers the manifest's read-validate-swap
+    only. Validation fails iff a concurrent commit replaced one of
+    this merge's input files or added live files overlapping its
+    batch keys; the merge then redoes against the fresh manifest (up
+    to ``max_commit_retries``). Writers touching disjoint files
+    never redo.
+    Note: with concurrent writers, set ``retention_seconds`` at least
+    as long as the slowest merge so a redo loser's input files are
+    never GC'd mid-read — the same rule table formats apply to
+    long-running readers.
+
     Returns the same observability dict as merge_touched_files plus
-    ``generation`` and ``pruning`` ("keys" | "intervals").
+    ``generation``, ``pruning`` ("keys" | "intervals") and
+    ``commit_retries``.
     """
     import bisect
 
     spark = batch_latest.sparkSession
     n_out = max(int(files_per_bucket), 1)
-
-    def write_clustered(df: DataFrame, mode: str) -> None:
-        df.repartitionByRange(n_out, F.col(key_col)).write.partitionBy(
-            partition_col
-        ).mode(mode).parquet(store_dir)
-
-    m = read_manifest(store_dir)
-    if m is None:
-        write_clustered(batch_latest, "overwrite")
-        rels = _glob_files(store_dir, partition_col)
-        _write_manifest_atomic(
-            store_dir,
-            {
-                "generation": 0,
-                "key_col": key_col,
-                "files": _file_entries(store_dir, rels, key_col),
-                "dead": [],
-            },
-        )
-        return {
-            "generation": 0,
-            "touched_buckets": sorted(
-                r[0]
-                for r in batch_latest.select(partition_col)
-                .distinct()
-                .collect()
-            ),
-            "files_read": 0,
-            "files_total": len(rels),
-            "bytes_read": 0,
-            "bytes_total": sum(
-                os.path.getsize(os.path.join(store_dir, r)) for r in rels
-            ),
-            "pruning": "none",
-        }
 
     # Driver-side batch keys are O(|batch|) — safe for CDC batches but
     # not unbounded. The probe collects distinct (bucket, key) pairs
@@ -228,16 +305,6 @@ def merge_manifest_store(
             batch_ranges[str(part)] = (lo, hi)
         touched_parts = set(batch_ranges)
         pruning = "intervals"
-    if not touched_parts:
-        return {
-            "generation": m["generation"],
-            "touched_buckets": [],
-            "files_read": 0,
-            "files_total": len(m["files"]),
-            "bytes_read": 0,
-            "bytes_total": 0,
-            "pruning": pruning,
-        }
 
     def bucket_raw(rel: str) -> str:
         return rel.split(os.sep, 1)[0].split("=", 1)[1]
@@ -255,63 +322,154 @@ def merge_manifest_store(
         i = bisect.bisect_left(keys, e["lo"])
         return i < len(keys) and keys[i] <= e["hi"]
 
-    replaced = [e for e in m["files"] if entry_touched(e)]
-    kept = [e for e in m["files"] if not entry_touched(e)]
-    replaced_paths = [os.path.join(store_dir, e["path"]) for e in replaced]
-    bytes_read = sum(os.path.getsize(p) for p in replaced_paths)
-    bytes_total = sum(
-        os.path.getsize(os.path.join(store_dir, e["path"]))
-        for e in m["files"]
-    )
+    os.makedirs(store_dir, exist_ok=True)
+    attempts = 0
+    while True:
+        m = read_manifest(store_dir)
 
-    if replaced_paths:
-        old = spark.read.option("basePath", store_dir).parquet(
-            *replaced_paths
+        if m is None:
+            # Creation: stage gen 0, claim it under the lock; a lost
+            # race (another writer created gen 0 first) redoes this
+            # batch as a normal merge against their manifest.
+            stage, entries = _stage_clustered(
+                batch_latest, key_col, partition_col, n_out, store_dir
+            )
+            with _CommitLock(store_dir, timeout=lock_timeout):
+                if read_manifest(store_dir) is None:
+                    _publish_staged(stage, store_dir, entries)
+                    _write_manifest_atomic(
+                        store_dir,
+                        {
+                            "generation": 0,
+                            "key_col": key_col,
+                            "files": entries,
+                            "dead": [],
+                            "dead_since": {},
+                        },
+                    )
+                    return {
+                        "generation": 0,
+                        "touched_buckets": sorted(touched_parts),
+                        "files_read": 0,
+                        "files_total": len(entries),
+                        "bytes_read": 0,
+                        "bytes_total": sum(
+                            os.path.getsize(os.path.join(store_dir, e["path"]))
+                            for e in entries
+                        ),
+                        "pruning": "none",
+                        "commit_retries": attempts,
+                    }
+            shutil.rmtree(stage, ignore_errors=True)
+            attempts += 1
+            if attempts > max_commit_retries:
+                raise RuntimeError(
+                    f"merge_manifest_store: {attempts} commit conflicts "
+                    f"at {store_dir!r}"
+                )
+            continue
+
+        if not touched_parts:
+            return {
+                "generation": m["generation"],
+                "touched_buckets": [],
+                "files_read": 0,
+                "files_total": len(m["files"]),
+                "bytes_read": 0,
+                "bytes_total": 0,
+                "pruning": pruning,
+                "commit_retries": attempts,
+            }
+
+        replaced = [e for e in m["files"] if entry_touched(e)]
+        replaced_set = {e["path"] for e in replaced}
+        replaced_paths = [
+            os.path.join(store_dir, e["path"]) for e in replaced
+        ]
+        bytes_read = sum(os.path.getsize(p) for p in replaced_paths)
+        bytes_total = sum(
+            os.path.getsize(os.path.join(store_dir, e["path"]))
+            for e in m["files"]
         )
-        merged_in = old.unionByName(batch_latest)
-    else:
-        merged_in = batch_latest
 
-    from ..caching import track_local_checkpoint
+        if replaced_paths:
+            old = spark.read.option("basePath", store_dir).parquet(
+                *replaced_paths
+            )
+            merged_in = old.unionByName(batch_latest)
+        else:
+            merged_in = batch_latest
 
-    merged = track_local_checkpoint(resolve(merged_in).localCheckpoint())
-    before = _glob_files(store_dir, partition_col)
-    write_clustered(merged, "append")
-    new_rels = _glob_files(store_dir, partition_col) - before
+        from ..caching import track_local_checkpoint
 
-    now = time.time()
-    expired, carried = _retire_dead(m, retention_seconds, now)
-    newly_dead = [e["path"] for e in replaced]
-    since = m.get("dead_since", {})
-    _write_manifest_atomic(
-        store_dir,
-        {
-            "generation": m["generation"] + 1,
-            "key_col": key_col,
-            "files": kept + _file_entries(store_dir, new_rels, key_col),
-            "dead": carried + newly_dead,
-            "dead_since": {
-                **{rel: since.get(rel, 0.0) for rel in carried},
-                **{rel: now for rel in newly_dead},
-            },
-        },
-    )
-    # GC only files dead for one full swap AND past retention — after
-    # the new manifest is durable, so no reader resolves a removed path.
-    for rel in expired:
-        try:
-            os.remove(os.path.join(store_dir, rel))
-        except OSError:
-            pass
-    return {
-        "generation": m["generation"] + 1,
-        "touched_buckets": sorted(touched_parts),
-        "files_read": len(replaced),
-        "files_total": len(m["files"]),
-        "bytes_read": bytes_read,
-        "bytes_total": bytes_total,
-        "pruning": pruning,
-    }
+        merged = track_local_checkpoint(
+            resolve(merged_in).localCheckpoint()
+        )
+        stage, new_entries = _stage_clustered(
+            merged, key_col, partition_col, n_out, store_dir
+        )
+
+        with _CommitLock(store_dir, timeout=lock_timeout):
+            m2 = read_manifest(store_dir)
+            live2 = {e["path"] for e in m2["files"]}
+            base_paths = {e["path"] for e in m["files"]}
+            # Conflict iff a concurrent commit (a) replaced a file this
+            # merge resolved from, or (b) added live files overlapping
+            # this batch's keys — rows this merge should have read.
+            # Disjoint-key writers pass both checks and commit without
+            # redo; this is the Iceberg/Delta validation shape.
+            conflict = not (replaced_set <= live2) or any(
+                entry_touched(e)
+                for e in m2["files"]
+                if e["path"] not in base_paths
+            )
+            if not conflict:
+                _publish_staged(stage, store_dir, new_entries)
+                now = time.time()
+                expired, carried = _retire_dead(m2, retention_seconds, now)
+                newly_dead = sorted(replaced_set)
+                since = m2.get("dead_since", {})
+                kept2 = [
+                    e for e in m2["files"] if e["path"] not in replaced_set
+                ]
+                _write_manifest_atomic(
+                    store_dir,
+                    {
+                        "generation": m2["generation"] + 1,
+                        "key_col": key_col,
+                        "files": kept2 + new_entries,
+                        "dead": carried + newly_dead,
+                        "dead_since": {
+                            **{rel: since.get(rel, 0.0) for rel in carried},
+                            **{rel: now for rel in newly_dead},
+                        },
+                    },
+                )
+                # GC only files dead for one full swap AND past
+                # retention — after the new manifest is durable, so no
+                # reader resolves a removed path.
+                for rel in expired:
+                    try:
+                        os.remove(os.path.join(store_dir, rel))
+                    except OSError:
+                        pass
+                return {
+                    "generation": m2["generation"] + 1,
+                    "touched_buckets": sorted(touched_parts),
+                    "files_read": len(replaced),
+                    "files_total": len(m["files"]),
+                    "bytes_read": bytes_read,
+                    "bytes_total": bytes_total,
+                    "pruning": pruning,
+                    "commit_retries": attempts,
+                }
+        shutil.rmtree(stage, ignore_errors=True)
+        attempts += 1
+        if attempts > max_commit_retries:
+            raise RuntimeError(
+                f"merge_manifest_store: {attempts} commit conflicts "
+                f"at {store_dir!r}"
+            )
 
 
 def compact_manifest_store(
@@ -321,6 +479,8 @@ def compact_manifest_store(
     partition_col: str,
     files_per_bucket: int = 4,
     retention_seconds: float = 0.0,
+    max_commit_retries: int = 20,
+    lock_timeout: float = 120.0,
 ) -> dict:
     """Periodic repair under the manifest: rewrite ONE freshly
     key-range-clustered generation (merges grow the file count by up
@@ -328,49 +488,66 @@ def compact_manifest_store(
     ranges overlap older files', weakening future pruning — the
     n=1000 sparse probe measured 256 → 640 files over 3 merges).
 
-    The rewrite APPENDS the new generation (existing files are never
+    The rewrite STAGES the new generation (existing files are never
     touched, so concurrent readers of the old generation are
-    undisturbed), swaps the manifest atomically, marks the ENTIRE old
-    live set dead (retained one generation, like any merge), and GCs
-    the previous generation's dead list. Content identity is pinned in
+    undisturbed), commits it under the same optimistic protocol as the
+    merges — compaction rewrote the ENTIRE live set, so its validation
+    is simply "the live set is unchanged"; any interleaved merge wins
+    and the compaction redoes from the new generation — marks the old
+    live set dead (retained per ``retention_seconds``, like any
+    merge), and GCs lapsed dead files. Content identity is pinned in
     tests/test_manifest_store.py.
 
-    Returns {"generation", "files_before", "files_after"}.
+    Returns {"generation", "files_before", "files_after",
+    "commit_retries"}.
     """
-    m = read_manifest(store_dir)
-    if m is None:
-        raise FileNotFoundError(f"no manifest at {store_dir!r}")
-    df = read_store(spark, store_dir)
     n_out = max(int(files_per_bucket), 1)
-    before = _glob_files(store_dir, partition_col)
-    df.repartitionByRange(n_out, F.col(key_col)).write.partitionBy(
-        partition_col
-    ).mode("append").parquet(store_dir)
-    new_rels = _glob_files(store_dir, partition_col) - before
-    now = time.time()
-    expired, carried = _retire_dead(m, retention_seconds, now)
-    newly_dead = [e["path"] for e in m["files"]]
-    since = m.get("dead_since", {})
-    _write_manifest_atomic(
-        store_dir,
-        {
-            "generation": m["generation"] + 1,
-            "key_col": key_col,
-            "files": _file_entries(store_dir, new_rels, key_col),
-            "dead": carried + newly_dead,
-            "dead_since": {
-                **{rel: since.get(rel, 0.0) for rel in carried},
-                **{rel: now for rel in newly_dead},
-            },
-        },
-    )
-    for rel in expired:
-        try:
-            os.remove(os.path.join(store_dir, rel))
-        except OSError:
-            pass
-    return {
-        "generation": m["generation"] + 1,
-        "files_before": len(m["files"]),
-        "files_after": len(new_rels),
-    }
+    attempts = 0
+    while True:
+        m = read_manifest(store_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {store_dir!r}")
+        live = {e["path"] for e in m["files"]}
+        df = read_store(spark, store_dir)
+        stage, new_entries = _stage_clustered(
+            df, key_col, partition_col, n_out, store_dir
+        )
+        with _CommitLock(store_dir, timeout=lock_timeout):
+            m2 = read_manifest(store_dir)
+            if {e["path"] for e in m2["files"]} == live:
+                _publish_staged(stage, store_dir, new_entries)
+                now = time.time()
+                expired, carried = _retire_dead(m2, retention_seconds, now)
+                newly_dead = sorted(live)
+                since = m2.get("dead_since", {})
+                _write_manifest_atomic(
+                    store_dir,
+                    {
+                        "generation": m2["generation"] + 1,
+                        "key_col": key_col,
+                        "files": new_entries,
+                        "dead": carried + newly_dead,
+                        "dead_since": {
+                            **{rel: since.get(rel, 0.0) for rel in carried},
+                            **{rel: now for rel in newly_dead},
+                        },
+                    },
+                )
+                for rel in expired:
+                    try:
+                        os.remove(os.path.join(store_dir, rel))
+                    except OSError:
+                        pass
+                return {
+                    "generation": m2["generation"] + 1,
+                    "files_before": len(m["files"]),
+                    "files_after": len(new_entries),
+                    "commit_retries": attempts,
+                }
+        shutil.rmtree(stage, ignore_errors=True)
+        attempts += 1
+        if attempts > max_commit_retries:
+            raise RuntimeError(
+                f"compact_manifest_store: {attempts} commit conflicts "
+                f"at {store_dir!r}"
+            )

@@ -220,6 +220,90 @@ def test_batch_keys_hint_skips_probe(spark, tmp_path):
     assert final.where("k < 64").agg(F.min("ver")).first()[0] == 2
 
 
+def test_concurrent_writers_disjoint_keys(spark, tmp_path):
+    """Four writers merge disjoint key ranges concurrently. Their
+    batches still share files (every bucket holds every range band),
+    so commits conflict and redo — but every update must land exactly
+    once: count preserved, one row per key, each range at its
+    writer's version, generation advanced once per committed merge."""
+    store = str(tmp_path / "cstore1")
+    n = 4096
+    MS.merge_manifest_store(
+        store, _base(spark, n), "k", "bucket", _keep_newest
+    )
+
+    barrier = threading.Barrier(4)
+    stats: list[dict] = []
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        batch = spark.range(256).selectExpr(
+            f"id + {i * 1024} AS k",
+            f"CAST({i + 1} AS INT) AS ver",
+            "CAST((id + " + str(i * 1024) + ") % 4 AS INT) AS bucket",
+        )
+        barrier.wait()
+        try:
+            stats.append(
+                MS.merge_manifest_store(
+                    store, batch, "k", "bucket", _keep_newest
+                )
+            )
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
+    assert len(stats) == 4
+
+    final = MS.read_store(spark, store)
+    assert final.count() == n
+    assert final.select("k").distinct().count() == n
+    for i in range(4):
+        lo, hi = i * 1024, i * 1024 + 255
+        vers = (
+            final.where(f"k BETWEEN {lo} AND {hi}")
+            .select("ver").distinct().collect()
+        )
+        assert [r[0] for r in vers] == [i + 1], (i, vers)
+    assert MS.read_manifest(store)["generation"] == 4
+
+
+def test_conflict_redo_deterministic(spark, tmp_path):
+    """Force the OCC race: while writer B is between its manifest
+    read and its commit (inside resolve), writer A commits a merge
+    over the SAME keys. B's validation must fail, B must redo against
+    A's generation, and last-write-wins must hold through the redo:
+    B's higher version wins even though it started from a stale
+    manifest."""
+    store = str(tmp_path / "cstore2")
+    MS.merge_manifest_store(store, _base(spark), "k", "bucket", _keep_newest)
+
+    fired = []
+
+    def resolve_with_race(df):
+        if not fired:
+            fired.append(1)
+            MS.merge_manifest_store(
+                store, _batch(spark, 7, 64), "k", "bucket", _keep_newest
+            )
+        return _keep_newest(df)
+
+    stats = MS.merge_manifest_store(
+        store, _batch(spark, 9, 64), "k", "bucket", resolve_with_race
+    )
+    assert stats["commit_retries"] >= 1, stats
+    final = MS.read_store(spark, store)
+    assert final.count() == 4096
+    assert final.select("k").distinct().count() == 4096
+    vers = final.where("k < 64").select("ver").distinct().collect()
+    assert [r[0] for r in vers] == [9], vers
+
+
 def test_composite_tenant_key_pruning(spark, tmp_path):
     """Per-tenant hot keys (r11 starter): with the store range-keyed
     on the COMPOSITE tenant*2^20 + k (and bucketed by tenant), a
