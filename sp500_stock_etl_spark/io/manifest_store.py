@@ -40,6 +40,7 @@ construction (pinned in tests/test_manifest_store.py).
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
@@ -69,17 +70,55 @@ def _write_manifest_atomic(store_dir: str, manifest: dict) -> None:
     os.rename(tmp, os.path.join(store_dir, _MANIFEST))
 
 
-def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+def read_store(
+    spark: SparkSession,
+    store_dir: str,
+    key_range: tuple | None = None,
+) -> DataFrame:
     """Manifest-pinned read: exactly the current generation's live
     files (a directory listing would also see retained dead files —
-    duplicate keys — and racing appends)."""
+    duplicate keys — and racing appends).
+
+    ``key_range=(lo, hi)`` (inclusive) pushes the predicate into the
+    MANIFEST: only live files whose stored key range overlaps [lo, hi]
+    are given to Spark at all — non-overlapping files cost zero I/O,
+    not even a footer read. The returned frame is additionally
+    filtered to the exact range, so callers get precise results even
+    from files that merely overlap. At a multi-tenant store keyed on
+    the composite (tenant, key) this is how a one-tenant scan reads
+    one tenant's files (scripts/tenant_probe.py measures the write
+    side of the same property)."""
     m = read_manifest(store_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest at {store_dir!r}")
-    paths = [os.path.join(store_dir, f["path"]) for f in m["files"]]
-    if not paths:
+    entries = m["files"]
+    if not entries:
         raise ValueError(f"empty manifest generation at {store_dir!r}")
-    return spark.read.option("basePath", store_dir).parquet(*paths)
+    if key_range is None:
+        paths = [os.path.join(store_dir, f["path"]) for f in entries]
+        return spark.read.option("basePath", store_dir).parquet(*paths)
+    lo, hi = key_range
+    picked = [
+        e
+        for e in entries
+        if e["lo"] is None or not (e["hi"] < lo or hi < e["lo"])
+    ]
+    key_col = m["key_col"]
+    if not picked:
+        # Preserve the store schema on an empty selection: scan one
+        # live file with a never-true predicate (schema-only cost).
+        one = os.path.join(store_dir, entries[0]["path"])
+        return (
+            spark.read.option("basePath", store_dir)
+            .parquet(one)
+            .where(F.lit(False))
+        )
+    paths = [os.path.join(store_dir, e["path"]) for e in picked]
+    return (
+        spark.read.option("basePath", store_dir)
+        .parquet(*paths)
+        .where(F.col(key_col).between(lo, hi))
+    )
 
 
 _LOCK = "_commit.lock"
@@ -186,6 +225,18 @@ def _publish_staged(stage: str, store_dir: str, entries: list[dict]) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
+@contextlib.contextmanager
+def _staged_cleanup_on_error(stage: str):
+    """Reap the staging dir if the commit attempt raises (e.g. lock
+    timeout) — staged files are invisible to readers, but an
+    abandoned stage would otherwise sit on disk forever."""
+    try:
+        yield
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+
 def _retire_dead(
     m: dict, retention_seconds: float, now: float
 ) -> tuple[list[str], list[str]]:
@@ -225,8 +276,9 @@ def merge_manifest_store(
        (zero parquet I/O; footers are read once per file, at the
        generation that created it);
     2. read exactly those files (+ batch), resolve last-write-wins,
-       APPEND the result as new key-range-clustered files;
-    3. swap ``_manifest.json`` atomically: live = (old live −
+       STAGE the result as new key-range-clustered files and publish
+       them by rename at commit;
+    3. swap ``_manifest.json`` atomically: live = (current live −
        replaced) + new files; dead = replaced (retained on disk);
     4. GC: physically delete dead files that have been dead for one
        full generation AND for at least ``retention_seconds`` —
@@ -334,7 +386,9 @@ def merge_manifest_store(
             stage, entries = _stage_clustered(
                 batch_latest, key_col, partition_col, n_out, store_dir
             )
-            with _CommitLock(store_dir, timeout=lock_timeout):
+            with _staged_cleanup_on_error(stage), _CommitLock(
+                store_dir, timeout=lock_timeout
+            ):
                 if read_manifest(store_dir) is None:
                     _publish_staged(stage, store_dir, entries)
                     _write_manifest_atomic(
@@ -409,7 +463,9 @@ def merge_manifest_store(
             merged, key_col, partition_col, n_out, store_dir
         )
 
-        with _CommitLock(store_dir, timeout=lock_timeout):
+        with _staged_cleanup_on_error(stage), _CommitLock(
+            store_dir, timeout=lock_timeout
+        ):
             m2 = read_manifest(store_dir)
             live2 = {e["path"] for e in m2["files"]}
             base_paths = {e["path"] for e in m["files"]}
@@ -512,7 +568,9 @@ def compact_manifest_store(
         stage, new_entries = _stage_clustered(
             df, key_col, partition_col, n_out, store_dir
         )
-        with _CommitLock(store_dir, timeout=lock_timeout):
+        with _staged_cleanup_on_error(stage), _CommitLock(
+            store_dir, timeout=lock_timeout
+        ):
             m2 = read_manifest(store_dir)
             if {e["path"] for e in m2["files"]} == live:
                 _publish_staged(stage, store_dir, new_entries)

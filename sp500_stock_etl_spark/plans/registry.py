@@ -133,7 +133,9 @@ _PRIORITY: tuple[str, ...] = (
     "window_deduped_latest_snapshot",  # r6
     "zorder_layout_stats",  # r6
     "zorder_pruning_demo",  # r6
-    "asof_join_events",  # r7
+    # (asof_join_events, r7, was the 50th fill until the continuation
+    # session's birth streaming_cdc_upsert_tenant took the head slot —
+    # births displace the newest fill, per standing policy.)
 )
 
 

@@ -225,7 +225,10 @@ def test_concurrent_writers_disjoint_keys(spark, tmp_path):
     batches still share files (every bucket holds every range band),
     so commits conflict and redo — but every update must land exactly
     once: count preserved, one row per key, each range at its
-    writer's version, generation advanced once per committed merge."""
+    writer's version, generation advanced once per committed merge.
+    A concurrent READER loop runs throughout: update-only batches
+    mean every legitimate generation has exactly the base row count,
+    so any torn generation shows up as a different count."""
     store = str(tmp_path / "cstore1")
     n = 4096
     MS.merge_manifest_store(
@@ -235,6 +238,15 @@ def test_concurrent_writers_disjoint_keys(spark, tmp_path):
     barrier = threading.Barrier(4)
     stats: list[dict] = []
     errors: list[Exception] = []
+    stop = threading.Event()
+    reader_errors: list[str] = []
+
+    def reader() -> None:
+        while not stop.is_set():
+            c = MS.read_store(spark, store).count()
+            if c != n:
+                reader_errors.append(f"saw {c} rows (expected {n})")
+                return
 
     def writer(i: int) -> None:
         batch = spark.range(256).selectExpr(
@@ -244,19 +256,32 @@ def test_concurrent_writers_disjoint_keys(spark, tmp_path):
         )
         barrier.wait()
         try:
+            # retention >= the slowest reader/merge: the documented
+            # operating rule for concurrent writers — commits bunch
+            # (staging overlaps, commit sections are ms), so without
+            # retention a reader's generation-g files could be GC'd
+            # two quick commits later, mid-scan.
             stats.append(
                 MS.merge_manifest_store(
-                    store, batch, "k", "bucket", _keep_newest
+                    store, batch, "k", "bucket", _keep_newest,
+                    retention_seconds=3600.0,
                 )
             )
         except Exception as e:  # surfaced below
             errors.append(e)
 
+    rt = threading.Thread(target=reader)
+    rt.start()
     threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        stop.set()
+        rt.join()
+    assert reader_errors == [], reader_errors
     assert errors == [], errors
     assert len(stats) == 4
 
@@ -361,6 +386,44 @@ def test_composite_tenant_key_pruning(spark, tmp_path):
         results[layout] = st["bytes_read"] / max(st["bytes_total"], 1)
     # Composite layout must read a strictly smaller store fraction.
     assert results["composite"] < results["global_key"] / 2, results
+
+
+def test_read_store_key_range_pruning(spark, tmp_path):
+    """read_store(key_range=...) selects files from the MANIFEST's
+    stored ranges — non-overlapping files never reach Spark (checked
+    via inputFiles) — and filters the overlap precisely. An empty
+    selection keeps the store schema."""
+    store = str(tmp_path / "rstore")
+    base = spark.range(8 * 512).selectExpr(
+        "id DIV 512 AS tenant",
+        "id % 512 AS k",
+        "CAST(0 AS INT) AS ver",
+        "(id DIV 512) * 1048576 + id % 512 AS ck",
+        "CAST(id DIV 512 % 4 AS INT) AS bucket",
+    )
+
+    def keep_newest_ck(df):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("ck").orderBy(F.col("ver").desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+
+    MS.merge_manifest_store(store, base, "ck", "bucket", keep_newest_ck)
+
+    lo, hi = 3 * 1048576, 3 * 1048576 + 511  # tenant 3's ck range
+    df = MS.read_store(spark, store, key_range=(lo, hi))
+    assert df.count() == 512
+    assert [r[0] for r in df.select("tenant").distinct().collect()] == [3]
+    n_live = len(MS.read_manifest(store)["files"])
+    assert 0 < len(df.inputFiles()) < n_live, (len(df.inputFiles()), n_live)
+
+    empty = MS.read_store(spark, store, key_range=(10**12, 10**12 + 1))
+    assert empty.count() == 0
+    assert empty.schema == MS.read_store(spark, store).schema
 
 
 def test_time_based_retention(spark, tmp_path):
