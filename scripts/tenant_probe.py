@@ -163,6 +163,22 @@ def main() -> None:
             n_rows = final.count()
             n_v1 = final.where("ver = 1").count()
             finals[layout] = final.select("tenant", "k", "ver")
+
+            # Read side of the same property: a one-tenant scan. On
+            # the composite layout the manifest hands Spark only that
+            # tenant's files; on the bare-key layout the tenant's ck
+            # range spans every file's key range, so nothing prunes.
+            t0 = time.perf_counter()
+            if layout == "composite":
+                one = read_store(
+                    spark, store,
+                    key_range=(3 << 40, (3 << 40) + k_per_tenant),
+                )
+            else:
+                one = read_store(spark, store).where("tenant = 3")
+            n_one = one.count()
+            scan_s = round(time.perf_counter() - t0, 2)
+            scan_files = len(one.inputFiles())
             print(
                 json.dumps(
                     {
@@ -182,6 +198,9 @@ def main() -> None:
                         "pruning": stats["pruning"],
                         "rows_ok": n_rows == N_TENANTS * k_per_tenant,
                         "updated_ok": n_v1 == n_batch,
+                        "one_tenant_scan_s": scan_s,
+                        "one_tenant_files": scan_files,
+                        "one_tenant_rows_ok": n_one == k_per_tenant,
                     }
                 ),
                 flush=True,
