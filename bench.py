@@ -365,6 +365,23 @@ CORE_QUERIES = [
 ]
 
 
+def _host_fingerprint_ms() -> float:
+    """Single-thread microbench (best-of-3 sum(range(1e7)), ms) so
+    every bench artifact self-documents the box it ran on — the r11
+    continuation session found the driver had migrated hosts
+    mid-round (~1.4x uniform slowdown vs all r9/r10-era anchors;
+    BASELINE "HOST MIGRATION"), which is invisible in the wall
+    numbers alone. The r11 continuation host reads ~171 ms; the
+    prior host was never fingerprinted (that gap is why this field
+    exists)."""
+    import timeit
+
+    return round(
+        min(timeit.repeat("sum(range(10**7))", number=1, repeat=3)) * 1000,
+        1,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -461,7 +478,9 @@ def main() -> None:
         3,
     )
 
+    host_st_ms = _host_fingerprint_ms()
     detail = {
+        "host_st_ms": host_st_ms,
         "queries": timings,
         "queries_new": new_timings,
         "core_queries": CORE_QUERIES,
@@ -506,6 +525,7 @@ def main() -> None:
                 "full_value": full,
                 "tail_mode": tail_mode,
                 "detail": "BENCH_DETAIL.json",
+                "host_st_ms": host_st_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
