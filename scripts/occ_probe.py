@@ -37,8 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_BUCKETS = 64
 FILES_PER_BUCKET = 16
-N_WRITERS = 4
-ROUNDS = 3
+N_WRITERS = int(os.environ.get("SPARK_GRAFT_OCC_WRITERS", "4"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_OCC_ROUNDS", "3"))
 BATCH_KEYS = 100_000
 RETENTION = 3600.0
 
