@@ -47,9 +47,11 @@ import os
 import shutil
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .commit_lock import CommitLock
 from .writers import _parquet_key_range
 
 _MANIFEST = "_manifest.json"
@@ -121,58 +123,21 @@ def read_store(
     )
 
 
-_LOCK = "_commit.lock"
+# Commit lock: token-holding, TOCTOU-free stale takeover, pluggable
+# backend (POSIX O_EXCL | simulated object-store put-if-absent) — the
+# object-store deployment boundary lives behind the three-method
+# conditional-write interface in commit_lock.py, not in this protocol.
+_CommitLock = CommitLock
 
 
-class _CommitLock:
-    """Exclusive-create commit lock serializing the manifest's
-    read-validate-swap critical section — the filesystem's O_EXCL is
-    the put-if-absent primitive every log-based table format leans on.
-    Only metadata work (validate, renames, one JSON write, GC) runs
-    under it; Spark jobs never hold it. A lock file older than
-    ``stale_seconds`` is presumed abandoned (crashed writer) and taken
-    over."""
-
-    def __init__(
-        self,
-        store_dir: str,
-        timeout: float = 120.0,
-        poll: float = 0.02,
-        stale_seconds: float = 600.0,
-    ) -> None:
-        self.path = os.path.join(store_dir, _LOCK)
-        self.timeout = timeout
-        self.poll = poll
-        self.stale_seconds = stale_seconds
-
-    def __enter__(self) -> "_CommitLock":
-        deadline = time.monotonic() + self.timeout
-        while True:
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
-                try:
-                    age = time.time() - os.path.getmtime(self.path)
-                    if age > self.stale_seconds:
-                        os.unlink(self.path)  # abandoned; take over
-                        continue
-                except OSError:
-                    continue  # holder released between open and stat
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"commit lock at {self.path!r} held for "
-                        f">{self.timeout}s"
-                    )
-                time.sleep(self.poll)
-
-    def __exit__(self, *exc) -> None:
-        try:
-            os.unlink(self.path)
-        except OSError:
-            pass
+def _safe_size(path: str) -> int:
+    """Observability-only file size: with concurrent writers a file in
+    *this* merge's snapshot can be GC'd by two quick interleaved
+    commits before accounting runs — stats must never crash a merge."""
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
 
 
 def _stage_clustered(
@@ -235,6 +200,24 @@ def _staged_cleanup_on_error(stage: str):
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
+
+
+def _warn_zero_retention(store_dir: str) -> None:
+    """A commit conflict proves concurrent writers exist; with
+    ``retention_seconds=0`` a redo loser's input files can be
+    physically GC'd by two quick interleaved commits while its Spark
+    job is still reading them. The operating rule (retention >= the
+    slowest merge) was docstring-only before r12 — now it speaks up
+    the moment the risky configuration is *observed*."""
+    warnings.warn(
+        f"merge_manifest_store({store_dir!r}): commit conflict observed "
+        "with retention_seconds=0 — concurrent writers need a retention "
+        "window at least as long as the slowest merge, or a redo "
+        "loser's input files may be GC'd mid-read "
+        "(scripts/occ_probe.py runs with retention_seconds=3600)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _retire_dead(
@@ -312,11 +295,14 @@ def merge_manifest_store(
     long-running readers.
 
     Returns the same observability dict as merge_touched_files plus
-    ``generation``, ``pruning`` ("keys" | "intervals") and
-    ``commit_retries``.
+    ``generation``, ``pruning`` ("keys" | "intervals"),
+    ``commit_retries`` and ``wall_s`` (this merge's wall-clock — the
+    r11 bench artifact caught a 3x run-to-run swing on the filestats
+    query and the per-batch wall is what localizes such swings).
     """
     import bisect
 
+    t_merge0 = time.perf_counter()
     spark = batch_latest.sparkSession
     n_out = max(int(files_per_bucket), 1)
 
@@ -408,14 +394,17 @@ def merge_manifest_store(
                         "files_total": len(entries),
                         "bytes_read": 0,
                         "bytes_total": sum(
-                            os.path.getsize(os.path.join(store_dir, e["path"]))
+                            _safe_size(os.path.join(store_dir, e["path"]))
                             for e in entries
                         ),
                         "pruning": "none",
                         "commit_retries": attempts,
+                        "wall_s": round(time.perf_counter() - t_merge0, 3),
                     }
             shutil.rmtree(stage, ignore_errors=True)
             attempts += 1
+            if retention_seconds <= 0 and attempts == 1:
+                _warn_zero_retention(store_dir)
             if attempts > max_commit_retries:
                 raise RuntimeError(
                     f"merge_manifest_store: {attempts} commit conflicts "
@@ -433,6 +422,7 @@ def merge_manifest_store(
                 "bytes_total": 0,
                 "pruning": pruning,
                 "commit_retries": attempts,
+                "wall_s": round(time.perf_counter() - t_merge0, 3),
             }
 
         replaced = [e for e in m["files"] if entry_touched(e)]
@@ -440,11 +430,7 @@ def merge_manifest_store(
         replaced_paths = [
             os.path.join(store_dir, e["path"]) for e in replaced
         ]
-        bytes_read = sum(os.path.getsize(p) for p in replaced_paths)
-        bytes_total = sum(
-            os.path.getsize(os.path.join(store_dir, e["path"]))
-            for e in m["files"]
-        )
+        bytes_read = sum(_safe_size(p) for p in replaced_paths)
 
         if replaced_paths:
             old = spark.read.option("basePath", store_dir).parquet(
@@ -509,18 +495,29 @@ def merge_manifest_store(
                         os.remove(os.path.join(store_dir, rel))
                     except OSError:
                         pass
+                # Totals against m2 — the generation this commit
+                # actually validated and published over (a concurrent
+                # commit touching only non-conflicting files can land
+                # between the loop-top read and the lock); files_read/
+                # bytes_read stay what the merge truly read (from m).
                 return {
                     "generation": m2["generation"] + 1,
                     "touched_buckets": sorted(touched_parts),
                     "files_read": len(replaced),
-                    "files_total": len(m["files"]),
+                    "files_total": len(m2["files"]),
                     "bytes_read": bytes_read,
-                    "bytes_total": bytes_total,
+                    "bytes_total": sum(
+                        _safe_size(os.path.join(store_dir, e["path"]))
+                        for e in m2["files"]
+                    ),
                     "pruning": pruning,
                     "commit_retries": attempts,
+                    "wall_s": round(time.perf_counter() - t_merge0, 3),
                 }
         shutil.rmtree(stage, ignore_errors=True)
         attempts += 1
+        if retention_seconds <= 0 and attempts == 1:
+            _warn_zero_retention(store_dir)
         if attempts > max_commit_retries:
             raise RuntimeError(
                 f"merge_manifest_store: {attempts} commit conflicts "

@@ -402,6 +402,8 @@ def merge_touched_files(
     partition_col: str,
     resolve,
     files_per_bucket: int = 4,
+    max_collected_keys: int = 1_000_000,
+    batch_keys_hint: int | None = None,
 ) -> dict:
     """CDC merge that rewrites ONLY the FILES whose key range the
     batch touches — the next granularity down from
@@ -421,8 +423,12 @@ def merge_touched_files(
       below); ``compact_store_files`` is the periodic repair.
 
     Per batch:
-    1. collect the batch's distinct keys per bucket (bounded by batch
-       size, not store size);
+    1. collect the batch's distinct keys per bucket through a
+       ``limit(max_collected_keys + 1)`` probe — one bounded job,
+       never an unbounded collect (r11 verdict item 3); on overflow
+       (or ``batch_keys_hint > max_collected_keys``) prune by
+       per-bucket [min, max] intervals instead, bounded by the bucket
+       count at any batch size;
     2. for each touched bucket, read each store file's FOOTER min/max
        and select the files whose range contains any batch key
        (sorted-keys binary search). A file whose range excludes a key
@@ -478,15 +484,43 @@ def merge_touched_files(
 
     from ..caching import track_local_checkpoint
 
-    # Batch keys per bucket (driver-side, bounded by |batch|).
+    # Batch keys per bucket, DRIVER-MEMORY BOUNDED (same bound as the
+    # manifest path, manifest_store.py): the distinct (bucket, key)
+    # pairs are collected through a limit(max_collected_keys + 1)
+    # probe — one job whose driver footprint is bounded by
+    # construction. On overflow (or an upstream hint that the batch is
+    # huge), prune by per-bucket [min, max] INTERVALS instead — 2
+    # values per bucket, bounded by the bucket count at ANY batch
+    # size. Interval pruning is a superset of key pruning (it can only
+    # select MORE files, never miss a key's file), so correctness is
+    # unchanged; at 100 TB this keeps the driver out of the data path.
     batch_keys: dict = {}
-    for part, key in (
-        batch_latest.select(partition_col, key_col).distinct().collect()
-    ):
-        batch_keys.setdefault(part, []).append(key)
-    for ks in batch_keys.values():
-        ks.sort()
-    if not batch_keys:
+    batch_ranges: dict = {}
+    pairs = None
+    if batch_keys_hint is None or batch_keys_hint <= max_collected_keys:
+        pairs = (
+            batch_latest.select(partition_col, key_col)
+            .distinct()
+            .limit(max_collected_keys + 1)
+            .collect()
+        )
+        if len(pairs) > max_collected_keys:
+            pairs = None  # overflow -> interval fallback
+    if pairs is not None:
+        for part, key in pairs:
+            batch_keys.setdefault(part, []).append(key)
+        for ks in batch_keys.values():
+            ks.sort()
+        touched_parts = batch_keys
+    else:
+        for part, lo, hi in (
+            batch_latest.groupBy(partition_col)
+            .agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi"))
+            .collect()
+        ):
+            batch_ranges[part] = (lo, hi)
+        touched_parts = batch_ranges
+    if not touched_parts:
         return {
             "touched_buckets": [],
             "files_read": 0,
@@ -502,18 +536,21 @@ def merge_touched_files(
 
     def bucket_of(path: str):
         raw = os.path.basename(os.path.dirname(path)).split("=", 1)[1]
-        sample = next(iter(batch_keys))
+        sample = next(iter(touched_parts))
         return type(sample)(raw) if not isinstance(sample, str) else raw
 
     def file_touched(path: str) -> bool:
         b = bucket_of(path)
-        keys = batch_keys.get(b)
-        if keys is None:
+        if b not in touched_parts:
             return False  # untouched bucket — never opened
         rng = _parquet_key_range(path, key_col)
         if rng is None:
             return True  # no stats -> cannot prune, must read
         lo, hi = rng
+        if batch_ranges:
+            blo, bhi = batch_ranges[b]
+            return not (hi < blo or bhi < lo)
+        keys = batch_keys[b]
         i = bisect.bisect_left(keys, lo)
         return i < len(keys) and keys[i] <= hi
 
@@ -537,7 +574,7 @@ def merge_touched_files(
     for p in replaced:
         os.remove(p)
     return {
-        "touched_buckets": sorted(batch_keys),
+        "touched_buckets": sorted(touched_parts),
         "files_read": len(replaced),
         "files_total": len(all_files),
         "bytes_read": bytes_read,
