@@ -291,15 +291,19 @@ BENCH_QUERIES = [
     "arrow_udtf_installments",
     # --- round-10 addition (folded in round 11) ---
     "streaming_cdc_upsert_bucketed",
-]
-
-# Round-11 additions, reported under a SEPARATE key so the full-suite
-# number stays comparable round-over-round; folded at r12. Names not
-# yet registered are skipped so the harness runs mid-build.
-NEW_QUERIES: list[str] = [
+    # --- round-11 additions (folded in round 12; the filestats fold
+    # value was re-measured quiet-box first per the r11 verdict —
+    # steady ~15 s total / ~3 s per merge; the 36.4 s in the r11
+    # artifact was store-tempdir I/O contention mid-suite, localized
+    # by scripts/filestats_variance_probe.py's per-merge phases) ---
     "streaming_cdc_upsert_filestats",
     "streaming_cdc_upsert_tenant",
 ]
+
+# Round-12 additions (none yet), reported under a SEPARATE key so the
+# full-suite number stays comparable round-over-round. Names not yet
+# registered are skipped so the harness runs mid-build.
+NEW_QUERIES: list[str] = []
 
 # The 55-plan HEADLINE CORE (r10 growth policy, module docstring):
 # reference surface + one per operator family, fixed forever; `value`

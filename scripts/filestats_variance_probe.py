@@ -70,6 +70,7 @@ def main() -> None:
                         "bytes_read",
                         "pruning",
                         "commit_retries",
+                        "phases",
                     )
                 }
                 for st in QS._LAST_CDC_FILE_STATS

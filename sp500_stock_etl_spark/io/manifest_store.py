@@ -22,7 +22,10 @@ is a MANIFEST generation:
   concurrency probe hammers it.
 
 Readers are unrestricted. Writers use OPTIMISTIC concurrency (the
-Iceberg/Delta commit shape, realized with POSIX primitives): each
+Iceberg/Delta commit shape; the commit lock's storage primitives are
+pluggable — ``commit_lock.py`` realizes them over POSIX O_EXCL or a
+simulated object-store put-if-absent, so an object-store deployment
+is an adapter, not a protocol change): each
 merge stages its output files in a hidden dir (so every writer knows
 exactly which files are its own — nothing reader-visible before the
 swap), then takes a short exclusive-create commit lock for the
@@ -146,6 +149,7 @@ def _stage_clustered(
     partition_col: str,
     n_out: int,
     store_dir: str,
+    phases: dict | None = None,
 ) -> tuple[str, list[dict]]:
     """Write the clustered output into a hidden staging dir inside the
     store and return (stage_dir, manifest entries with store-relative
@@ -155,10 +159,12 @@ def _stage_clustered(
     directory-diff would claim a concurrent writer's files) and
     nothing becomes reader-visible before the manifest swap. Part
     filenames carry task UUIDs, so publishing is collision-free."""
+    t0 = time.perf_counter()
     stage = os.path.join(store_dir, f".stage-{uuid.uuid4().hex}")
     df.repartitionByRange(n_out, F.col(key_col)).write.partitionBy(
         partition_col
     ).mode("overwrite").parquet(stage)
+    t1 = time.perf_counter()
     rels = sorted(
         os.path.relpath(p, stage)
         for p in glob.glob(
@@ -174,6 +180,14 @@ def _stage_clustered(
                 "lo": None if rng is None else rng[0],
                 "hi": None if rng is None else rng[1],
             }
+        )
+    if phases is not None:
+        t2 = time.perf_counter()
+        phases["stage_write_s"] = round(
+            phases.get("stage_write_s", 0.0) + (t1 - t0), 3
+        )
+        phases["stage_footers_s"] = round(
+            phases.get("stage_footers_s", 0.0) + (t2 - t1), 3
         )
     return stage, entries
 
@@ -303,6 +317,13 @@ def merge_manifest_store(
     import bisect
 
     t_merge0 = time.perf_counter()
+    phases: dict[str, float] = {}
+
+    def _mark(key: str, t0: float) -> float:
+        now = time.perf_counter()
+        phases[key] = round(phases.get(key, 0.0) + (now - t0), 3)
+        return now
+
     spark = batch_latest.sparkSession
     n_out = max(int(files_per_bucket), 1)
 
@@ -318,6 +339,7 @@ def merge_manifest_store(
     batch_keys: dict[str, list] = {}
     batch_ranges: dict[str, tuple] = {}
     pairs = None
+    t_ph = time.perf_counter()
     if batch_keys_hint is None or batch_keys_hint <= max_collected_keys:
         pairs = (
             batch_latest.select(partition_col, key_col)
@@ -343,6 +365,7 @@ def merge_manifest_store(
             batch_ranges[str(part)] = (lo, hi)
         touched_parts = set(batch_ranges)
         pruning = "intervals"
+    t_ph = _mark("probe_s", t_ph)
 
     def bucket_raw(rel: str) -> str:
         return rel.split(os.sep, 1)[0].split("=", 1)[1]
@@ -432,6 +455,7 @@ def merge_manifest_store(
         ]
         bytes_read = sum(_safe_size(p) for p in replaced_paths)
 
+        t_ph = time.perf_counter()
         if replaced_paths:
             old = spark.read.option("basePath", store_dir).parquet(
                 *replaced_paths
@@ -445,9 +469,11 @@ def merge_manifest_store(
         merged = track_local_checkpoint(
             resolve(merged_in).localCheckpoint()
         )
+        t_ph = _mark("resolve_s", t_ph)
         stage, new_entries = _stage_clustered(
-            merged, key_col, partition_col, n_out, store_dir
+            merged, key_col, partition_col, n_out, store_dir, phases
         )
+        t_ph = _mark("stage_s", t_ph)
 
         with _staged_cleanup_on_error(stage), _CommitLock(
             store_dir, timeout=lock_timeout
@@ -513,6 +539,10 @@ def merge_manifest_store(
                     "pruning": pruning,
                     "commit_retries": attempts,
                     "wall_s": round(time.perf_counter() - t_merge0, 3),
+                    "phases": {
+                        **phases,
+                        "commit_s": round(time.perf_counter() - t_ph, 3),
+                    },
                 }
         shutil.rmtree(stage, ignore_errors=True)
         attempts += 1

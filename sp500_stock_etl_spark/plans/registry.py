@@ -74,68 +74,65 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # parametrize), and output schemas are swept by
 # tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- r11 window. Policy unchanged (r7/r8/r9/r10): births at the
-    # head the moment they land; every remaining slot is the
-    # stalest-green fill GENERATED from the CORRECTNESS union by
+    # --- r12 window. Policy unchanged (r7..r11): births at the head
+    # the moment they land; every remaining slot is the stalest-green
+    # fill GENERATED from the CORRECTNESS union by
     # `scripts/coverage_report.py` (stalest_ok, oracle-bearing only).
-    # Generated 2026-08-15 after CORRECTNESS_r10 (zero debts pending:
-    # never_checked = [the r11 birth], oracle_upgraded_pending = [],
-    # ever_error = []): one r5 straggler (xml_roundtrip_agg, displaced
-    # by the r10 birth last round), then the r6 band — next stalest
-    # after these fills: dedup_prefix_jaccard (r7).
-    "streaming_cdc_upsert_tenant",  # r11 birth: composite-tenant CDC store
-    "streaming_cdc_upsert_filestats",  # r11 birth: file-level CDC merge
-    "xml_roundtrip_agg",  # r5
-    "abc_pareto_classification",  # r6
-    "asof_join_forward",  # r6
-    "asof_join_nearest",  # r6
-    "asof_join_tolerance",  # r6
-    "batch_sessionization",  # r6
-    "corpus_bigram_lm",  # r6
-    "corpus_budget_fill",  # r6
-    "corpus_curation_pipeline",  # r6
-    "corpus_curation_v2",  # r6
-    "corpus_decontamination_overlap",  # r6
-    "corpus_domain_mix_report",  # r6
-    "corpus_lm_quality_score",  # r6
-    "corpus_pagerank",  # r6
-    "corpus_url_canonical_dedup",  # r6
-    "dedup_connected_components_star",  # r6
-    "dedup_keep_best_quality",  # r6
-    "dedup_minhash_lsh",  # r6
-    "dedup_simhash",  # r6
-    "embedding_quantize_int8",  # r6
-    "entity_resolution_customers",  # r6
-    "fact_fact_join",  # r6
-    "feature_equidepth_histogram",  # r6
-    "feature_histogram_bins",  # r6
-    "filtered_scan_projection",  # r6
-    "flagship_window_metrics",  # r6
-    "gap_fill_forward",  # r6
-    "gap_fill_interpolate",  # r6
-    "global_sort_topk",  # r6
-    "grouping_sets_agg",  # r6
-    "hourly_event_agg",  # r6
-    "interval_overlap_agg",  # r6
-    "jsonl_sink_roundtrip_agg",  # r6
-    "merge_upsert_customers",  # r6
-    "multimodal_decode_dims",  # r6
-    "qa_aggregate",  # r6
-    "rollup_agg",  # r6
-    "similarity_lsh_topk",  # r6
-    "sql_api_shipping_priority",  # r6
-    "streaming_jsonl_sink_roundtrip",  # r6
-    "streaming_ohlc_bars_append",  # r6
-    "text_lang_id",  # r6
-    "token_frequency_topn",  # r6
-    "tpch_q6_forecast_revenue",  # r6
-    "union_all_distinct",  # r6
-    "window_deduped_latest_snapshot",  # r6
-    "zorder_layout_stats",  # r6
-    "zorder_pruning_demo",  # r6
-    # (asof_join_events, r7, was the 50th fill until the continuation
-    # session's birth streaming_cdc_upsert_tenant took the head slot —
-    # births displace the newest fill, per standing policy.)
+    # Generated 2026-08-16 after CORRECTNESS_r11 (zero debts pending:
+    # never_checked = [], oracle_upgraded_pending = [], ever_error =
+    # []): no births yet this round, so the full 50 is the r7 band —
+    # exactly the block the r11 verdict item 2 named. Next stalest
+    # after these fills: the r8 block (arrow_scalar_vector_ops, ...).
+    "asof_join_events",  # r7
+    "conditional_agg_suite",  # r7
+    "corpus_balanced_sample",  # r7
+    "corpus_bpe_encode",  # r7
+    "corpus_decontamination",  # r7
+    "corpus_doc_embedding_hybrid_dedup",  # r7
+    "corpus_mix_sample",  # r7
+    "corpus_pii_redaction",  # r7
+    "corpus_token_budget",  # r7
+    "date_parts_agg",  # r7
+    "dedup_exact_substring",  # r7
+    "dedup_incremental_refresh",  # r7
+    "dedup_ngram_jaccard",  # r7
+    "dedup_prefix_jaccard",  # r7
+    "dedup_signature_store_roundtrip",  # r7
+    "doc_fingerprint",  # r7
+    "dq_quarantine_rows",  # r7
+    "dq_violation_counts",  # r7
+    "embedding_pq_encode_init",  # r7
+    "exact_quantiles",  # r7
+    "grouped_agg_pricing_decimal",  # r7
+    "hierarchical_rollup_daily",  # r7
+    "incremental_agg_maintenance",  # r7
+    "json_props_agg",  # r7
+    "jsonl_source_agg",  # r7
+    "kmeans_assign_init",  # r7
+    "map_entries_agg",  # r7
+    "multimodal_audio_chunk_plan",  # r7
+    "multimodal_frame_sample",  # r7
+    "multimodal_resize_plan",  # r7
+    "multimodal_video_decode",  # r7
+    "percent_of_total",  # r7
+    "quote_feed_source_agg",  # r7
+    "range_interval_join",  # r7
+    "range_window_trailing_spend",  # r7
+    "ranking_function_suite",  # r7
+    "recursive_cte_calendar",  # r7
+    "similarity_bruteforce_topk",  # r7
+    "similarity_ivf_topk",  # r7
+    "skew_salted_join",  # r7
+    "star_chain_q5",  # r7
+    "streaming_corpus_curation",  # r7
+    "streaming_corpus_dedup",  # r7
+    "streaming_stream_stream_full_join",  # r7
+    "tpcds_q51_cumulative_max",  # r7
+    "tpcds_q67_rollup_topk",  # r7
+    "tpcds_q73_basket_counts",  # r7
+    "tpcds_q88_multiband_counts",  # r7
+    "tpcds_q93_returns_adjusted",  # r7
+    "tpcds_q97_channel_overlap",  # r7
 )
 
 
