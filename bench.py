@@ -90,6 +90,24 @@ coverage or comparability. From r10 the headline splits in two:
   gleaned from BENCH_r*.json files), so each tail plan is still
   measured every other round while the core stays every-round.
   ``tail_mode`` in the output records which mode ran.
+
+Round-12 re-anchor (round-11 verdict item 1 — the host migrated
+mid-r11, killing every old-host anchor). The two r11 births fold into
+the 167-plan union AFTER their swing was bounded (filestats folds at
+11.1-12.9 s across four runs; the r11 artifact's 36.4 s was store-
+tempdir I/O contention, localized by scripts/
+filestats_variance_probe.py). NEW-HOST anchors, pre-registered as the
+median of three consecutive driver-protocol runs within +/-20%
+(109.546/105.389/80.271 core; 339.639/350.971/272.815 full):
+**core 105.389 s, full-suite 339.639 s**. The +/-35% band across four
+runs is the microVM's PARALLEL-capacity swing (run 1 read 158.2 core
+with a QUICK single-thread fingerprint of 144.9 ms — 30%+ system
+time, 40k interrupts/s, idle cores mid-suite), which is why every
+artifact now also stamps ``host_mt_ms`` (all-cores fingerprint;
+healthy ~= host_st_ms x scaling loss, reads far above it when the
+box is contended). Like-for-like code delta vs the r11 committed
+detail: median per-query ratio 1.011 (runs 2/3 best) and 0.864
+(run 4) — round-12 code is at or better than r11 parity.
 """
 
 from __future__ import annotations
@@ -386,6 +404,32 @@ def _host_fingerprint_ms() -> float:
     )
 
 
+def _worker_sum(_):
+    return sum(range(10**7))
+
+
+def _host_parallel_fingerprint_ms() -> float:
+    """All-cores microbench: wall ms for ncpu simultaneous
+    sum(range(1e7)) processes, best-of-2. The r12 re-anchoring found
+    the single-thread fingerprint is NOT sufficient: a run with
+    st_ms=144.9 (quick) still read 1.45x over its two successors
+    (st 159.7/154.1) because the microVM's PARALLEL capacity swings
+    independently — 30%+ system time, 40k interrupts/s, idle cores
+    mid-suite. A healthy box reads ~= st_ms here (perfect scaling);
+    a contended one reads well above it."""
+    import multiprocessing as mp
+    import time as _t
+
+    n = mp.cpu_count()
+    best = float("inf")
+    for _ in range(2):
+        with mp.get_context("fork").Pool(n) as pool:
+            t0 = _t.perf_counter()
+            pool.map(_worker_sum, range(n))
+            best = min(best, (_t.perf_counter() - t0) * 1000)
+    return round(best, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -483,8 +527,10 @@ def main() -> None:
     )
 
     host_st_ms = _host_fingerprint_ms()
+    host_mt_ms = _host_parallel_fingerprint_ms()
     detail = {
         "host_st_ms": host_st_ms,
+        "host_mt_ms": host_mt_ms,
         "queries": timings,
         "queries_new": new_timings,
         "core_queries": CORE_QUERIES,
@@ -512,10 +558,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "55-plan headline core wall-clock (noop sink; "
-                "fixed forever per r10 growth policy; core anchor 64.601s "
-                "= same plans in BENCH_r09 driver detail; full-suite "
-                "anchor 208.235s = BENCH_r10 200.828 + r10 section 7.407, "
-                "see value_full_suite)",
+                "fixed forever per r10 growth policy; r12 NEW-HOST "
+                "anchors, pre-registered from 3 consecutive driver-"
+                "protocol runs within +/-20%: core 105.389s (band "
+                "80.3-109.5), full-suite 339.639s over the 167-plan "
+                "union (band 272.8-351.0) — read with host_st_ms/"
+                "host_mt_ms; old-host anchors 64.601s/208.235s retired "
+                "per the host migration note in BASELINE.md)",
                 "value": core_value,
                 "unit": "sec",
                 "queries": {
@@ -530,6 +579,7 @@ def main() -> None:
                 "tail_mode": tail_mode,
                 "detail": "BENCH_DETAIL.json",
                 "host_st_ms": host_st_ms,
+                "host_mt_ms": host_mt_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

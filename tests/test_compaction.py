@@ -438,3 +438,58 @@ def test_compact_store_files_restores_clustering(spark, tmp_path):
     )
     st = merge_touched_files(store, batch, "k", "bucket", keep_max)
     assert st["files_read"] < st["files_total"], st
+
+
+def test_merge_touched_files_interval_fallback(spark, tmp_path):
+    """r11 verdict item 3: the probe-path merge no longer collects an
+    unbounded key set. Forcing the limit-probe to overflow (tiny
+    max_collected_keys) or skipping it via batch_keys_hint must flip
+    pruning to per-bucket [min, max] intervals and leave the final
+    store CONTENT identical to the keys-mode merge (interval pruning
+    is a superset — it may read more files, never fewer)."""
+    from sp500_stock_etl_spark.io.writers import merge_touched_files
+
+    def keep_newest(df):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("k").orderBy(F.col("ver").desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+
+    base = spark.range(4096).selectExpr(
+        "id AS k", "CAST(0 AS INT) AS ver", "CAST(id % 4 AS INT) AS bucket"
+    )
+    batch = spark.range(64).selectExpr(
+        "id AS k", "CAST(1 AS INT) AS ver", "CAST(id % 4 AS INT) AS bucket"
+    )
+
+    def run(store, **kw):
+        merge_touched_files(store, base, "k", "bucket", keep_newest)
+        return merge_touched_files(
+            store, batch, "k", "bucket", keep_newest, **kw
+        )
+
+    s_keys = run(str(tmp_path / "keys"))
+    s_over = run(str(tmp_path / "overflow"), max_collected_keys=8)
+    s_hint = run(str(tmp_path / "hint"), batch_keys_hint=10**9)
+
+    # Overflow and hint paths both prune by intervals; keys mode was
+    # the r10 behavior. Interval selection is a superset of the key
+    # selection and still strictly smaller than the store.
+    for st in (s_over, s_hint):
+        assert s_keys["files_read"] <= st["files_read"], (s_keys, st)
+        assert 0 < st["files_read"] < st["files_total"], st
+
+    rows = {
+        name: sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / name))
+            .select("k", "ver")
+            .collect()
+        )
+        for name in ("keys", "overflow", "hint")
+    }
+    assert rows["keys"] == rows["overflow"] == rows["hint"]
