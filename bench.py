@@ -387,47 +387,14 @@ CORE_QUERIES = [
 ]
 
 
-def _host_fingerprint_ms() -> float:
-    """Single-thread microbench (best-of-3 sum(range(1e7)), ms) so
-    every bench artifact self-documents the box it ran on — the r11
-    continuation session found the driver had migrated hosts
-    mid-round (~1.4x uniform slowdown vs all r9/r10-era anchors;
-    BASELINE "HOST MIGRATION"), which is invisible in the wall
-    numbers alone. The r11 continuation host reads ~171 ms; the
-    prior host was never fingerprinted (that gap is why this field
-    exists)."""
-    import timeit
-
-    return round(
-        min(timeit.repeat("sum(range(10**7))", number=1, repeat=3)) * 1000,
-        1,
-    )
-
-
-def _worker_sum(_):
-    return sum(range(10**7))
-
-
-def _host_parallel_fingerprint_ms() -> float:
-    """All-cores microbench: wall ms for ncpu simultaneous
-    sum(range(1e7)) processes, best-of-2. The r12 re-anchoring found
-    the single-thread fingerprint is NOT sufficient: a run with
-    st_ms=144.9 (quick) still read 1.45x over its two successors
-    (st 159.7/154.1) because the microVM's PARALLEL capacity swings
-    independently — 30%+ system time, 40k interrupts/s, idle cores
-    mid-suite. A healthy box reads ~= st_ms here (perfect scaling);
-    a contended one reads well above it."""
-    import multiprocessing as mp
-    import time as _t
-
-    n = mp.cpu_count()
-    best = float("inf")
-    for _ in range(2):
-        with mp.get_context("fork").Pool(n) as pool:
-            t0 = _t.perf_counter()
-            pool.map(_worker_sum, range(n))
-            best = min(best, (_t.perf_counter() - t0) * 1000)
-    return round(best, 1)
+# Host fingerprints (single-thread + all-cores) live in
+# sp500_stock_etl_spark/hostinfo.py — every probe stamps the same
+# pair; the module docstring carries the two incidents (r11 host
+# migration, r12 parallel-capacity swing) that make BOTH necessary.
+from sp500_stock_etl_spark.hostinfo import (  # noqa: E402
+    host_mt_ms as _host_parallel_fingerprint_ms,
+    host_st_ms as _host_fingerprint_ms,
+)
 
 
 def main() -> None:

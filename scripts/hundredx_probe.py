@@ -193,10 +193,13 @@ def _measured(spark, label: str, n: int, run_action) -> dict:
     # Metrics are snapshotted right after the timed action(s) so the
     # window covers exactly the run (the first cut of this probe also
     # counted the row-count sanity action and doubled every stage).
+    from sp500_stock_etl_spark.hostinfo import host_stamp
+
     mine = [s for k, s in _stages().items() if k not in before]
     rec = {
         "probe": label,
         "n": n,
+        **host_stamp(),
         "wall_sec": wall,
         "input_rows": sum(s.get("inputRecords", 0) for s in mine),
         "shuffle_write_mb": round(

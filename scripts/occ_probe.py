@@ -101,12 +101,15 @@ def _overlap_batch(spark, n, ver):
 
 
 def main() -> None:
+    from sp500_stock_etl_spark.hostinfo import host_stamp
     from sp500_stock_etl_spark.io.manifest_store import (
         merge_manifest_store,
         read_manifest,
         read_store,
     )
 
+    stamp = host_stamp()
+    backend = os.environ.get("SPARK_GRAFT_LOCK_BACKEND", "posix")
     ns = [int(a) for a in sys.argv[1:]] or [4_000_000]
     spark = _session()
 
@@ -179,6 +182,8 @@ def main() -> None:
                 {
                     "n_keys": n,
                     "phase": "disjoint",
+                    "lock_backend": backend,
+                    **stamp,
                     "writers": N_WRITERS,
                     "rounds": ROUNDS,
                     "wall_s": disjoint_s,
@@ -221,6 +226,8 @@ def main() -> None:
                 {
                     "n_keys": n,
                     "phase": "overlap",
+                    "lock_backend": backend,
+                    **stamp,
                     "writers": N_WRITERS,
                     "wall_s": overlap_s,
                     "commit_retries": sorted(retries),

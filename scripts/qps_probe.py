@@ -62,6 +62,8 @@ MIX = [
 
 
 def main() -> None:
+    from sp500_stock_etl_spark.hostinfo import host_stamp
+
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
     threads = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,6 +126,7 @@ def main() -> None:
             {
                 "probe": "sustained_qps",
                 "sf_dir": sf_dir,
+                **host_stamp(),
                 "threads": threads,
                 "budget_sec": budget,
                 "elapsed_sec": round(elapsed, 2),

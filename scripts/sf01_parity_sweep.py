@@ -91,9 +91,12 @@ def main() -> None:
     n_rows_only = sum(
         1 for v in results.values() if v.startswith("rows_only")
     )
+    from sp500_stock_etl_spark.hostinfo import host_stamp
+
     print(json.dumps({
         "probe": "sf01_parity_sweep",
         "sf_dir": sf_dir,
+        **host_stamp(),
         "n": len(names),
         "n_ok": n_ok,
         "n_rows_only": n_rows_only,
