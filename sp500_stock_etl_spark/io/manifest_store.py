@@ -266,6 +266,7 @@ def merge_manifest_store(
     retention_seconds: float = 0.0,
     max_commit_retries: int = 20,
     lock_timeout: float = 120.0,
+    lock_stale_seconds: float = 600.0,
 ) -> dict:
     """``merge_touched_files`` semantics behind a manifest generation:
 
@@ -307,6 +308,14 @@ def merge_manifest_store(
     as long as the slowest merge so a redo loser's input files are
     never GC'd mid-read — the same rule table formats apply to
     long-running readers.
+    Crash recovery: a writer that dies holding the commit lock leaves
+    it behind; waiters raise TimeoutError (after ``lock_timeout``)
+    until the lock is ``lock_stale_seconds`` old, at which point
+    exactly one waiter takes it over (conditional delete on the
+    observed token — commit_lock.py). Tune ``lock_stale_seconds`` to
+    a small multiple of the commit section's wall (milliseconds of
+    metadata work), not of the merge's; the default 600 s is
+    deliberately conservative for shared dev boxes.
 
     Returns the same observability dict as merge_touched_files plus
     ``generation``, ``pruning`` ("keys" | "intervals"),
@@ -396,7 +405,7 @@ def merge_manifest_store(
                 batch_latest, key_col, partition_col, n_out, store_dir
             )
             with _staged_cleanup_on_error(stage), _CommitLock(
-                store_dir, timeout=lock_timeout
+                store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
             ):
                 if read_manifest(store_dir) is None:
                     _publish_staged(stage, store_dir, entries)
@@ -476,7 +485,7 @@ def merge_manifest_store(
         t_ph = _mark("stage_s", t_ph)
 
         with _staged_cleanup_on_error(stage), _CommitLock(
-            store_dir, timeout=lock_timeout
+            store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
         ):
             m2 = read_manifest(store_dir)
             live2 = {e["path"] for e in m2["files"]}
@@ -564,6 +573,7 @@ def compact_manifest_store(
     retention_seconds: float = 0.0,
     max_commit_retries: int = 20,
     lock_timeout: float = 120.0,
+    lock_stale_seconds: float = 600.0,
 ) -> dict:
     """Periodic repair under the manifest: rewrite ONE freshly
     key-range-clustered generation (merges grow the file count by up
@@ -596,7 +606,7 @@ def compact_manifest_store(
             df, key_col, partition_col, n_out, store_dir
         )
         with _staged_cleanup_on_error(stage), _CommitLock(
-            store_dir, timeout=lock_timeout
+            store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
         ):
             m2 = read_manifest(store_dir)
             if {e["path"] for e in m2["files"]} == live:

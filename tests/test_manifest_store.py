@@ -472,3 +472,51 @@ def test_time_based_retention(spark, tmp_path):
     assert MS.read_store(spark, store).where("k < 64").agg(
         F.min("ver")
     ).first()[0] == 4
+
+
+def test_merge_takes_over_crashed_writers_lock(spark, tmp_path):
+    """Store-level crash recovery: a writer that died holding the
+    commit lock must not wedge the store forever — once the lock is
+    lock_stale_seconds old, the next merge takes it over (exactly one
+    waiter; commit_lock.py) and commits normally."""
+    import os
+    import time as _time
+
+    store = str(tmp_path / "store")
+    base = spark.range(1000).selectExpr(
+        "id AS k", "CAST(0 AS INT) AS ver", "CAST(id % 4 AS INT) AS bucket"
+    )
+    MS.merge_manifest_store(store, base, "k", "bucket", _keep_newest)
+
+    # Crashed writer: an abandoned lock, aged well past staleness.
+    lock = os.path.join(store, "_commit.lock")
+    with open(lock, "w") as fh:
+        fh.write("99999:deadbeef")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+
+    batch = spark.range(100).selectExpr(
+        "id AS k", "CAST(1 AS INT) AS ver", "CAST(id % 4 AS INT) AS bucket"
+    )
+    st = MS.merge_manifest_store(
+        store, batch, "k", "bucket", _keep_newest,
+        lock_timeout=10.0, lock_stale_seconds=5.0,
+    )
+    assert st["generation"] == 1
+    assert not os.path.exists(lock)  # taken over, then released
+    final = MS.read_store(spark, store)
+    assert final.where("k < 100").agg(F.min("ver")).first()[0] == 1
+    assert final.count() == 1000
+
+    # Control: a FRESH foreign lock must still win — the merge times
+    # out rather than stealing a live writer's critical section.
+    with open(lock, "w") as fh:
+        fh.write("11111:cafebabe")
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        MS.merge_manifest_store(
+            store, batch, "k", "bucket", _keep_newest,
+            lock_timeout=0.5, lock_stale_seconds=600.0,
+        )
+    os.unlink(lock)
