@@ -39,6 +39,15 @@ over the winner's output, so last-write-wins stays consistent
 regardless of commit order). The CDC apply remains one foreachBatch
 loop in practice, but concurrent appliers are now safe by
 construction (pinned in tests/test_manifest_store.py).
+
+Metadata scale boundary (measured, scripts/manifest_scale_probe.py):
+the flat single-JSON manifest costs ~1.4 s of metadata work per
+commit at 200k live files (~100 TB at 512 MB/file), ~0.9 s of it
+under the commit lock — commit throughput caps near 1/s there, which
+fits minute-cadence CDC appliers. Sub-second commit rates or
+multi-million-file stores need Iceberg-style manifest sharding
+(split ``files`` by bucket range into side JSONs, root becomes the
+manifest list); linear everywhere, no parse cliff (BASELINE.md §14).
 """
 
 from __future__ import annotations
