@@ -87,6 +87,7 @@ def main() -> None:
             json.dumps(
                 {
                     "probe": "manifest_scale",
+                    "format": "flat",
                     **stamp,
                     "n_files": n,
                     "manifest_mb": round(size_mb, 2),
@@ -96,6 +97,82 @@ def main() -> None:
                     "picked": len(picked),
                     "per_commit_overhead_s": round(
                         2 * read_s + select_s + write_s, 3
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
+        # Sharded twin: same entries behind a 64-way sharded root;
+        # the commit shape is root-read + touched-shard load + touched-
+        # shard rewrite + root swap. The touched set is the same 1% of
+        # buckets as the flat leg's selection.
+        from sp500_stock_etl_spark.io.manifest_store import (
+            _live_entries,
+            _load_shards,
+            _shard_id,
+            _write_all_shards,
+            _write_shard,
+        )
+
+        n_sh = 64
+        t0 = time.perf_counter()
+        shards = _write_all_shards(d, entries, n_sh)
+        ms = {
+            "generation": 7,
+            "key_col": "k",
+            "n_shards": n_sh,
+            "shards": shards,
+            "dead": [],
+            "dead_since": {},
+            "dead_meta": [],
+            "dead_meta_since": {},
+        }
+        _write_manifest_atomic(d, ms)
+        full_write_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        root2 = read_manifest(d)
+        root_read_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        loaded = _load_shards(d, root2, touched)
+        t_load = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        picked2 = [
+            e
+            for es in loaded.values()
+            for e in es
+            if e["path"].split("/", 1)[0].split("=", 1)[1] in touched
+            and not (e["hi"] < lo_b or hi_b < e["lo"])
+        ]
+        t_sel = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        new_shards = list(root2["shards"])
+        for sid, es in loaded.items():
+            new_shards[sid] = _write_shard(d, es)
+        root3 = {**root2, "shards": new_shards}
+        _write_manifest_atomic(d, root3)
+        t_commit = time.perf_counter() - t0
+        assert len(picked2) == len(picked)
+        assert len(_live_entries(d, read_manifest(d))) == n
+
+        print(
+            json.dumps(
+                {
+                    "probe": "manifest_scale",
+                    "format": f"sharded:{n_sh}",
+                    **stamp,
+                    "n_files": n,
+                    "touched_shards": len(loaded),
+                    "full_rewrite_s": round(full_write_s, 3),
+                    "root_read_s": round(root_read_s, 3),
+                    "touched_load_s": round(t_load, 3),
+                    "select_s": round(t_sel, 3),
+                    "touched_rewrite_swap_s": round(t_commit, 3),
+                    "picked": len(picked2),
+                    "per_commit_overhead_s": round(
+                        2 * root_read_s + 2 * t_load + t_sel + t_commit, 3
                     ),
                 }
             ),

@@ -41,6 +41,10 @@ N_WRITERS = int(os.environ.get("SPARK_GRAFT_OCC_WRITERS", "4"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_OCC_ROUNDS", "3"))
 BATCH_KEYS = 100_000
 RETENTION = 3600.0
+# 0 = flat manifest (default); K = create the store with a K-way
+# SHARDED manifest, so the whole OCC scenario set also exercises the
+# sharded commit path (touched-shard rewrite under redo).
+MANIFEST_SHARDS = int(os.environ.get("SPARK_GRAFT_MANIFEST_SHARDS", "0"))
 
 
 def _session() -> SparkSession:
@@ -123,6 +127,7 @@ def main() -> None:
             "bucket",
             _keep_newest,
             files_per_bucket=FILES_PER_BUCKET,
+            manifest_shards=MANIFEST_SHARDS or None,
         )
 
         retries: list[int] = []
@@ -183,6 +188,7 @@ def main() -> None:
                     "n_keys": n,
                     "phase": "disjoint",
                     "lock_backend": backend,
+                    "manifest_shards": MANIFEST_SHARDS,
                     **stamp,
                     "writers": N_WRITERS,
                     "rounds": ROUNDS,
@@ -227,6 +233,7 @@ def main() -> None:
                     "n_keys": n,
                     "phase": "overlap",
                     "lock_backend": backend,
+                    "manifest_shards": MANIFEST_SHARDS,
                     **stamp,
                     "writers": N_WRITERS,
                     "wall_s": overlap_s,

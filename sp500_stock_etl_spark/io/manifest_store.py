@@ -40,14 +40,18 @@ regardless of commit order). The CDC apply remains one foreachBatch
 loop in practice, but concurrent appliers are now safe by
 construction (pinned in tests/test_manifest_store.py).
 
-Metadata scale boundary (measured, scripts/manifest_scale_probe.py):
-the flat single-JSON manifest costs ~1.4 s of metadata work per
-commit at 200k live files (~100 TB at 512 MB/file), ~0.9 s of it
-under the commit lock — commit throughput caps near 1/s there, which
-fits minute-cadence CDC appliers. Sub-second commit rates or
-multi-million-file stores need Iceberg-style manifest sharding
-(split ``files`` by bucket range into side JSONs, root becomes the
-manifest list); linear everywhere, no parse cliff (BASELINE.md §14).
+Metadata scale (measured, scripts/manifest_scale_probe.py): the flat
+single-JSON manifest costs ~1.7 s of metadata work per commit at 200k
+live files (~100 TB at 512 MB/file), ~1.1 s of it under the commit
+lock — fine for minute-cadence CDC appliers. For sub-second commit
+rates or multi-million-file stores, opt into MANIFEST SHARDING
+(``manifest_shards=K`` at creation, or convert via
+``compact_manifest_store``): the root becomes an Iceberg-style
+manifest list of per-shard descriptors, buckets hash to shards, and a
+merge loads/rewrites only the shards covering its touched buckets —
+measured 1.7 → 0.46 s at 200k files and 4.5 → 1.1 s at 500k (64
+shards, 1%-of-buckets batch), proportional to touched shards, same
+OCC semantics (identical retry distributions in the 4-writer probe).
 """
 
 from __future__ import annotations
@@ -105,7 +109,31 @@ def read_store(
     m = read_manifest(store_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest at {store_dir!r}")
-    entries = m["files"]
+    if "shards" in m and key_range is not None:
+        # Shard-level pruning first: root descriptors carry each
+        # shard's aggregate [lo, hi], so non-overlapping shards cost
+        # zero metadata I/O — effective when buckets align with key
+        # prefixes (the composite-tenant layout).
+        lo0, hi0 = key_range
+        entries = []
+        for sd in m["shards"]:
+            if sd["lo"] is not None and (sd["hi"] < lo0 or hi0 < sd["lo"]):
+                continue
+            with open(os.path.join(store_dir, sd["path"])) as fh:
+                entries.extend(json.load(fh)["files"])
+        if not entries:
+            # Every shard pruned: a valid store, an out-of-range ask.
+            # Load one entry from any non-empty shard so the
+            # empty-selection branch below can do its schema-only scan.
+            for sd in m["shards"]:
+                if sd["n_files"]:
+                    with open(
+                        os.path.join(store_dir, sd["path"])
+                    ) as fh:
+                        entries = json.load(fh)["files"][:1]
+                    break
+    else:
+        entries = _live_entries(store_dir, m)
     if not entries:
         raise ValueError(f"empty manifest generation at {store_dir!r}")
     if key_range is None:
@@ -150,6 +178,106 @@ def _safe_size(path: str) -> int:
         return os.path.getsize(path)
     except OSError:
         return 0
+
+
+# --- Manifest sharding (r12; turns the measured flat-manifest
+# boundary into a feature). A SHARDED manifest keeps the root JSON as
+# an Iceberg-style manifest LIST: per-shard descriptors {path,
+# n_files, bytes, lo, hi} pointing at immutable uuid-named shard JSONs
+# that hold the actual file entries. Buckets map to shards by stable
+# hash, so a merge loads and rewrites ONLY the shards covering its
+# touched buckets — per-commit metadata work tracks touched buckets,
+# not total file count (the flat design costs ~1.4 s/commit at the
+# 200k-file 100 TB point, ~0.9 s of it under the lock;
+# scripts/manifest_scale_probe.py). Replaced shard JSONs retire
+# through the same time-based retention as replaced parquet (root
+# keys dead_meta/dead_meta_since), so lagging readers of generation g
+# can still resolve g's shards while g+1 publishes. Flat stays the
+# default; ``manifest_shards`` on creation/compaction opts in, and
+# every reader auto-detects the format from the root.
+
+
+def _shard_id(bucket: str, n_shards: int) -> int:
+    import zlib
+
+    return zlib.crc32(bucket.encode()) % n_shards
+
+
+def _load_shards(
+    store_dir: str, m: dict, buckets=None
+) -> dict[int, list[dict]]:
+    """shard_id -> entries for a sharded manifest; only the shards
+    covering ``buckets`` when given (None = all)."""
+    n = m["n_shards"]
+    ids = (
+        range(n)
+        if buckets is None
+        else sorted({_shard_id(b, n) for b in buckets})
+    )
+    out: dict[int, list[dict]] = {}
+    for i in ids:
+        with open(os.path.join(store_dir, m["shards"][i]["path"])) as fh:
+            out[i] = json.load(fh)["files"]
+    return out
+
+
+def _live_entries(store_dir: str, m: dict, buckets=None) -> list[dict]:
+    """Live file entries under either format. For a SHARDED manifest
+    with ``buckets`` given, loads only the covering shards — callers
+    whose predicate already filters by bucket (entry_touched) get
+    identical results at a fraction of the metadata I/O."""
+    if "shards" not in m:
+        return m["files"]
+    return [
+        e for es in _load_shards(store_dir, m, buckets).values() for e in es
+    ]
+
+
+def _files_total(m: dict) -> int:
+    if "shards" not in m:
+        return len(m["files"])
+    return sum(sd["n_files"] for sd in m["shards"])
+
+
+def _bytes_total(store_dir: str, m: dict) -> int:
+    if "shards" not in m:
+        return sum(
+            _safe_size(os.path.join(store_dir, e["path"]))
+            for e in m["files"]
+        )
+    return sum(sd["bytes"] for sd in m["shards"])
+
+
+def _write_shard(store_dir: str, entries: list[dict]) -> dict:
+    """Write one immutable shard JSON; return its root descriptor
+    (path + aggregates, so files_total/bytes_total and shard-level
+    key-range pruning are O(n_shards) root reads)."""
+    rel = f"_shard-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(store_dir, f".{rel}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": entries}, fh)
+    os.rename(tmp, os.path.join(store_dir, rel))
+    los = [e["lo"] for e in entries if e["lo"] is not None]
+    his = [e["hi"] for e in entries if e["hi"] is not None]
+    return {
+        "path": rel,
+        "n_files": len(entries),
+        "bytes": sum(
+            _safe_size(os.path.join(store_dir, e["path"])) for e in entries
+        ),
+        "lo": min(los) if los else None,
+        "hi": max(his) if his else None,
+    }
+
+
+def _write_all_shards(
+    store_dir: str, entries: list[dict], n_shards: int
+) -> list[dict]:
+    by_sid: dict[int, list[dict]] = {i: [] for i in range(n_shards)}
+    for e in entries:
+        b = e["path"].split(os.sep, 1)[0].split("=", 1)[1]
+        by_sid[_shard_id(b, n_shards)].append(e)
+    return [_write_shard(store_dir, by_sid[i]) for i in range(n_shards)]
 
 
 def _stage_clustered(
@@ -244,18 +372,19 @@ def _warn_zero_retention(store_dir: str) -> None:
 
 
 def _retire_dead(
-    m: dict, retention_seconds: float, now: float
+    m: dict, retention_seconds: float, now: float, key: str = "dead"
 ) -> tuple[list[str], list[str]]:
     """Split the previous generation's dead list into files whose
     retention lapsed (physically deleted after the next swap) and
     files carried forward as still-dead. Manifests written before
     time-based retention carry no ``dead_since``; their dead files
     default to ts=0 — i.e. expired on the next swap, the original
-    one-generation lag."""
-    since = m.get("dead_since", {})
+    one-generation lag. ``key="dead_meta"`` applies the same policy
+    to replaced SHARD JSONs of a sharded manifest."""
+    since = m.get(f"{key}_since", {})
     expired: list[str] = []
     carried: list[str] = []
-    for rel in m.get("dead", []):
+    for rel in m.get(key, []):
         if now - since.get(rel, 0.0) >= retention_seconds:
             expired.append(rel)
         else:
@@ -276,6 +405,7 @@ def merge_manifest_store(
     max_commit_retries: int = 20,
     lock_timeout: float = 120.0,
     lock_stale_seconds: float = 600.0,
+    manifest_shards: int | None = None,
 ) -> dict:
     """``merge_touched_files`` semantics behind a manifest generation:
 
@@ -325,6 +455,13 @@ def merge_manifest_store(
     a small multiple of the commit section's wall (milliseconds of
     metadata work), not of the merge's; the default 600 s is
     deliberately conservative for shared dev boxes.
+
+    Manifest sharding: ``manifest_shards=K`` at CREATION writes the
+    sharded format (module comment above ``_shard_id``); an existing
+    store's format always wins (convert with ``compact_manifest_store``).
+    On a sharded store every merge loads and rewrites only the shards
+    covering its touched buckets — the per-commit metadata cost the
+    flat format pays in full at high file counts.
 
     Returns the same observability dict as merge_touched_files plus
     ``generation``, ``pruning`` ("keys" | "intervals"),
@@ -418,16 +555,22 @@ def merge_manifest_store(
             ):
                 if read_manifest(store_dir) is None:
                     _publish_staged(stage, store_dir, entries)
-                    _write_manifest_atomic(
-                        store_dir,
-                        {
-                            "generation": 0,
-                            "key_col": key_col,
-                            "files": entries,
-                            "dead": [],
-                            "dead_since": {},
-                        },
-                    )
+                    root: dict = {
+                        "generation": 0,
+                        "key_col": key_col,
+                        "dead": [],
+                        "dead_since": {},
+                    }
+                    if manifest_shards:
+                        root["n_shards"] = int(manifest_shards)
+                        root["shards"] = _write_all_shards(
+                            store_dir, entries, int(manifest_shards)
+                        )
+                        root["dead_meta"] = []
+                        root["dead_meta_since"] = {}
+                    else:
+                        root["files"] = entries
+                    _write_manifest_atomic(store_dir, root)
                     return {
                         "generation": 0,
                         "touched_buckets": sorted(touched_parts),
@@ -458,7 +601,7 @@ def merge_manifest_store(
                 "generation": m["generation"],
                 "touched_buckets": [],
                 "files_read": 0,
-                "files_total": len(m["files"]),
+                "files_total": _files_total(m),
                 "bytes_read": 0,
                 "bytes_total": 0,
                 "pruning": pruning,
@@ -466,7 +609,14 @@ def merge_manifest_store(
                 "wall_s": round(time.perf_counter() - t_merge0, 3),
             }
 
-        replaced = [e for e in m["files"] if entry_touched(e)]
+        # Sharded manifests load only the shards covering the touched
+        # buckets; entry_touched is False outside them, so the
+        # restricted view selects the identical replaced set.
+        sharded = "shards" in m
+        m_entries = _live_entries(
+            store_dir, m, touched_parts if sharded else None
+        )
+        replaced = [e for e in m_entries if entry_touched(e)]
         replaced_set = {e["path"] for e in replaced}
         replaced_paths = [
             os.path.join(store_dir, e["path"]) for e in replaced
@@ -497,16 +647,26 @@ def merge_manifest_store(
             store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
         ):
             m2 = read_manifest(store_dir)
-            live2 = {e["path"] for e in m2["files"]}
-            base_paths = {e["path"] for e in m["files"]}
+            sharded2 = "shards" in m2
+            if sharded2:
+                # Load once, reuse for validation AND the rewrite.
+                m2_shards = _load_shards(store_dir, m2, touched_parts)
+                m2_entries = [e for es in m2_shards.values() for e in es]
+            else:
+                m2_entries = m2["files"]
+            live2 = {e["path"] for e in m2_entries}
+            base_paths = {e["path"] for e in m_entries}
             # Conflict iff a concurrent commit (a) replaced a file this
             # merge resolved from, or (b) added live files overlapping
             # this batch's keys — rows this merge should have read.
             # Disjoint-key writers pass both checks and commit without
-            # redo; this is the Iceberg/Delta validation shape.
+            # redo; this is the Iceberg/Delta validation shape. Both
+            # checks only ever involve touched buckets (replaced files
+            # live there; an added file can only overlap batch keys if
+            # its bucket is touched), so the sharded view is exact.
             conflict = not (replaced_set <= live2) or any(
                 entry_touched(e)
-                for e in m2["files"]
+                for e in m2_entries
                 if e["path"] not in base_paths
             )
             if not conflict:
@@ -515,44 +675,91 @@ def merge_manifest_store(
                 expired, carried = _retire_dead(m2, retention_seconds, now)
                 newly_dead = sorted(replaced_set)
                 since = m2.get("dead_since", {})
-                kept2 = [
-                    e for e in m2["files"] if e["path"] not in replaced_set
-                ]
-                _write_manifest_atomic(
-                    store_dir,
-                    {
-                        "generation": m2["generation"] + 1,
-                        "key_col": key_col,
-                        "files": kept2 + new_entries,
-                        "dead": carried + newly_dead,
-                        "dead_since": {
-                            **{rel: since.get(rel, 0.0) for rel in carried},
-                            **{rel: now for rel in newly_dead},
-                        },
+                root = {
+                    "generation": m2["generation"] + 1,
+                    "key_col": key_col,
+                    "dead": carried + newly_dead,
+                    "dead_since": {
+                        **{rel: since.get(rel, 0.0) for rel in carried},
+                        **{rel: now for rel in newly_dead},
                     },
+                }
+                # Retired shard JSONs (from sharded generations or a
+                # format conversion) follow the same time-based
+                # retention as replaced parquet — in BOTH format
+                # branches, or a flat merge after a sharded->flat
+                # conversion would orphan the old shard files forever.
+                expired_meta, carried_meta = _retire_dead(
+                    m2, retention_seconds, now, key="dead_meta"
                 )
+                msince = m2.get("dead_meta_since", {})
+                meta_dead_now: list[str] = []
+                if sharded2:
+                    # Rewrite ONLY the touched shards; untouched shard
+                    # descriptors carry over.
+                    n_sh = m2["n_shards"]
+                    new_by_sid: dict[int, list[dict]] = {}
+                    for e in new_entries:
+                        sid = _shard_id(bucket_raw(e["path"]), n_sh)
+                        new_by_sid.setdefault(sid, []).append(e)
+                    shards2 = list(m2["shards"])
+                    for sid in sorted(set(m2_shards) | set(new_by_sid)):
+                        olds = m2_shards.get(sid)
+                        if olds is None:
+                            olds = _load_shards(
+                                store_dir, m2, None
+                            ).get(sid, [])
+                        kept = [
+                            e for e in olds if e["path"] not in replaced_set
+                        ]
+                        meta_dead_now.append(shards2[sid]["path"])
+                        shards2[sid] = _write_shard(
+                            store_dir, kept + new_by_sid.get(sid, [])
+                        )
+                    root["n_shards"] = n_sh
+                    root["shards"] = shards2
+                else:
+                    root["files"] = [
+                        e
+                        for e in m2_entries
+                        if e["path"] not in replaced_set
+                    ] + new_entries
+                if carried_meta or meta_dead_now:
+                    root["dead_meta"] = carried_meta + meta_dead_now
+                    root["dead_meta_since"] = {
+                        **{r: msince.get(r, 0.0) for r in carried_meta},
+                        **{r: now for r in meta_dead_now},
+                    }
+                _write_manifest_atomic(store_dir, root)
                 # GC only files dead for one full swap AND past
                 # retention — after the new manifest is durable, so no
                 # reader resolves a removed path.
-                for rel in expired:
+                for rel in expired + expired_meta:
                     try:
                         os.remove(os.path.join(store_dir, rel))
                     except OSError:
                         pass
-                # Totals against m2 — the generation this commit
-                # actually validated and published over (a concurrent
-                # commit touching only non-conflicting files can land
-                # between the loop-top read and the lock); files_read/
-                # bytes_read stay what the merge truly read (from m).
+                # Totals against the generation this commit actually
+                # validated and published over (root aggregates on a
+                # sharded store — O(n_shards), no shard loads);
+                # files_read/bytes_read stay what the merge truly read.
                 return {
                     "generation": m2["generation"] + 1,
                     "touched_buckets": sorted(touched_parts),
                     "files_read": len(replaced),
-                    "files_total": len(m2["files"]),
+                    "files_total": (
+                        _files_total({**m2, "shards": root["shards"]})
+                        if sharded2
+                        else len(root["files"])
+                    ),
                     "bytes_read": bytes_read,
-                    "bytes_total": sum(
-                        _safe_size(os.path.join(store_dir, e["path"]))
-                        for e in m2["files"]
+                    "bytes_total": (
+                        sum(sd["bytes"] for sd in root["shards"])
+                        if sharded2
+                        else sum(
+                            _safe_size(os.path.join(store_dir, e["path"]))
+                            for e in root["files"]
+                        )
                     ),
                     "pruning": pruning,
                     "commit_retries": attempts,
@@ -583,6 +790,7 @@ def compact_manifest_store(
     max_commit_retries: int = 20,
     lock_timeout: float = 120.0,
     lock_stale_seconds: float = 600.0,
+    manifest_shards: int | None = None,
 ) -> dict:
     """Periodic repair under the manifest: rewrite ONE freshly
     key-range-clustered generation (merges grow the file count by up
@@ -600,8 +808,14 @@ def compact_manifest_store(
     merge), and GCs lapsed dead files. Content identity is pinned in
     tests/test_manifest_store.py.
 
+    Compaction is also the FORMAT MIGRATION point:
+    ``manifest_shards=None`` preserves the store's current format
+    (and shard count); ``manifest_shards=K`` writes the new generation
+    sharded K ways; ``manifest_shards=0`` converts back to flat —
+    content identical either way, pinned in tests.
+
     Returns {"generation", "files_before", "files_after",
-    "commit_retries"}.
+    "commit_retries", "manifest_format"}.
     """
     n_out = max(int(files_per_bucket), 1)
     attempts = 0
@@ -609,44 +823,70 @@ def compact_manifest_store(
         m = read_manifest(store_dir)
         if m is None:
             raise FileNotFoundError(f"no manifest at {store_dir!r}")
-        live = {e["path"] for e in m["files"]}
+        live = {e["path"] for e in _live_entries(store_dir, m)}
         df = read_store(spark, store_dir)
         stage, new_entries = _stage_clustered(
             df, key_col, partition_col, n_out, store_dir
         )
+        if manifest_shards is None:
+            out_shards = m.get("n_shards", 0)
+        else:
+            out_shards = int(manifest_shards)
         with _staged_cleanup_on_error(stage), _CommitLock(
             store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
         ):
             m2 = read_manifest(store_dir)
-            if {e["path"] for e in m2["files"]} == live:
+            if {e["path"] for e in _live_entries(store_dir, m2)} == live:
                 _publish_staged(stage, store_dir, new_entries)
                 now = time.time()
                 expired, carried = _retire_dead(m2, retention_seconds, now)
                 newly_dead = sorted(live)
                 since = m2.get("dead_since", {})
-                _write_manifest_atomic(
-                    store_dir,
-                    {
-                        "generation": m2["generation"] + 1,
-                        "key_col": key_col,
-                        "files": new_entries,
-                        "dead": carried + newly_dead,
-                        "dead_since": {
-                            **{rel: since.get(rel, 0.0) for rel in carried},
-                            **{rel: now for rel in newly_dead},
-                        },
+                root = {
+                    "generation": m2["generation"] + 1,
+                    "key_col": key_col,
+                    "dead": carried + newly_dead,
+                    "dead_since": {
+                        **{rel: since.get(rel, 0.0) for rel in carried},
+                        **{rel: now for rel in newly_dead},
                     },
+                }
+                # The old generation's shard JSONs (if any) retire like
+                # its parquet: dead_meta, time-based.
+                expired_meta, carried_meta = _retire_dead(
+                    m2, retention_seconds, now, key="dead_meta"
                 )
-                for rel in expired:
+                msince = m2.get("dead_meta_since", {})
+                meta_dead_now = [
+                    sd["path"] for sd in m2.get("shards", [])
+                ]
+                if out_shards:
+                    root["n_shards"] = out_shards
+                    root["shards"] = _write_all_shards(
+                        store_dir, new_entries, out_shards
+                    )
+                else:
+                    root["files"] = new_entries
+                if meta_dead_now or carried_meta or out_shards:
+                    root["dead_meta"] = carried_meta + meta_dead_now
+                    root["dead_meta_since"] = {
+                        **{r: msince.get(r, 0.0) for r in carried_meta},
+                        **{r: now for r in meta_dead_now},
+                    }
+                _write_manifest_atomic(store_dir, root)
+                for rel in expired + expired_meta:
                     try:
                         os.remove(os.path.join(store_dir, rel))
                     except OSError:
                         pass
                 return {
                     "generation": m2["generation"] + 1,
-                    "files_before": len(m["files"]),
+                    "files_before": len(live),
                     "files_after": len(new_entries),
                     "commit_retries": attempts,
+                    "manifest_format": (
+                        f"sharded:{out_shards}" if out_shards else "flat"
+                    ),
                 }
         shutil.rmtree(stage, ignore_errors=True)
         attempts += 1
