@@ -318,10 +318,12 @@ BENCH_QUERIES = [
     "streaming_cdc_upsert_tenant",
 ]
 
-# Round-12 additions (none yet), reported under a SEPARATE key so the
-# full-suite number stays comparable round-over-round. Names not yet
-# registered are skipped so the harness runs mid-build.
-NEW_QUERIES: list[str] = []
+# Round-12 additions, reported under a SEPARATE key so the full-suite
+# number stays comparable round-over-round; folded at r13. Names not
+# yet registered are skipped so the harness runs mid-build.
+NEW_QUERIES: list[str] = [
+    "streaming_cdc_upsert_sharded",
+]
 
 # The 55-plan HEADLINE CORE (r10 growth policy, module docstring):
 # reference surface + one per operator family, fixed forever; `value`

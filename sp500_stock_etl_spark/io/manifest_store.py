@@ -584,6 +584,11 @@ def merge_manifest_store(
                         "pruning": "none",
                         "commit_retries": attempts,
                         "wall_s": round(time.perf_counter() - t_merge0, 3),
+                        "manifest_format": (
+                            f"sharded:{int(manifest_shards)}"
+                            if manifest_shards
+                            else "flat"
+                        ),
                     }
             shutil.rmtree(stage, ignore_errors=True)
             attempts += 1
@@ -607,6 +612,9 @@ def merge_manifest_store(
                 "pruning": pruning,
                 "commit_retries": attempts,
                 "wall_s": round(time.perf_counter() - t_merge0, 3),
+                "manifest_format": (
+                    f"sharded:{m['n_shards']}" if "shards" in m else "flat"
+                ),
             }
 
         # Sharded manifests load only the shards covering the touched
@@ -764,6 +772,9 @@ def merge_manifest_store(
                     "pruning": pruning,
                     "commit_retries": attempts,
                     "wall_s": round(time.perf_counter() - t_merge0, 3),
+                    "manifest_format": (
+                        f"sharded:{m2['n_shards']}" if sharded2 else "flat"
+                    ),
                     "phases": {
                         **phases,
                         "commit_s": round(time.perf_counter() - t_ph, 3),

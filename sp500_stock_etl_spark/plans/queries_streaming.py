@@ -2051,3 +2051,82 @@ def q_streaming_cdc_upsert_tenant(
         F.unix_millis("ts").alias("last_ms"),
         F.floor(F.col("value") * 100).cast("bigint").alias("last_cents"),
     )
+
+
+# Per-run observables for the sharded-manifest twin (merge stats incl.
+# phases, and the store dir for mechanism tests).
+_LAST_CDC_SHARDED_STATS: list[dict] = []
+_LAST_CDC_SHARDED_STORE: list[str] = []
+
+
+@register(
+    "streaming_cdc_upsert_sharded",
+    _CDC_ORACLE,
+    doc="the file-level CDC store behind a SHARDED manifest (r12): the "
+    "root _manifest.json is an Iceberg-style manifest LIST of "
+    "per-shard descriptors over immutable shard JSONs, buckets hash "
+    "to shards, and each micro-batch merge loads and rewrites ONLY "
+    "the shards covering its touched buckets — per-commit metadata "
+    "work tracks touched buckets instead of total file count "
+    "(measured 1.7 -> 0.46 s per commit at the 200k-file 100 TB "
+    "point; scripts/manifest_scale_probe.py). Same last-write-wins "
+    "contract and oracle as the flat filestats twin, so a sharding "
+    "bug in selection, validation, or shard GC breaks the hash",
+)
+def q_streaming_cdc_upsert_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..io.manifest_store import merge_manifest_store, read_store
+    from ..io.readers import _normalize_event_ts
+
+    staged = _stage_events_multibatch(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+        .select(
+            F.expr(_CDC_DEVICE_SPARK).alias("device_id"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+
+    store_dir = tempfile.mkdtemp(prefix="sg_cdc_shstore_") + "/store"
+    atexit.register(
+        shutil.rmtree, os.path.dirname(store_dir), ignore_errors=True
+    )
+    _LAST_CDC_SHARDED_STATS.clear()
+    _LAST_CDC_SHARDED_STORE.clear()
+    _LAST_CDC_SHARDED_STORE.append(store_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _keep_newest(batch_df).withColumn(
+            "bucket", F.pmod("device_id", F.lit(_CDC_N_BUCKETS)).cast("int")
+        )
+        stats = merge_manifest_store(
+            store_dir,
+            latest,
+            "device_id",
+            "bucket",
+            _keep_newest,
+            manifest_shards=8,
+        )
+        _LAST_CDC_SHARDED_STATS.append(stats)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", _tmp_ckpt())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = read_store(spark, store_dir)
+    return final.select(
+        "device_id",
+        F.unix_millis("ts").alias("last_ms"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("last_cents"),
+    )

@@ -80,9 +80,11 @@ _PRIORITY: tuple[str, ...] = (
     # `scripts/coverage_report.py` (stalest_ok, oracle-bearing only).
     # Generated 2026-08-16 after CORRECTNESS_r11 (zero debts pending:
     # never_checked = [], oracle_upgraded_pending = [], ever_error =
-    # []): no births yet this round, so the full 50 is the r7 band —
-    # exactly the block the r11 verdict item 2 named. Next stalest
-    # after these fills: the r8 block (arrow_scalar_vector_ops, ...).
+    # []): the r12 birth at the head (standing policy), then the r7
+    # band — the block the r11 verdict item 2 named; the birth
+    # displaces the newest fill (tpcds_q97_channel_overlap). Next
+    # stalest after these: the displaced q97, then the r8 block.
+    "streaming_cdc_upsert_sharded",  # r12 birth: sharded-manifest CDC store
     "asof_join_events",  # r7
     "conditional_agg_suite",  # r7
     "corpus_balanced_sample",  # r7
@@ -132,7 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_q73_basket_counts",  # r7
     "tpcds_q88_multiband_counts",  # r7
     "tpcds_q93_returns_adjusted",  # r7
-    "tpcds_q97_channel_overlap",  # r7
+    # (tpcds_q97_channel_overlap, r7, was the 50th fill until the r12
+    # birth took the head slot — births displace the newest fill.)
 )
 
 

@@ -221,3 +221,63 @@ def test_cdc_carry_present_at_driver_scale(spark):
         n_keys = last.count()
         n_early = last.where(F.col("last_ts") < F.lit("2024-01-22")).count()
         assert 0 < n_early < n_keys, (sf_dir, n_early, n_keys)
+
+
+def test_cdc_sharded_store_mechanism(spark):
+    """streaming_cdc_upsert_sharded must (a) create a genuinely
+    SHARDED store and report it per merge, (b) keep the root's shard
+    aggregates equal to the loaded truth after all merges, (c) retire
+    every replaced shard JSON (retention 0: nothing but the live
+    shards may remain on disk), and (d) agree bit-for-bit with the
+    flat filestats twin's contract on carried devices."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sp500_stock_etl_spark.io import manifest_store as MS
+    from sp500_stock_etl_spark.io.readers import load_table
+    from sp500_stock_etl_spark.plans import queries_streaming as QS
+    from sp500_stock_etl_spark.plans.queries_streaming import (
+        q_streaming_cdc_upsert_sharded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    final = q_streaming_cdc_upsert_sharded(spark, sf).cache()
+    stats = QS._LAST_CDC_SHARDED_STATS
+    assert len(stats) >= 4, stats
+    assert all(s["manifest_format"] == "sharded:8" for s in stats), stats
+    store = QS._LAST_CDC_SHARDED_STORE[0]
+
+    m = MS.read_manifest(store)
+    assert m["n_shards"] == 8 and "files" not in m
+    entries = MS._live_entries(store, m)
+    assert sum(sd["n_files"] for sd in m["shards"]) == len(entries)
+    # Shard JSON hygiene: with retention 0, after >= 2 generations only
+    # the live shards (and at most one generation of dead_meta lag)
+    # may exist on disk.
+    live_shards = {sd["path"] for sd in m["shards"]}
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(store, "_shard-*.json"))
+    }
+    assert live_shards <= on_disk
+    assert on_disk - live_shards <= set(m.get("dead_meta", []))
+
+    ev = load_table(spark, sf, "events")
+    last = (
+        ev.groupBy(F.expr(QS._CDC_DEVICE_SPARK).alias("device_id"))
+        .agg(F.max("ts").alias("last_ts"))
+        .withColumn("early", F.col("last_ts") < F.lit("2024-01-22"))
+    )
+    n_early = last.where("early").count()
+    n_keys = last.count()
+    assert 0 < n_early < n_keys, (n_early, n_keys)
+    assert final.count() == n_keys
+    mismatch = (
+        final.join(last.where("early"), "device_id")
+        .where(F.col("last_ms") != F.unix_millis("last_ts"))
+        .count()
+    )
+    assert mismatch == 0
+    final.unpersist()
