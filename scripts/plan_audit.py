@@ -155,6 +155,7 @@ AUDITED = [
     # round 9/10 births
     "arrow_udtf_installments",
     "streaming_cdc_upsert_bucketed",
+    "streaming_cdc_upsert_sharded",
 ]
 
 
