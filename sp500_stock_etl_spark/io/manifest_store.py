@@ -92,6 +92,7 @@ def read_store(
     spark: SparkSession,
     store_dir: str,
     key_range: tuple | None = None,
+    buckets=None,
 ) -> DataFrame:
     """Manifest-pinned read: exactly the current generation's live
     files (a directory listing would also see retained dead files —
@@ -105,11 +106,21 @@ def read_store(
     from files that merely overlap. At a multi-tenant store keyed on
     the composite (tenant, key) this is how a one-tenant scan reads
     one tenant's files (scripts/tenant_probe.py measures the write
-    side of the same property)."""
+    side of the same property).
+
+    ``buckets={...}`` (partition values, as strings) prunes by the
+    Hive bucket instead: on a SHARDED manifest only the covering
+    shards are even opened (the same touched-bucket metadata economy
+    the merge enjoys); on either format only the named buckets' files
+    reach Spark. The returned frame is NOT re-filtered — bucket
+    membership is exact from the directory layout. Composable with
+    ``key_range``."""
     m = read_manifest(store_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest at {store_dir!r}")
-    if "shards" in m and key_range is not None:
+    if buckets is not None:
+        buckets = {str(b) for b in buckets}
+    if "shards" in m and key_range is not None and buckets is None:
         # Shard-level pruning first: root descriptors carry each
         # shard's aggregate [lo, hi], so non-overlapping shards cost
         # zero metadata I/O — effective when buckets align with key
@@ -133,9 +144,25 @@ def read_store(
                         entries = json.load(fh)["files"][:1]
                     break
     else:
-        entries = _live_entries(store_dir, m)
+        # Sharded + buckets: _live_entries opens only covering shards.
+        entries = _live_entries(store_dir, m, buckets)
     if not entries:
         raise ValueError(f"empty manifest generation at {store_dir!r}")
+    if buckets is not None:
+        schema_entry = entries[0]
+        picked_b = [
+            e
+            for e in entries
+            if e["path"].split(os.sep, 1)[0].split("=", 1)[1] in buckets
+        ]
+        if not picked_b:
+            one = os.path.join(store_dir, schema_entry["path"])
+            return (
+                spark.read.option("basePath", store_dir)
+                .parquet(one)
+                .where(F.lit(False))
+            )
+        entries = picked_b
     if key_range is None:
         paths = [os.path.join(store_dir, f["path"]) for f in entries]
         return spark.read.option("basePath", store_dir).parquet(*paths)

@@ -148,3 +148,32 @@ def spill_safe_partitions(spark: SparkSession, est_input_bytes: int):
             spark.conf.unset(_INIT_PARTS_KEY)
         else:
             spark.conf.set(_INIT_PARTS_KEY, prev)
+
+
+# --- Manifest shard-count advisor (r12). Calibrated from
+# scripts/manifest_scale_probe.py on the r12 host: flat manifests are
+# fine through ~10k entries (0.17 s/commit) but cost ~1.7 s/commit at
+# 200k; sharded commits cost ~proportional to entries-per-shard, with
+# ~4k entries ~= 0.3 MB JSON ~= single-digit ms to parse. The advisor
+# keeps shards invisible for small stores and aims at ~4k entries per
+# shard past the flat comfort zone, capped so the root's descriptor
+# list stays O(1k).
+MANIFEST_FLAT_MAX_FILES = 10_000
+MANIFEST_TARGET_FILES_PER_SHARD = 4_000
+MANIFEST_MAX_SHARDS = 1_024
+
+
+def advise_manifest_shards(expected_live_files: int) -> int | None:
+    """None (stay flat) while the expected live-file count is inside
+    the measured flat comfort zone; else a shard count that puts each
+    shard near the target entry count. Feed it the steady-state file
+    count (buckets x files_per_bucket, plus merge growth between
+    compactions), not the creation count."""
+    if expected_live_files <= MANIFEST_FLAT_MAX_FILES:
+        return None
+    import math as _math
+
+    return min(
+        _math.ceil(expected_live_files / MANIFEST_TARGET_FILES_PER_SHARD),
+        MANIFEST_MAX_SHARDS,
+    )

@@ -656,3 +656,41 @@ def test_compact_converts_formats_both_ways(spark, tmp_path):
     )
     leftover = glob.glob(os.path.join(store, "_shard-*.json"))
     assert leftover == [], leftover
+
+
+def test_read_store_bucket_pruning(spark, tmp_path):
+    """read_store(buckets=...) returns exactly the named buckets' rows
+    on BOTH formats; on a sharded store only the covering shards are
+    opened (same metadata economy as the merge), and an unknown
+    bucket yields an empty frame with the store schema."""
+    base = spark.range(4096).selectExpr(
+        "id AS k", "CAST(0 AS INT) AS ver", "CAST(id % 8 AS INT) AS bucket"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in base.where("bucket IN (2, 5)")
+        .select("k", "ver")
+        .collect()
+    )
+    for name, kw in (("flat", {}), ("sharded", {"manifest_shards": 4})):
+        store = str(tmp_path / name)
+        MS.merge_manifest_store(
+            store, base, "k", "bucket", _keep_newest, **kw
+        )
+        got = sorted(
+            tuple(r)
+            for r in MS.read_store(spark, store, buckets={2, 5})
+            .select("k", "ver")
+            .collect()
+        )
+        assert got == expect, name
+        none = MS.read_store(spark, store, buckets={"99"})
+        assert none.count() == 0
+        assert set(none.columns) == {"k", "ver", "bucket"}
+        # Composable with key_range.
+        both = MS.read_store(
+            spark, store, key_range=(0, 100), buckets={2}
+        )
+        assert both.count() == base.where(
+            "bucket = 2 AND k <= 100"
+        ).count(), name

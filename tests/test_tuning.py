@@ -70,3 +70,18 @@ def test_row_width_estimates():
         ]
     )
     assert tuning.estimated_row_bytes(wide) == 16 + 8 + 24 + 8 + 64
+
+
+def test_manifest_shard_advisor():
+    """Flat inside the measured comfort zone; ~target entries/shard
+    past it; capped root size at pathological counts."""
+    from sp500_stock_etl_spark.tuning import (
+        MANIFEST_MAX_SHARDS,
+        advise_manifest_shards,
+    )
+
+    assert advise_manifest_shards(256) is None
+    assert advise_manifest_shards(10_000) is None
+    assert advise_manifest_shards(10_001) == 3
+    assert advise_manifest_shards(200_000) == 50  # the 100 TB point
+    assert advise_manifest_shards(10**8) == MANIFEST_MAX_SHARDS
