@@ -146,6 +146,22 @@ def read_store(
     else:
         # Sharded + buckets: _live_entries opens only covering shards.
         entries = _live_entries(store_dir, m, buckets)
+        if not entries and buckets is not None and "shards" in m:
+            # Covering shards all empty (possible whenever n_shards
+            # exceeds the populated buckets): mirror the key_range
+            # branch — borrow one entry from any non-empty shard so
+            # the schema-only empty scan below runs instead of
+            # raising (the flat format returns the documented empty
+            # frame here; the formats must agree). The borrowed
+            # entry's bucket can't be in ``buckets`` — if it were,
+            # its covering shard would have been non-empty.
+            for sd in m["shards"]:
+                if sd["n_files"]:
+                    with open(
+                        os.path.join(store_dir, sd["path"])
+                    ) as fh:
+                        entries = json.load(fh)["files"][:1]
+                    break
     if not entries:
         raise ValueError(f"empty manifest generation at {store_dir!r}")
     if buckets is not None:
@@ -275,15 +291,30 @@ def _bytes_total(store_dir: str, m: dict) -> int:
     return sum(sd["bytes"] for sd in m["shards"])
 
 
-def _write_shard(store_dir: str, entries: list[dict]) -> dict:
+def _write_shard(
+    store_dir: str, entries: list[dict], written: list | None = None
+) -> dict:
     """Write one immutable shard JSON; return its root descriptor
     (path + aggregates, so files_total/bytes_total and shard-level
-    key-range pruning are O(n_shards) root reads)."""
+    key-range pruning are O(n_shards) root reads).
+
+    A shard holding ANY no-stats entry (lo=None: footer range unknown,
+    must-read under every pruning path — the flat reader and
+    entry_touched both treat it so) publishes an UNBOUNDED descriptor
+    (lo=hi=None): otherwise the aggregate over the stats-bearing
+    entries would let read_store shard-prune a file the flat format
+    would have scanned, silently dropping rows. ``written`` (when
+    given) collects the new shard's rel path so a crash before the
+    root swap can unlink it — an unreferenced shard JSON is invisible
+    to every GC path."""
     rel = f"_shard-{uuid.uuid4().hex}.json"
     tmp = os.path.join(store_dir, f".{rel}.tmp")
     with open(tmp, "w") as fh:
         json.dump({"files": entries}, fh)
     os.rename(tmp, os.path.join(store_dir, rel))
+    if written is not None:
+        written.append(rel)
+    unbounded = any(e["lo"] is None for e in entries)
     los = [e["lo"] for e in entries if e["lo"] is not None]
     his = [e["hi"] for e in entries if e["hi"] is not None]
     return {
@@ -292,19 +323,41 @@ def _write_shard(store_dir: str, entries: list[dict]) -> dict:
         "bytes": sum(
             _safe_size(os.path.join(store_dir, e["path"])) for e in entries
         ),
-        "lo": min(los) if los else None,
-        "hi": max(his) if his else None,
+        "lo": None if unbounded or not los else min(los),
+        "hi": None if unbounded or not his else max(his),
     }
 
 
 def _write_all_shards(
-    store_dir: str, entries: list[dict], n_shards: int
+    store_dir: str,
+    entries: list[dict],
+    n_shards: int,
+    written: list | None = None,
 ) -> list[dict]:
     by_sid: dict[int, list[dict]] = {i: [] for i in range(n_shards)}
     for e in entries:
         b = e["path"].split(os.sep, 1)[0].split("=", 1)[1]
         by_sid[_shard_id(b, n_shards)].append(e)
-    return [_write_shard(store_dir, by_sid[i]) for i in range(n_shards)]
+    return [
+        _write_shard(store_dir, by_sid[i], written) for i in range(n_shards)
+    ]
+
+
+@contextlib.contextmanager
+def _shard_cleanup_on_error(store_dir: str, written: list):
+    """Unlink shard JSONs written by THIS commit attempt if it dies
+    before the root swap — they are referenced by no generation, so
+    neither dead_meta retention nor any reader would ever see them,
+    and they'd otherwise accumulate forever. Callers ``written.clear()``
+    immediately after a successful swap so a late failure (stats
+    bookkeeping) can't unlink now-referenced shards."""
+    try:
+        yield
+    except BaseException:
+        for rel in written:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(store_dir, rel))
+        raise
 
 
 def _stage_clustered(
@@ -577,7 +630,10 @@ def merge_manifest_store(
             stage, entries = _stage_clustered(
                 batch_latest, key_col, partition_col, n_out, store_dir
             )
-            with _staged_cleanup_on_error(stage), _CommitLock(
+            written_shards: list[str] = []
+            with _staged_cleanup_on_error(stage), _shard_cleanup_on_error(
+                store_dir, written_shards
+            ), _CommitLock(
                 store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
             ):
                 if read_manifest(store_dir) is None:
@@ -591,13 +647,17 @@ def merge_manifest_store(
                     if manifest_shards:
                         root["n_shards"] = int(manifest_shards)
                         root["shards"] = _write_all_shards(
-                            store_dir, entries, int(manifest_shards)
+                            store_dir,
+                            entries,
+                            int(manifest_shards),
+                            written_shards,
                         )
                         root["dead_meta"] = []
                         root["dead_meta_since"] = {}
                     else:
                         root["files"] = entries
                     _write_manifest_atomic(store_dir, root)
+                    written_shards.clear()
                     return {
                         "generation": 0,
                         "touched_buckets": sorted(touched_parts),
@@ -678,7 +738,10 @@ def merge_manifest_store(
         )
         t_ph = _mark("stage_s", t_ph)
 
-        with _staged_cleanup_on_error(stage), _CommitLock(
+        written_shards = []
+        with _staged_cleanup_on_error(stage), _shard_cleanup_on_error(
+            store_dir, written_shards
+        ), _CommitLock(
             store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
         ):
             m2 = read_manifest(store_dir)
@@ -749,7 +812,9 @@ def merge_manifest_store(
                         ]
                         meta_dead_now.append(shards2[sid]["path"])
                         shards2[sid] = _write_shard(
-                            store_dir, kept + new_by_sid.get(sid, [])
+                            store_dir,
+                            kept + new_by_sid.get(sid, []),
+                            written_shards,
                         )
                     root["n_shards"] = n_sh
                     root["shards"] = shards2
@@ -766,6 +831,7 @@ def merge_manifest_store(
                         **{r: now for r in meta_dead_now},
                     }
                 _write_manifest_atomic(store_dir, root)
+                written_shards.clear()
                 # GC only files dead for one full swap AND past
                 # retention — after the new manifest is durable, so no
                 # reader resolves a removed path.
@@ -870,7 +936,10 @@ def compact_manifest_store(
             out_shards = m.get("n_shards", 0)
         else:
             out_shards = int(manifest_shards)
-        with _staged_cleanup_on_error(stage), _CommitLock(
+        written_shards: list[str] = []
+        with _staged_cleanup_on_error(stage), _shard_cleanup_on_error(
+            store_dir, written_shards
+        ), _CommitLock(
             store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
         ):
             m2 = read_manifest(store_dir)
@@ -901,7 +970,7 @@ def compact_manifest_store(
                 if out_shards:
                     root["n_shards"] = out_shards
                     root["shards"] = _write_all_shards(
-                        store_dir, new_entries, out_shards
+                        store_dir, new_entries, out_shards, written_shards
                     )
                 else:
                     root["files"] = new_entries
@@ -912,11 +981,30 @@ def compact_manifest_store(
                         **{r: now for r in meta_dead_now},
                     }
                 _write_manifest_atomic(store_dir, root)
+                written_shards.clear()
                 for rel in expired + expired_meta:
                     try:
                         os.remove(os.path.join(store_dir, rel))
                     except OSError:
                         pass
+                # Sweep ORPHANED shard JSONs: a writer that crashed
+                # after _write_shard but before its root swap leaves
+                # uuid-named files referenced by no generation — the
+                # in-process cleanup above can't catch a hard kill.
+                # Safe under the commit lock (all shard writes happen
+                # under it, so nothing here is mid-commit): anything
+                # the fresh root neither lists live nor retains as
+                # dead_meta is unreachable by every reader and every
+                # retention path. Half-written ``._shard-*.tmp`` files
+                # are the same class.
+                referenced = {sd["path"] for sd in root.get("shards", [])}
+                referenced |= set(root.get("dead_meta", []))
+                for p in glob.glob(
+                    os.path.join(store_dir, "_shard-*.json")
+                ) + glob.glob(os.path.join(store_dir, "._shard-*.json.tmp")):
+                    if os.path.basename(p) not in referenced:
+                        with contextlib.suppress(OSError):
+                            os.remove(p)
                 return {
                     "generation": m2["generation"] + 1,
                     "files_before": len(live),

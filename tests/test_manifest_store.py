@@ -569,7 +569,9 @@ def test_sharded_manifest_content_parity(spark, tmp_path):
     all_entries = MS._live_entries(shd, m)
     assert sum(sd["n_files"] for sd in m["shards"]) == len(all_entries)
     # files_total in stats came from root aggregates.
-    assert st["files_total"] == len(MS._live_entries(shd, MS.read_manifest(shd))) or True
+    assert st["files_total"] == len(
+        MS._live_entries(shd, MS.read_manifest(shd))
+    )
 
     # The narrow merge rewrote only the shards covering buckets {0,1}.
     touched_sids = {MS._shard_id(b, 4) for b in ("0", "1")}
@@ -694,3 +696,126 @@ def test_read_store_bucket_pruning(spark, tmp_path):
         assert both.count() == base.where(
             "bucket = 2 AND k <= 100"
         ).count(), name
+
+
+def test_shard_descriptor_unbounded_on_no_stats_entry(spark, tmp_path):
+    """ADVICE r12 (medium): a shard holding ANY no-stats entry must
+    publish an UNBOUNDED descriptor, or read_store's shard-level
+    key_range prune drops a file the flat path treats as must-read —
+    silently missing rows. Buckets 0 and 2 hash to the same shard at
+    n_shards=4; bucket 0's stats are erased, bucket 2 carries keys
+    far outside the ask, so the pre-fix descriptor would prune the
+    shard and return 0 of the 11 expected rows."""
+    import json as _json
+
+    store = str(tmp_path / "s")
+    base = spark.range(100).selectExpr(
+        "id AS k", "CAST(0 AS INT) AS ver", "CAST(0 AS INT) AS bucket"
+    ).union(
+        spark.range(1000, 1100).selectExpr(
+            "id AS k", "CAST(0 AS INT) AS ver", "CAST(2 AS INT) AS bucket"
+        )
+    )
+    MS.merge_manifest_store(
+        store, base, "k", "bucket", _keep_newest, manifest_shards=4
+    )
+    m = MS.read_manifest(store)
+    entries = MS._live_entries(store, m)
+    for e in entries:
+        if e["path"].startswith("bucket=0"):
+            e["lo"] = e["hi"] = None
+    m["shards"] = MS._write_all_shards(store, entries, m["n_shards"])
+    MS._write_manifest_atomic(store, m)
+
+    m2 = MS.read_manifest(store)
+    sid = MS._shard_id("0", 4)
+    assert MS._shard_id("2", 4) == sid  # the collision the test needs
+    assert m2["shards"][sid]["lo"] is None  # unbounded descriptor
+    got = sorted(
+        r.k
+        for r in MS.read_store(spark, store, key_range=(50, 60)).collect()
+    )
+    assert got == list(range(50, 61))
+
+
+def test_read_store_buckets_all_covering_shards_empty(spark, tmp_path):
+    """ADVICE r12 (low): buckets= on a sharded store whose covering
+    shards are ALL empty (n_shards > populated buckets) must return
+    the documented empty frame with the store schema — flat-format
+    parity — not raise 'empty manifest generation'."""
+    store = str(tmp_path / "s")
+    # One populated bucket out of 16 shards: most shards are empty.
+    base = spark.range(64).selectExpr(
+        "id AS k", "CAST(0 AS INT) AS ver", "CAST(0 AS INT) AS bucket"
+    )
+    MS.merge_manifest_store(
+        store, base, "k", "bucket", _keep_newest, manifest_shards=16
+    )
+    sid0 = MS._shard_id("0", 16)
+    empty_bucket = next(
+        str(b)
+        for b in range(1, 64)
+        if MS._shard_id(str(b), 16) != sid0
+    )
+    out = MS.read_store(spark, store, buckets={empty_bucket})
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "ver", "bucket"}
+
+
+def test_crashed_commit_leaves_no_orphan_shards(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (low): a commit that dies between _write_shard and
+    the root swap must unlink its freshly written shard JSONs (no GC
+    path reclaims unreferenced shards); and compaction sweeps any
+    that a hard kill left behind."""
+    store = str(tmp_path / "s")
+    MS.merge_manifest_store(
+        store,
+        spark.range(256).selectExpr(
+            "id AS k", "CAST(0 AS INT) AS ver",
+            "CAST(id % 4 AS INT) AS bucket",
+        ),
+        "k",
+        "bucket",
+        _keep_newest,
+        manifest_shards=4,
+    )
+    live_before = {
+        sd["path"] for sd in MS.read_manifest(store)["shards"]
+    }
+
+    # In-process death between shard writes and the root swap.
+    boom = RuntimeError("simulated crash before root swap")
+
+    def _die(store_dir, manifest):
+        raise boom
+
+    monkeypatch.setattr(MS, "_write_manifest_atomic", _die)
+    try:
+        MS.merge_manifest_store(
+            store, _batch(spark, 1, 64), "k", "bucket", _keep_newest
+        )
+    except RuntimeError as e:
+        assert e is boom
+    monkeypatch.undo()
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(store, "_shard-*.json"))
+    }
+    assert on_disk == live_before  # crash attempt's shards unlinked
+
+    # Hard kill (no in-process cleanup): plant an orphan + tmp, then
+    # compact — the sweep reclaims both, referenced shards survive.
+    orphan = os.path.join(store, "_shard-deadbeef.json")
+    tmp_orphan = os.path.join(store, "._shard-deadbeef.json.tmp")
+    for p in (orphan, tmp_orphan):
+        with open(p, "w") as fh:
+            fh.write('{"files": []}')
+    MS.compact_manifest_store(spark, store, "k", "bucket")
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(tmp_orphan)
+    m = MS.read_manifest(store)
+    for sd in m["shards"]:
+        assert os.path.exists(os.path.join(store, sd["path"]))
+    assert _rows(spark, store) == sorted(
+        (k, 0) for k in range(256)
+    )
