@@ -74,68 +74,67 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # parametrize), and output schemas are swept by
 # tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- r12 window. Policy unchanged (r7..r11): births at the head
+    # --- r13 window. Policy unchanged (r7..r12): births at the head
     # the moment they land; every remaining slot is the stalest-green
     # fill GENERATED from the CORRECTNESS union by
     # `scripts/coverage_report.py` (stalest_ok, oracle-bearing only).
-    # Generated 2026-08-16 after CORRECTNESS_r11 (zero debts pending:
+    # Generated 2026-08-16 after CORRECTNESS_r12 (zero debts pending:
     # never_checked = [], oracle_upgraded_pending = [], ever_error =
-    # []): the r12 birth at the head (standing policy), then the r7
-    # band — the block the r11 verdict item 2 named; the birth
-    # displaces the newest fill (tpcds_q97_channel_overlap). Next
-    # stalest after these: the displaced q97, then the r8 block.
-    "streaming_cdc_upsert_sharded",  # r12 birth: sharded-manifest CDC store
-    "asof_join_events",  # r7
-    "conditional_agg_suite",  # r7
-    "corpus_balanced_sample",  # r7
-    "corpus_bpe_encode",  # r7
-    "corpus_decontamination",  # r7
-    "corpus_doc_embedding_hybrid_dedup",  # r7
-    "corpus_mix_sample",  # r7
-    "corpus_pii_redaction",  # r7
-    "corpus_token_budget",  # r7
-    "date_parts_agg",  # r7
-    "dedup_exact_substring",  # r7
-    "dedup_incremental_refresh",  # r7
-    "dedup_ngram_jaccard",  # r7
-    "dedup_prefix_jaccard",  # r7
-    "dedup_signature_store_roundtrip",  # r7
-    "doc_fingerprint",  # r7
-    "dq_quarantine_rows",  # r7
-    "dq_violation_counts",  # r7
-    "embedding_pq_encode_init",  # r7
-    "exact_quantiles",  # r7
-    "grouped_agg_pricing_decimal",  # r7
-    "hierarchical_rollup_daily",  # r7
-    "incremental_agg_maintenance",  # r7
-    "json_props_agg",  # r7
-    "jsonl_source_agg",  # r7
-    "kmeans_assign_init",  # r7
-    "map_entries_agg",  # r7
-    "multimodal_audio_chunk_plan",  # r7
-    "multimodal_frame_sample",  # r7
-    "multimodal_resize_plan",  # r7
-    "multimodal_video_decode",  # r7
-    "percent_of_total",  # r7
-    "quote_feed_source_agg",  # r7
-    "range_interval_join",  # r7
-    "range_window_trailing_spend",  # r7
-    "ranking_function_suite",  # r7
-    "recursive_cte_calendar",  # r7
-    "similarity_bruteforce_topk",  # r7
-    "similarity_ivf_topk",  # r7
-    "skew_salted_join",  # r7
-    "star_chain_q5",  # r7
-    "streaming_corpus_curation",  # r7
-    "streaming_corpus_dedup",  # r7
-    "streaming_stream_stream_full_join",  # r7
-    "tpcds_q51_cumulative_max",  # r7
-    "tpcds_q67_rollup_topk",  # r7
-    "tpcds_q73_basket_counts",  # r7
-    "tpcds_q88_multiband_counts",  # r7
-    "tpcds_q93_returns_adjusted",  # r7
-    # (tpcds_q97_channel_overlap, r7, was the 50th fill until the r12
-    # birth took the head slot — births displace the newest fill.)
+    # []): exactly the band the r12 verdict item 3 named — the
+    # displaced tpcds_q97_channel_overlap (r7), then the r8 block
+    # (arrow_* stats, basket rules, the indicator suite, streaming
+    # session/vwap family, tpcds r8 entries). No r13 births yet; any
+    # that land take the head and displace the newest fill.
+    "tpcds_q97_channel_overlap",  # r7
+    "arrow_grouped_apply_stats",  # r8
+    "arrow_native_batch_stats",  # r8
+    "arrow_scalar_udf_stats",  # r8
+    "basket_association_rules",  # r8
+    "corpus_domain_mixture",  # r8
+    "indicator_advance_decline",  # r8
+    "indicator_bollinger_bands",  # r8
+    "indicator_candle_patterns",  # r8
+    "indicator_cusum_changepoint",  # r8
+    "indicator_drawdown_duration",  # r8
+    "indicator_ewma_fold",  # r8
+    "indicator_expected_shortfall",  # r8
+    "indicator_market_beta",  # r8
+    "indicator_max_drawdown",  # r8
+    "indicator_obv",  # r8
+    "indicator_portfolio_hhi",  # r8
+    "indicator_portfolio_var",  # r8
+    "indicator_risk_report",  # r8
+    "indicator_rsi_cutler",  # r8
+    "indicator_runs_test",  # r8
+    "indicator_sma_backtest",  # r8
+    "indicator_stochastic_k",  # r8
+    "indicator_trend_slope",  # r8
+    "indicator_twap_irregular",  # r8
+    "indicator_vwap_daily",  # r8
+    "lateral_topk_per_customer",  # r8
+    "listagg_supplier_directory",  # r8
+    "multimodal_adpcm_decode_execute",  # r8
+    "multimodal_jpeg_decode_execute",  # r8
+    "multimodal_mjpeg_frame_decode",  # r8
+    "quality_classifier_inference",  # r8
+    "quality_threshold_calibration",  # r8
+    "quantile_sketch_certificate",  # r8
+    "recursive_bom_rollup",  # r8
+    "recursive_functional_walk",  # r8
+    "session_window_dynamic_gap",  # r8
+    "sql_udf_order_cents",  # r8
+    "streaming_cdc_upsert_multibatch",  # r8
+    "streaming_quality_classifier",  # r8
+    "streaming_running_totals_final",  # r8
+    "streaming_session_dynamic_gap",  # r8
+    "streaming_session_windows",  # r8
+    "streaming_sessions_multibatch",  # r8
+    "streaming_vwap_daily",  # r8
+    "tpcds_q36_rollup_rank",  # r8
+    "tpcds_q49_dual_rank_report",  # r8
+    "tpcds_q51_cumulative_crossover",  # r8
+    "tpcds_q57_monthly_deviation",  # r8
+    "tpcds_q80_channel_netting",  # r8
 )
 
 
