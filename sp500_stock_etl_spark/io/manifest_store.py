@@ -282,12 +282,18 @@ def _files_total(m: dict) -> int:
     return sum(sd["n_files"] for sd in m["shards"])
 
 
+def _entry_bytes(store_dir: str, e: dict) -> int:
+    """File size from the manifest entry when the generation that
+    created it recorded one (r13+); stat() fallback for entries from
+    older generations. Keeps per-commit observability O(touched), not
+    O(live files)."""
+    b = e.get("bytes")
+    return b if b is not None else _safe_size(os.path.join(store_dir, e["path"]))
+
+
 def _bytes_total(store_dir: str, m: dict) -> int:
     if "shards" not in m:
-        return sum(
-            _safe_size(os.path.join(store_dir, e["path"]))
-            for e in m["files"]
-        )
+        return sum(_entry_bytes(store_dir, e) for e in m["files"])
     return sum(sd["bytes"] for sd in m["shards"])
 
 
@@ -320,9 +326,7 @@ def _write_shard(
     return {
         "path": rel,
         "n_files": len(entries),
-        "bytes": sum(
-            _safe_size(os.path.join(store_dir, e["path"])) for e in entries
-        ),
+        "bytes": sum(_entry_bytes(store_dir, e) for e in entries),
         "lo": None if unbounded or not los else min(los),
         "hi": None if unbounded or not his else max(his),
     }
@@ -396,6 +400,13 @@ def _stage_clustered(
                 "path": rel,
                 "lo": None if rng is None else rng[0],
                 "hi": None if rng is None else rng[1],
+                # Size captured once, at the generation that created
+                # the file (like the key range): totals and shard
+                # descriptors then read it from the manifest instead
+                # of stat()ing every live file per commit — the flat
+                # path's bytes_total alone was ~100k stat() calls per
+                # commit at the 100 TB point (advisor_e2e_probe).
+                "bytes": _safe_size(os.path.join(stage, rel)),
             }
         )
     if phases is not None:
@@ -665,8 +676,7 @@ def merge_manifest_store(
                         "files_total": len(entries),
                         "bytes_read": 0,
                         "bytes_total": sum(
-                            _safe_size(os.path.join(store_dir, e["path"]))
-                            for e in entries
+                            _entry_bytes(store_dir, e) for e in entries
                         ),
                         "pruning": "none",
                         "commit_retries": attempts,
@@ -716,7 +726,7 @@ def merge_manifest_store(
         replaced_paths = [
             os.path.join(store_dir, e["path"]) for e in replaced
         ]
-        bytes_read = sum(_safe_size(p) for p in replaced_paths)
+        bytes_read = sum(_entry_bytes(store_dir, e) for e in replaced)
 
         t_ph = time.perf_counter()
         if replaced_paths:
@@ -858,7 +868,7 @@ def merge_manifest_store(
                         sum(sd["bytes"] for sd in root["shards"])
                         if sharded2
                         else sum(
-                            _safe_size(os.path.join(store_dir, e["path"]))
+                            _entry_bytes(store_dir, e)
                             for e in root["files"]
                         )
                     ),

@@ -819,3 +819,36 @@ def test_crashed_commit_leaves_no_orphan_shards(spark, tmp_path, monkeypatch):
     assert _rows(spark, store) == sorted(
         (k, 0) for k in range(256)
     )
+
+
+def test_manifest_entries_record_bytes(spark, tmp_path):
+    """r13: entries carry their file size from the generation that
+    created them, so bytes_total/bytes_read are manifest lookups —
+    the flat path previously stat()ed every live file per commit
+    (~100k calls at the 100 TB point). Entries from older
+    generations (no 'bytes' key) fall back to stat()."""
+    store = str(tmp_path / "s")
+    st = MS.merge_manifest_store(
+        store, _base(spark, 512), "k", "bucket", _keep_newest
+    )
+    m = MS.read_manifest(store)
+    for e in m["files"]:
+        assert e["bytes"] == os.path.getsize(
+            os.path.join(store, e["path"])
+        )
+    assert st["bytes_total"] == sum(e["bytes"] for e in m["files"])
+
+    # Back-compat: an r12-era manifest without recorded sizes still
+    # resolves totals through the stat() fallback.
+    for e in m["files"]:
+        del e["bytes"]
+    MS._write_manifest_atomic(store, m)
+    real = sum(
+        os.path.getsize(os.path.join(store, e["path"]))
+        for e in m["files"]
+    )
+    assert MS._bytes_total(store, MS.read_manifest(store)) == real
+    st2 = MS.merge_manifest_store(
+        store, _batch(spark, 1, 64), "k", "bucket", _keep_newest
+    )
+    assert st2["bytes_read"] > 0 and st2["bytes_total"] > 0
