@@ -160,6 +160,10 @@ def main() -> None:
                 )
                 growth_walls.append(st["wall_s"])
             files_total = st["files_total"]
+            st_trim = {
+                k: (f"<{len(v)} buckets>" if k == "touched_buckets" else v)
+                for k, v in st.items()
+            }
             print(
                 json.dumps(
                     {
@@ -169,7 +173,7 @@ def main() -> None:
                         "growth_wall_s": round(
                             time.perf_counter() - t_all, 1
                         ),
-                        "last_growth_merge": st,
+                        "last_growth_merge": st_trim,
                     }
                 ),
                 flush=True,
