@@ -894,6 +894,40 @@ def merge_manifest_store(
             )
 
 
+def _entry_bucket(e: dict) -> str:
+    return e["path"].split(os.sep, 1)[0].split("=", 1)[1]
+
+
+def compaction_candidates(
+    store_dir: str,
+    files_per_bucket: int = 4,
+    max_buckets: int = 32,
+    trigger_factor: float = 2.0,
+) -> list[str]:
+    """Buckets whose live file count exceeds ``trigger_factor x
+    files_per_bucket`` (merge growth: each merge can leave up to
+    files_per_bucket NEW files per touched bucket whose ranges overlap
+    the old ones, weakening pruning), worst first, capped at
+    ``max_buckets`` per maintenance cycle. This is the incremental-
+    maintenance loop's selection step: write traffic concentrates, so
+    compacting the worst few buckets restores pruning at a small
+    fraction of a full rewrite. Driver cost is one manifest listing
+    (O(live entries) of metadata — the same cost any full read pays)."""
+    m = read_manifest(store_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {store_dir!r}")
+    counts: dict[str, int] = {}
+    for e in _live_entries(store_dir, m):
+        b = _entry_bucket(e)
+        counts[b] = counts.get(b, 0) + 1
+    thresh = trigger_factor * max(int(files_per_bucket), 1)
+    worst = sorted(
+        (b for b, c in counts.items() if c > thresh),
+        key=lambda b: (-counts[b], b),
+    )
+    return worst[: max(int(max_buckets), 0)]
+
+
 def compact_manifest_store(
     spark: SparkSession,
     store_dir: str,
@@ -905,40 +939,92 @@ def compact_manifest_store(
     lock_timeout: float = 120.0,
     lock_stale_seconds: float = 600.0,
     manifest_shards: int | None = None,
+    buckets=None,
 ) -> dict:
-    """Periodic repair under the manifest: rewrite ONE freshly
-    key-range-clustered generation (merges grow the file count by up
-    to files_per_bucket x touched buckets each, and their outputs'
+    """Periodic repair under the manifest: rewrite freshly
+    key-range-clustered files (merges grow the file count by up to
+    files_per_bucket x touched buckets each, and their outputs'
     ranges overlap older files', weakening future pruning — the
     n=1000 sparse probe measured 256 → 640 files over 3 merges).
 
-    The rewrite STAGES the new generation (existing files are never
-    touched, so concurrent readers of the old generation are
-    undisturbed), commits it under the same optimistic protocol as the
-    merges — compaction rewrote the ENTIRE live set, so its validation
-    is simply "the live set is unchanged"; any interleaved merge wins
-    and the compaction redoes from the new generation — marks the old
-    live set dead (retained per ``retention_seconds``, like any
-    merge), and GCs lapsed dead files. Content identity is pinned in
+    Two scopes:
+
+    - ``buckets=None`` (FULL): rewrite the entire live set as one
+      generation. Validation under the lock is "the live set is
+      unchanged"; any interleaved merge wins and the compaction redoes
+      from the new generation. This is also the FORMAT MIGRATION
+      point: ``manifest_shards=None`` preserves the current format,
+      ``K`` shards the new generation K ways, ``0`` converts to flat —
+      content identical either way, pinned in tests. A full rewrite is
+      the right tool at test scale and for migrations; at the 100 TB /
+      200k-file point it is a non-starter as routine maintenance.
+    - ``buckets={...}`` (PARTIAL, r13): rewrite ONLY the named
+      buckets' files — the incremental maintenance every production
+      table format does (per-partition binpack). Validation narrows
+      with the scope: conflict iff a concurrent commit changed the
+      live set OF THE TARGET BUCKETS, so merges in other buckets
+      COMMUTE with a running partial compaction (neither redoes;
+      pinned in tests). On a sharded manifest only the covering
+      shards are loaded and rewritten — metadata cost tracks the
+      target, not the store. Pick targets with
+      ``compaction_candidates`` (worst-bucket selection). Partial
+      scope cannot change the manifest format (raises on
+      ``manifest_shards`` + ``buckets`` together).
+
+    Either scope STAGES its output (existing files are never touched,
+    so concurrent readers of the old generation are undisturbed),
+    commits under the same optimistic protocol as the merges, marks
+    the replaced files dead (retained per ``retention_seconds``), and
+    GCs lapsed dead files. Content identity is pinned in
     tests/test_manifest_store.py.
 
-    Compaction is also the FORMAT MIGRATION point:
-    ``manifest_shards=None`` preserves the store's current format
-    (and shard count); ``manifest_shards=K`` writes the new generation
-    sharded K ways; ``manifest_shards=0`` converts back to flat —
-    content identical either way, pinned in tests.
-
     Returns {"generation", "files_before", "files_after",
-    "commit_retries", "manifest_format"}.
+    "commit_retries", "manifest_format"} (+ ``buckets`` when partial;
+    files_before/after count the REWRITTEN scope).
     """
     n_out = max(int(files_per_bucket), 1)
+    if buckets is not None:
+        if manifest_shards is not None:
+            raise ValueError(
+                "format migration (manifest_shards) requires a FULL "
+                "compaction; run buckets=None"
+            )
+        buckets = {str(b) for b in buckets}
     attempts = 0
     while True:
         m = read_manifest(store_dir)
         if m is None:
             raise FileNotFoundError(f"no manifest at {store_dir!r}")
-        live = {e["path"] for e in _live_entries(store_dir, m)}
-        df = read_store(spark, store_dir)
+        sharded = "shards" in m
+
+        def _target_live(mm: dict, shd: bool) -> set:
+            if buckets is None:
+                return {e["path"] for e in _live_entries(store_dir, mm)}
+            return {
+                e["path"]
+                for e in _live_entries(
+                    store_dir, mm, buckets if shd else None
+                )
+                if _entry_bucket(e) in buckets
+            }
+
+        live = _target_live(m, sharded)
+        if buckets is not None and not live:
+            return {
+                "generation": m["generation"],
+                "files_before": 0,
+                "files_after": 0,
+                "commit_retries": attempts,
+                "manifest_format": (
+                    f"sharded:{m['n_shards']}" if sharded else "flat"
+                ),
+                "buckets": sorted(buckets),
+            }
+        df = (
+            read_store(spark, store_dir)
+            if buckets is None
+            else read_store(spark, store_dir, buckets=buckets)
+        )
         stage, new_entries = _stage_clustered(
             df, key_col, partition_col, n_out, store_dir
         )
@@ -953,7 +1039,8 @@ def compact_manifest_store(
             store_dir, timeout=lock_timeout, stale_seconds=lock_stale_seconds
         ):
             m2 = read_manifest(store_dir)
-            if {e["path"] for e in _live_entries(store_dir, m2)} == live:
+            sharded2 = "shards" in m2
+            if _target_live(m2, sharded2) == live:
                 _publish_staged(stage, store_dir, new_entries)
                 now = time.time()
                 expired, carried = _retire_dead(m2, retention_seconds, now)
@@ -968,22 +1055,60 @@ def compact_manifest_store(
                         **{rel: now for rel in newly_dead},
                     },
                 }
-                # The old generation's shard JSONs (if any) retire like
-                # its parquet: dead_meta, time-based.
+                # Replaced shard JSONs retire like replaced parquet:
+                # dead_meta, time-based. Full scope retires every old
+                # shard; partial scope only the covering shards it
+                # rewrites.
                 expired_meta, carried_meta = _retire_dead(
                     m2, retention_seconds, now, key="dead_meta"
                 )
                 msince = m2.get("dead_meta_since", {})
-                meta_dead_now = [
-                    sd["path"] for sd in m2.get("shards", [])
-                ]
-                if out_shards:
-                    root["n_shards"] = out_shards
-                    root["shards"] = _write_all_shards(
-                        store_dir, new_entries, out_shards, written_shards
-                    )
+                meta_dead_now: list[str] = []
+                if buckets is None:
+                    meta_dead_now = [
+                        sd["path"] for sd in m2.get("shards", [])
+                    ]
+                    if out_shards:
+                        root["n_shards"] = out_shards
+                        root["shards"] = _write_all_shards(
+                            store_dir,
+                            new_entries,
+                            out_shards,
+                            written_shards,
+                        )
+                    else:
+                        root["files"] = new_entries
+                elif sharded2:
+                    # Rewrite only the covering shards; untouched
+                    # descriptors carry over byte-identical (the same
+                    # economy the merge path has). New entries can
+                    # only land in covering shards: the staged frame
+                    # holds target buckets only.
+                    n_sh = m2["n_shards"]
+                    m2_shards = _load_shards(store_dir, m2, buckets)
+                    new_by_sid: dict[int, list[dict]] = {}
+                    for e in new_entries:
+                        sid = _shard_id(_entry_bucket(e), n_sh)
+                        new_by_sid.setdefault(sid, []).append(e)
+                    shards2 = list(m2["shards"])
+                    for sid in sorted(set(m2_shards) | set(new_by_sid)):
+                        kept = [
+                            e
+                            for e in m2_shards.get(sid, [])
+                            if e["path"] not in live
+                        ]
+                        meta_dead_now.append(shards2[sid]["path"])
+                        shards2[sid] = _write_shard(
+                            store_dir,
+                            kept + new_by_sid.get(sid, []),
+                            written_shards,
+                        )
+                    root["n_shards"] = n_sh
+                    root["shards"] = shards2
                 else:
-                    root["files"] = new_entries
+                    root["files"] = [
+                        e for e in m2["files"] if e["path"] not in live
+                    ] + new_entries
                 if meta_dead_now or carried_meta or out_shards:
                     root["dead_meta"] = carried_meta + meta_dead_now
                     root["dead_meta_since"] = {
@@ -1015,15 +1140,20 @@ def compact_manifest_store(
                     if os.path.basename(p) not in referenced:
                         with contextlib.suppress(OSError):
                             os.remove(p)
-                return {
+                out = {
                     "generation": m2["generation"] + 1,
                     "files_before": len(live),
                     "files_after": len(new_entries),
                     "commit_retries": attempts,
                     "manifest_format": (
-                        f"sharded:{out_shards}" if out_shards else "flat"
+                        f"sharded:{root['n_shards']}"
+                        if "shards" in root
+                        else "flat"
                     ),
                 }
+                if buckets is not None:
+                    out["buckets"] = sorted(buckets)
+                return out
         shutil.rmtree(stage, ignore_errors=True)
         attempts += 1
         if attempts > max_commit_retries:

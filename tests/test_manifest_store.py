@@ -852,3 +852,147 @@ def test_manifest_entries_record_bytes(spark, tmp_path):
         store, _batch(spark, 1, 64), "k", "bucket", _keep_newest
     )
     assert st2["bytes_read"] > 0 and st2["bytes_total"] > 0
+
+
+def _inflate_bucket(spark, store, bucket, ver, n=32, n_buckets=4):
+    """Merge a NARROW key band concentrated in ONE bucket (keys ≡
+    bucket mod n_buckets, band offset = ver*1024): replaces ~1 file
+    and stages files_per_bucket new ones, so repeated merges grow
+    that bucket's file count — the growth pattern partial compaction
+    exists to repair."""
+    base = ver * 1024
+    return MS.merge_manifest_store(
+        store,
+        spark.range(n).selectExpr(
+            f"{base} + id * {n_buckets} + {bucket} AS k",
+            f"CAST({ver} AS INT) AS ver",
+            f"CAST({bucket} AS INT) AS bucket",
+        ),
+        "k",
+        "bucket",
+        _keep_newest,
+    )
+
+
+def test_partial_compaction_scope_and_content(spark, tmp_path):
+    """r13: buckets= compaction rewrites ONLY the named buckets —
+    content identical, file counts reduced in the target buckets,
+    every non-target file carried over untouched (same paths). Both
+    formats; candidates selection picks the inflated buckets."""
+    for name, kw in (("flat", {}), ("sharded", {"manifest_shards": 4})):
+        store = str(tmp_path / name)
+        MS.merge_manifest_store(
+            store, _base(spark), "k", "bucket", _keep_newest, **kw
+        )
+        for ver in (1, 2, 3):
+            _inflate_bucket(spark, store, 1, ver)
+        before = sorted(map(tuple, MS.read_store(spark, store).collect()))
+        m = MS.read_manifest(store)
+        by_bucket: dict[str, set] = {}
+        for e in MS._live_entries(store, m):
+            by_bucket.setdefault(MS._entry_bucket(e), set()).add(e["path"])
+
+        cands = MS.compaction_candidates(store, files_per_bucket=4)
+        assert cands and cands[0] == "1", (name, cands)
+
+        st = MS.compact_manifest_store(
+            spark, store, "k", "bucket", buckets=set(cands)
+        )
+        assert st["buckets"] == sorted(cands)
+        assert st["files_after"] < st["files_before"], (name, st)
+
+        after = sorted(map(tuple, MS.read_store(spark, store).collect()))
+        assert after == before, name
+        m2 = MS.read_manifest(store)
+        by_bucket2: dict[str, set] = {}
+        for e in MS._live_entries(store, m2):
+            by_bucket2.setdefault(MS._entry_bucket(e), set()).add(e["path"])
+        for b in by_bucket:
+            if b in cands:
+                assert len(by_bucket2[b]) < len(by_bucket[b]), (name, b)
+            else:
+                assert by_bucket2[b] == by_bucket[b], (name, b)
+
+
+def test_partial_compaction_commutes_with_foreign_merges(
+    spark, tmp_path, monkeypatch
+):
+    """The commutation property that makes partial compaction viable
+    at scale: a merge into a NON-target bucket landing between the
+    compaction's stage and its commit does NOT force a redo (the
+    validation scope is the target buckets only); the same merge into
+    a TARGET bucket does."""
+    store = str(tmp_path / "s")
+    MS.merge_manifest_store(
+        store, _base(spark), "k", "bucket", _keep_newest,
+        manifest_shards=4, retention_seconds=3600.0,
+    )
+    for ver in (1, 2):
+        _inflate_bucket(spark, store, 1, ver)
+    before = sorted(
+        tuple(r)
+        for r in MS.read_store(spark, store).select("k", "ver").collect()
+    )
+
+    orig_stage = MS._stage_clustered
+    state = {"merge_bucket": None, "fired": False}
+
+    def hook(df, key_col, partition_col, n_out, store_dir, phases=None):
+        res = orig_stage(
+            df, key_col, partition_col, n_out, store_dir, phases
+        )
+        if state["merge_bucket"] is not None and not state["fired"]:
+            state["fired"] = True  # before merging: the merge re-enters
+            _inflate_bucket(spark, store, state["merge_bucket"], 9, n=32)
+        return res
+
+    monkeypatch.setattr(MS, "_stage_clustered", hook)
+
+    # Foreign-bucket merge: commutes, zero redo.
+    state.update(merge_bucket=2, fired=False)
+    st = MS.compact_manifest_store(
+        spark, store, "k", "bucket", buckets={"1"},
+        retention_seconds=3600.0,
+    )
+    assert st["commit_retries"] == 0, st
+
+    # Target-bucket merge: conflicts, exactly one redo, and the redo
+    # folds the merge's rows in (content = merge applied).
+    state.update(merge_bucket=1, fired=False)
+    st = MS.compact_manifest_store(
+        spark, store, "k", "bucket", buckets={"1"},
+        retention_seconds=3600.0,
+    )
+    assert st["commit_retries"] == 1, st
+    monkeypatch.undo()
+
+    expect = {}
+    for k, v in before:
+        expect[k] = v
+    for b, ver, n in ((2, 9, 32), (1, 9, 32)):
+        for i in range(n):
+            expect[ver * 1024 + i * 4 + b] = ver
+    got = dict(
+        (r.k, r.ver) for r in MS.read_store(spark, store).collect()
+    )
+    assert got == expect
+
+
+def test_partial_compaction_guards(spark, tmp_path):
+    """Partial scope can't migrate formats; an empty target is a
+    typed no-op."""
+    import pytest as _pytest
+
+    store = str(tmp_path / "s")
+    MS.merge_manifest_store(
+        store, _base(spark), "k", "bucket", _keep_newest
+    )
+    with _pytest.raises(ValueError, match="FULL"):
+        MS.compact_manifest_store(
+            spark, store, "k", "bucket", buckets={"0"}, manifest_shards=4
+        )
+    st = MS.compact_manifest_store(
+        spark, store, "k", "bucket", buckets={"99"}
+    )
+    assert st["files_before"] == 0 and st["files_after"] == 0
+    assert st["generation"] == MS.read_manifest(store)["generation"]
