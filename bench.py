@@ -497,6 +497,31 @@ class _StreamMeter:
         return _L()
 
 
+def _fold_best_of(
+    timings: dict[str, float],
+    stream_split: dict[str, dict],
+    name: str,
+    wall: float,
+    s: dict | None,
+) -> None:
+    """Fold a second best-of-2 run into the kept timings, keeping the
+    streaming split CONSISTENT with the kept wall. ADVICE r13 (low):
+    previously a faster second run whose listener drain produced no
+    split (``s is None`` — events lost, or late past the drain
+    timeout) kept the FIRST run's split against the SECOND run's
+    wall, so that entry's ``sched_wall_s`` decomposed against a wall
+    that was no longer the reported one and the suite-level
+    ``stream_sched_wall_s``/``stream_exec_s`` no longer summed
+    against ``full_suite``. A missing split is honest; a mismatched
+    one is wrong — drop the stale entry when the kept wall has none."""
+    if wall < timings[name]:
+        timings[name] = wall
+        if s is not None:
+            stream_split[name] = s
+        else:
+            stream_split.pop(name, None)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -595,10 +620,7 @@ def main() -> None:
                 stream_split[name] = s
     for name in list(timings):
         wall, s = run_once(name)
-        if wall < timings[name]:
-            timings[name] = wall
-            if s is not None:
-                stream_split[name] = s
+        _fold_best_of(timings, stream_split, name, wall, s)
 
     new_timings: dict[str, float] = {}
     for name in NEW_QUERIES:
@@ -609,10 +631,7 @@ def main() -> None:
                 stream_split[name] = s
     for name in list(new_timings):
         wall, s = run_once(name)
-        if wall < new_timings[name]:
-            new_timings[name] = wall
-            if s is not None:
-                stream_split[name] = s
+        _fold_best_of(new_timings, stream_split, name, wall, s)
 
     core_value = round(sum(timings[n] for n in CORE_QUERIES if n in timings), 3)
     full_suite = round(sum(timings.values()), 3)
@@ -640,6 +659,18 @@ def main() -> None:
         sum(s["sched_wall_s"] for s in in_suite.values()), 3
     )
     stream_exec_s = round(sum(s["exec_s"] for s in in_suite.values()), 3)
+    # Core line's OWN scheduler share (r13 verdict item 2): the r13
+    # driver artifact breached its core band top purely on host state
+    # (st 1.43x slow; streaming micro-batch scheduling is driver-
+    # single-thread-bound), but the core line carried no term to show
+    # it. Stamp the core's scheduler share and its data wall so a
+    # band breach is attributable from the compact line alone; band
+    # judgment is data-wall-based (BASELINE.md §7).
+    core_sched_wall_s = round(
+        sum(s["sched_wall_s"] for n, s in in_suite.items() if n in core_set),
+        3,
+    )
+    core_data_wall_s = round(core_value - core_sched_wall_s, 3)
     detail = {
         "host_st_ms": host_st_ms,
         "host_mt_ms": host_mt_ms,
@@ -648,6 +679,8 @@ def main() -> None:
         "streaming_split": stream_split,
         "stream_sched_wall_s": stream_sched_wall_s,
         "stream_exec_s": stream_exec_s,
+        "core_sched_wall_s": core_sched_wall_s,
+        "core_data_wall_s": core_data_wall_s,
         "core_queries": CORE_QUERIES,
         "exhibits": exhibit_timings,
         "exhibit_sf": {
@@ -679,9 +712,12 @@ def main() -> None:
                 "80.3-109.5); full-suite anchor after the r13 fold of "
                 "streaming_cdc_upsert_sharded at its measured 13.729s: "
                 "339.639+13.729 = 353.368s over the 168-plan union — "
-                "read with host_st_ms/host_mt_ms, and subtract "
-                "stream_sched_wall_s (micro-batch scheduler share, "
-                "not plan cost) before judging full-suite drift)",
+                "read with host_st_ms/host_mt_ms; band judgment is "
+                "DATA-WALL-based: subtract core_sched_wall_s from the "
+                "core value and stream_sched_wall_s from the full "
+                "suite (micro-batch scheduler share is driver-single-"
+                "thread-bound box state, not plan cost) before "
+                "judging drift)",
                 "value": core_value,
                 "unit": "sec",
                 "queries": {
@@ -695,6 +731,8 @@ def main() -> None:
                 "full_value": full,
                 "stream_sched_wall_s": stream_sched_wall_s,
                 "stream_exec_s": stream_exec_s,
+                "core_sched_wall_s": core_sched_wall_s,
+                "core_data_wall_s": core_data_wall_s,
                 "tail_mode": tail_mode,
                 "detail": "BENCH_DETAIL.json",
                 "host_st_ms": host_st_ms,

@@ -1126,20 +1126,35 @@ def compact_manifest_store(
                 # after _write_shard but before its root swap leaves
                 # uuid-named files referenced by no generation — the
                 # in-process cleanup above can't catch a hard kill.
-                # Safe under the commit lock (all shard writes happen
-                # under it, so nothing here is mid-commit): anything
-                # the fresh root neither lists live nor retains as
-                # dead_meta is unreachable by every reader and every
-                # retention path. Half-written ``._shard-*.tmp`` files
-                # are the same class.
+                # Half-written ``._shard-*.tmp`` files are the same
+                # class. AGE-GATED (ADVICE r13): "all shard writes
+                # happen under the commit lock" is not airtight under
+                # the documented stale-lock takeover — a slow-but-
+                # alive writer whose lock was stolen after
+                # lock_stale_seconds can sit between _write_shard and
+                # its root swap while this sweep runs; unlinking its
+                # shards would make its subsequent root swap publish
+                # dangling references and every read would fail. By
+                # the takeover rule no legitimate in-flight commit
+                # spans lock_stale_seconds, so any unreferenced shard
+                # OLDER than that window is provably a hard-kill
+                # leftover; younger ones wait for the next sweep.
                 referenced = {sd["path"] for sd in root.get("shards", [])}
                 referenced |= set(root.get("dead_meta", []))
+                sweep_now = time.time()
                 for p in glob.glob(
                     os.path.join(store_dir, "_shard-*.json")
                 ) + glob.glob(os.path.join(store_dir, "._shard-*.json.tmp")):
-                    if os.path.basename(p) not in referenced:
-                        with contextlib.suppress(OSError):
-                            os.remove(p)
+                    if os.path.basename(p) in referenced:
+                        continue
+                    try:
+                        age = sweep_now - os.path.getmtime(p)
+                    except OSError:
+                        continue  # already gone
+                    if age < lock_stale_seconds:
+                        continue  # possibly a mid-takeover writer's
+                    with contextlib.suppress(OSError):
+                        os.remove(p)
                 out = {
                     "generation": m2["generation"] + 1,
                     "files_before": len(live),

@@ -74,67 +74,69 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # parametrize), and output schemas are swept by
 # tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- r13 window. Policy unchanged (r7..r12): births at the head
+    # --- r14 window. Policy unchanged (r7..r13): births at the head
     # the moment they land; every remaining slot is the stalest-green
     # fill GENERATED from the CORRECTNESS union by
     # `scripts/coverage_report.py` (stalest_ok, oracle-bearing only).
-    # Generated 2026-08-16 after CORRECTNESS_r12 (zero debts pending:
+    # Generated 2026-08-16 after CORRECTNESS_r13 (zero debts pending:
     # never_checked = [], oracle_upgraded_pending = [], ever_error =
-    # []): exactly the band the r12 verdict item 3 named — the
-    # displaced tpcds_q97_channel_overlap (r7), then the r8 block
-    # (arrow_* stats, basket rules, the indicator suite, streaming
-    # session/vwap family, tpcds r8 entries). No r13 births yet; any
-    # that land take the head and displace the newest fill.
-    "tpcds_q97_channel_overlap",  # r7
-    "arrow_grouped_apply_stats",  # r8
-    "arrow_native_batch_stats",  # r8
-    "arrow_scalar_udf_stats",  # r8
-    "basket_association_rules",  # r8
-    "corpus_domain_mixture",  # r8
-    "indicator_advance_decline",  # r8
-    "indicator_bollinger_bands",  # r8
-    "indicator_candle_patterns",  # r8
-    "indicator_cusum_changepoint",  # r8
-    "indicator_drawdown_duration",  # r8
-    "indicator_ewma_fold",  # r8
-    "indicator_expected_shortfall",  # r8
-    "indicator_market_beta",  # r8
-    "indicator_max_drawdown",  # r8
-    "indicator_obv",  # r8
-    "indicator_portfolio_hhi",  # r8
-    "indicator_portfolio_var",  # r8
-    "indicator_risk_report",  # r8
-    "indicator_rsi_cutler",  # r8
-    "indicator_runs_test",  # r8
-    "indicator_sma_backtest",  # r8
-    "indicator_stochastic_k",  # r8
-    "indicator_trend_slope",  # r8
-    "indicator_twap_irregular",  # r8
-    "indicator_vwap_daily",  # r8
-    "lateral_topk_per_customer",  # r8
-    "listagg_supplier_directory",  # r8
-    "multimodal_adpcm_decode_execute",  # r8
-    "multimodal_jpeg_decode_execute",  # r8
-    "multimodal_mjpeg_frame_decode",  # r8
-    "quality_classifier_inference",  # r8
-    "quality_threshold_calibration",  # r8
-    "quantile_sketch_certificate",  # r8
-    "recursive_bom_rollup",  # r8
-    "recursive_functional_walk",  # r8
-    "session_window_dynamic_gap",  # r8
-    "sql_udf_order_cents",  # r8
-    "streaming_cdc_upsert_multibatch",  # r8
-    "streaming_quality_classifier",  # r8
-    "streaming_running_totals_final",  # r8
-    "streaming_session_dynamic_gap",  # r8
-    "streaming_session_windows",  # r8
-    "streaming_sessions_multibatch",  # r8
-    "streaming_vwap_daily",  # r8
-    "tpcds_q36_rollup_rank",  # r8
-    "tpcds_q49_dual_rank_report",  # r8
-    "tpcds_q51_cumulative_crossover",  # r8
-    "tpcds_q57_monthly_deviation",  # r8
-    "tpcds_q80_channel_netting",  # r8
+    # []): exactly the band the r13 verdict item 1 named — the
+    # displaced unpivot_measures_long (r8), then the r9 block
+    # (arrow_udtf_installments and the r9-refreshed r3/r4 fills:
+    # TPC-H Q4/Q10/Q11/Q13/Q19/Q22, the join family, the streaming
+    # dedup/quote-feed plans, the multimodal execute pair). No r14
+    # births yet; any that land take the head and displace the
+    # newest fill.
+    "unpivot_measures_long",  # r8
+    "anti_join_customers",  # r9
+    "approx_monitoring_profile",  # r9
+    "arrow_udtf_installments",  # r9
+    "broadcast_star_join",  # r9
+    "corpus_boilerplate_segments",  # r9
+    "corpus_chunking",  # r9
+    "corpus_sequence_packing",  # r9
+    "correlated_subqueries",  # r9
+    "cross_join_dims",  # r9
+    "csv_roundtrip_agg",  # r9
+    "cube_agg",  # r9
+    "dedup_embedding_cosine",  # r9
+    "dedup_exact",  # r9
+    "full_outer_reconciliation",  # r9
+    "grouped_agg_pricing",  # r9
+    "grouped_map_value_diff",  # r9
+    "left_outer_enrichment",  # r9
+    "multimodal_decode_features",  # r9
+    "multimodal_metadata_agg",  # r9
+    "multimodal_pcm_chunk_execute",  # r9
+    "multimodal_resize_execute",  # r9
+    "null_safe_join",  # r9
+    "orc_roundtrip_agg",  # r9
+    "pivot_event_counts",  # r9
+    "ranking_top3_per_flag",  # r9
+    "rolling_avg_sma7",  # r9
+    "scd2_event_history",  # r9
+    "semi_join_customers",  # r9
+    "session_window_agg",  # r9
+    "set_ops_cohorts",  # r9
+    "similarity_ivf_topk_nprobe2",  # r9
+    "similarity_join_corpus",  # r9
+    "streaming_dedup_keys",  # r9
+    "streaming_dedup_keys_ttl",  # r9
+    "streaming_quote_feed_agg",  # r9
+    "streaming_stream_stream_right_join",  # r9
+    "string_functions_suite",  # r9
+    "token_heavy_hitters_sketch",  # r9
+    "tpcds_q14_cross_channel_items",  # r9
+    "tpcds_q38_channel_intersect",  # r9
+    "tpcds_q87_channel_except",  # r9
+    "tpch_q10_returned_items",  # r9
+    "tpch_q11_important_parts",  # r9
+    "tpch_q13_custdist",  # r9
+    "tpch_q19_disjunctive_join",  # r9
+    "tpch_q22_idle_segments",  # r9
+    "tpch_q4_priority_exists",  # r9
+    "variant_json_agg",  # r9
+    "weighted_avg_pricing",  # r9
 )
 
 

@@ -9,6 +9,9 @@ from __future__ import annotations
 import glob
 import os
 import threading
+import time
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -784,18 +787,20 @@ def test_crashed_commit_leaves_no_orphan_shards(spark, tmp_path, monkeypatch):
     }
 
     # In-process death between shard writes and the root swap.
+    # pytest.raises, not try/except (ADVICE r13): if a refactor
+    # renames the hook point or the merge short-circuits before it,
+    # the merge succeeds and a bare try/except would silently pass
+    # without exercising the crash-cleanup path this test pins.
     boom = RuntimeError("simulated crash before root swap")
 
     def _die(store_dir, manifest):
         raise boom
 
     monkeypatch.setattr(MS, "_write_manifest_atomic", _die)
-    try:
+    with pytest.raises(RuntimeError, match="simulated crash"):
         MS.merge_manifest_store(
             store, _batch(spark, 1, 64), "k", "bucket", _keep_newest
         )
-    except RuntimeError as e:
-        assert e is boom
     monkeypatch.undo()
     on_disk = {
         os.path.basename(p)
@@ -805,11 +810,15 @@ def test_crashed_commit_leaves_no_orphan_shards(spark, tmp_path, monkeypatch):
 
     # Hard kill (no in-process cleanup): plant an orphan + tmp, then
     # compact — the sweep reclaims both, referenced shards survive.
+    # Backdated past lock_stale_seconds: the sweep is age-gated
+    # (ADVICE r13) so only provable hard-kill leftovers are removed.
     orphan = os.path.join(store, "_shard-deadbeef.json")
     tmp_orphan = os.path.join(store, "._shard-deadbeef.json.tmp")
+    stale = time.time() - 700.0
     for p in (orphan, tmp_orphan):
         with open(p, "w") as fh:
             fh.write('{"files": []}')
+        os.utime(p, (stale, stale))
     MS.compact_manifest_store(spark, store, "k", "bucket")
     assert not os.path.exists(orphan)
     assert not os.path.exists(tmp_orphan)
@@ -819,6 +828,37 @@ def test_crashed_commit_leaves_no_orphan_shards(spark, tmp_path, monkeypatch):
     assert _rows(spark, store) == sorted(
         (k, 0) for k in range(256)
     )
+
+
+def test_orphan_sweep_spares_young_shards(spark, tmp_path):
+    """ADVICE r13 (low): the orphan-shard sweep is age-gated. Under
+    the documented stale-lock takeover, a slow-but-alive writer whose
+    lock was stolen can sit between _write_shard and its root swap
+    while a compaction sweeps; unlinking its fresh (unreferenced)
+    shard files would make its subsequent root swap publish dangling
+    references and every read of the store would fail. By the
+    takeover rule no legitimate in-flight commit spans
+    lock_stale_seconds, so: YOUNGER than the window -> spared,
+    OLDER -> swept (previous test). Both planted here."""
+    store = str(tmp_path / "s")
+    MS.merge_manifest_store(
+        store, _base(spark, 256), "k", "bucket", _keep_newest,
+        manifest_shards=4,
+    )
+    young = os.path.join(store, "_shard-cafebabe.json")
+    young_tmp = os.path.join(store, "._shard-cafebabe.json.tmp")
+    old = os.path.join(store, "_shard-deadbeef.json")
+    for p in (young, young_tmp, old):
+        with open(p, "w") as fh:
+            fh.write('{"files": []}')
+    stale = time.time() - 700.0
+    os.utime(old, (stale, stale))
+    MS.compact_manifest_store(spark, store, "k", "bucket")
+    assert os.path.exists(young)      # mid-takeover writer's: spared
+    assert os.path.exists(young_tmp)
+    assert not os.path.exists(old)    # provable hard-kill leftover
+    for p in (young, young_tmp):
+        os.remove(p)
 
 
 def test_manifest_entries_record_bytes(spark, tmp_path):
