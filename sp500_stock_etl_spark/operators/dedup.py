@@ -918,12 +918,20 @@ def connected_components_star(
         )
 
     converged = False
+    # r14: carry the previous round's edge count in a driver variable
+    # instead of re-counting the (already materialized) old frame every
+    # round — one fewer job per iteration (guide §1.2 step 1: don't
+    # recompute what you already know). e is localCheckpoint-ed, so
+    # count() was cheap but still a full job dispatch per round.
+    e_count = e.count()
     for _ in range(max_iter):
         e_new = _star(_star(e, large=True), large=False).localCheckpoint()
+        e_new_count = e_new.count()
         unchanged = (
-            e_new.count() == e.count()
+            e_new_count == e_count
             and e_new.exceptAll(e).limit(1).count() == 0
         )
+        e_count = e_new_count
         # The convergence comparison above is the LAST read of the old
         # round's edges — release its checkpoint blocks now (r5 advice:
         # these live outside the track_persist registry and otherwise

@@ -63,6 +63,59 @@ def _stage_events_dir(sf_dir: str) -> str:
     return _stage_table_dir(sf_dir, "events")
 
 
+def _stream_shuffle_partitions(spark: SparkSession, src_dir: str) -> int:
+    """Scale-adaptive shuffle-partition count for a stateful streaming
+    plan (r14 optimization; guide §2.2/§2.4 applied to state stores).
+
+    AQE cannot coalesce stateful streaming shuffles — the state-store
+    instance count is FIXED per shuffle partition at the first
+    micro-batch, and every instance pays a per-batch open/update/
+    commit floor regardless of how little state it holds. Under the
+    session default (shuffle partitions = local core count = 32) a
+    2 MB availableNow replay runs 128 store instances for a
+    stream-stream join whose useful state is ~10 MB: measured
+    65-96 s wall; the same plan at 4 partitions is 3.9-6.2 s
+    (A/B in OPTIMIZATION_r14.md). Batch plans never had this problem
+    because AQE coalesces their post-shuffle partitions to the data.
+
+    Sizing rule: one stateful partition per scan split
+    (``spark.sql.files.maxPartitionBytes``) of the staged source,
+    floored at 4 for CPU parallelism within a micro-batch, capped at
+    ``defaultParallelism``. At cluster scale the source is orders of
+    magnitude past the cap, so the cap dominates and behavior equals
+    the session default; at test scale the state machinery tracks the
+    data. Override with SPARK_GRAFT_STREAM_SHUFFLE (int) for
+    deployments that want an explicit value.
+
+    Result-safety: partition count never changes WHAT a streaming
+    query computes — aggregations/joins/session merges are
+    partitioning-independent, the dedup queries emit keys only, and
+    the applyInPandasWithState totals are associative — re-certified
+    by the full oracle-parity suite after this change.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return max(1, int(env))
+    total = 0
+    for root, _dirs, files in os.walk(src_dir, followlinks=True):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        split = int("".join(ch for ch in raw if ch.isdigit()) or 0) or (
+            128 * 1024 * 1024
+        )
+    except Exception:
+        split = 128 * 1024 * 1024
+    splits = -(-total // split) if total else 1
+    return min(
+        spark.sparkContext.defaultParallelism, max(4, int(splits))
+    )
+
+
 def _snapshot_and_drop(spark: SparkSession, name: str) -> DataFrame:
     """Snapshot a memory-sink table to a temp parquet dir (atexit-
     reaped) and DROP the catalog view, returning the parquet-backed
@@ -84,11 +137,28 @@ def _snapshot_and_drop(spark: SparkSession, name: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-def _run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
+def _run_to_table(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    mode: str,
+    src_dir: str | None = None,
+) -> DataFrame:
     name = f"sg_stream_{next(_SEQ)}_{os.getpid()}"
-    SE.run_available_now(
-        stream_df, _tmp_ckpt(), name, output_mode=mode
-    )
+    if src_dir is None:
+        SE.run_available_now(stream_df, _tmp_ckpt(), name, output_mode=mode)
+    else:
+        # Stateful-plan partitioning sized to the staged source
+        # (see _stream_shuffle_partitions); save/restore so batch
+        # plans after this query keep the session default.
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(_stream_shuffle_partitions(spark, src_dir)))
+        try:
+            SE.run_available_now(
+                stream_df, _tmp_ckpt(), name, output_mode=mode
+            )
+        finally:
+            spark.conf.set(key, prev)
     return _snapshot_and_drop(spark, name)
 
 
@@ -110,8 +180,9 @@ GROUP BY 1, 2, 3
     "== batch agg (SURVEY §2.11)",
 )
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
-    out = _run_to_table(spark, SE.tumbling_counts(stream), "complete")
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
+    out = _run_to_table(spark, SE.tumbling_counts(stream), "complete", src_dir=staged)
     return out.select(
         F.date_format("window_start", _TS_FMT).alias("window_start"),
         F.date_format("window_end", _TS_FMT).alias("window_end"),
@@ -147,8 +218,11 @@ def q_streaming_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = None
     spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
     try:
-        stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
-        out = _run_to_table(spark, SE.tumbling_counts(stream), "complete")
+        staged = _stage_events_dir(sf_dir)
+        stream = SE.read_event_stream(spark, staged)
+        out = _run_to_table(
+            spark, SE.tumbling_counts(stream), "complete", src_dir=staged
+        )
     finally:
         if prev is None:
             spark.conf.unset(_PROVIDER_KEY)
@@ -187,7 +261,8 @@ GROUP BY 1
     "(SURVEY §2.11 ext)",
 )
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
     windowed = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
@@ -197,7 +272,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
-    out = _run_to_table(spark, windowed, "complete")
+    out = _run_to_table(spark, windowed, "complete", src_dir=staged)
     return out.select(
         F.date_format("window_start", _TS_FMT).alias("window_start"),
         "n",
@@ -263,8 +338,9 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows-only driver check by design (SURVEY §2.11/2.12)",
 )
 def q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
-    return _run_to_table(spark, SE.running_user_totals(stream), "update")
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
+    return _run_to_table(spark, SE.running_user_totals(stream), "update", src_dir=staged)
 
 
 @register(
@@ -280,9 +356,13 @@ def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark only advances between micro-batches), so the emitted
     # totals equal the unbounded twin — tests/test_streaming.py drives
     # the multi-run eviction path explicitly.
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
     return _run_to_table(
-        spark, SE.running_user_totals_ttl(stream, ttl_ms=3_600_000), "update"
+        spark,
+        SE.running_user_totals_ttl(stream, ttl_ms=3_600_000),
+        "update",
+        src_dir=staged,
     )
 
 
@@ -320,7 +400,8 @@ JOIN customer c ON e.user_id % 1000 = c.c_custkey
 def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.readers import load_table
 
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -329,7 +410,7 @@ def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("join_key") == F.col("c_custkey"))
         .select("event_id", "event_type", "c_mktsegment", "ts")
     )
-    out = _run_to_table(spark, joined, "append")
+    out = _run_to_table(spark, joined, "append", src_dir=staged)
     return out.select(
         "event_id", "event_type", "c_mktsegment",
         F.date_format("ts", _TS_FMT).alias("ts"),
@@ -355,11 +436,12 @@ SELECT DISTINCT user_id, event_type FROM events
     "it deterministic (SURVEY §2.11 ext)",
 )
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return _run_to_table(spark, deduped, "append")
+    return _run_to_table(spark, deduped, "append", src_dir=staged)
 
 
 # Bounded-state dedup twin (round-2 verdict item 4, second half): the
@@ -385,14 +467,15 @@ FROM events
     "(SURVEY §2.11 ext, round-2 verdict item 4)",
 )
 def q_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
     deduped = (
         stream.withColumn("hour_start", F.date_trunc("hour", "ts"))
         .withWatermark("hour_start", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_start"])
         .select("user_id", "event_type", "hour_start")
     )
-    out = _run_to_table(spark, deduped, "append")
+    out = _run_to_table(spark, deduped, "append", src_dir=staged)
     return out.select(
         "user_id",
         "event_type",
@@ -454,7 +537,7 @@ def q_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") > F.col("p_ts"))
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "click_id")
-    return _run_to_table(spark, joined, "append")
+    return _run_to_table(spark, joined, "append", src_dir=staged)
 
 
 # ---------------------------------------------------------------------------
@@ -509,7 +592,8 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.text import tokens
 
-    stream = _read_document_stream(spark, _stage_documents_dir(sf_dir))
+    staged = _stage_documents_dir(sf_dir)
+    stream = _read_document_stream(spark, staged)
     tk = tokens(F.col("text"))
     keep_n = F.greatest(F.lit(3), F.floor(F.size(tk) * 0.7).cast("int"))
     probes = stream.where(F.col("doc_id") % 7 == 0).select(
@@ -522,7 +606,7 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=_NGRAM, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=_SJ_THRESHOLD,
     )
-    return _run_to_table(spark, joined, "append")
+    return _run_to_table(spark, joined, "append", src_dir=staged)
 
 
 def _attach_simjoin_oracle() -> None:
@@ -565,9 +649,8 @@ def q_streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import norm_text
     from ..operators import text_analysis as TA
 
-    stream = _read_document_stream(
-        spark, _stage_documents_dir(sf_dir)
-    ).select("doc_id", "text")
+    staged = _stage_documents_dir(sf_dir)
+    stream = _read_document_stream(spark, staged).select("doc_id", "text")
     scored = TA.with_text_stats(stream, "text")
     with_lang = scored.withColumn("lang_guess", TA.lang_id(F.col("text")))
     kept = with_lang.where(
@@ -590,7 +673,7 @@ def q_streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("quality_score").alias("quality_score"),
         )
     )
-    return _run_to_table(spark, curated, "complete")
+    return _run_to_table(spark, curated, "complete", src_dir=staged)
 
 
 def _attach_curation_oracle() -> None:
@@ -714,7 +797,8 @@ GROUP BY 1, 2
 def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import dec as _dec
 
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
     key = F.struct("ts", "event_id")
     bars = (
         stream.withWatermark("ts", "2 hours")
@@ -728,7 +812,7 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
         )
     )
-    out = _run_to_table(spark, bars, "complete")
+    out = _run_to_table(spark, bars, "complete", src_dir=staged)
     return out.select(
         "bar_hour",
         "event_type",
@@ -777,7 +861,8 @@ GROUP BY 1, 2
 def q_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import dec as _dec
 
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
     key = F.struct("ts", "event_id")
     bars = (
         stream.withWatermark("ts", "2 hours")
@@ -791,7 +876,7 @@ def q_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
         )
     )
-    out = _run_to_table(spark, bars, "append")
+    out = _run_to_table(spark, bars, "append", src_dir=staged)
     return out.select(
         F.col("window.start").alias("bar_hour"),
         "event_type",
@@ -893,7 +978,7 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     ).select("purchase_id", "click_id", "p_ts")
-    out = _run_to_table(spark, joined, "append")
+    out = _run_to_table(spark, joined, "append", src_dir=staged)
     # Static cutoff = least(per-stream max ts) - 4h, computed in-plan
     # (broadcast scalar), NOT collected on the driver. least() of the
     # per-type maxima mirrors the global-watermark rule (min over the
@@ -1052,7 +1137,7 @@ def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
         "fullOuter",
     ).select("purchase_id", "click_id", "p_ts", "c_ts")
-    out = _run_to_table(spark, joined, "append")
+    out = _run_to_table(spark, joined, "append", src_dir=staged)
     from ..io.readers import load_table
 
     cutoff = _stream_cutoff(load_table(spark, sf_dir, "events"))
@@ -1133,7 +1218,7 @@ def q_stream_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
         "rightOuter",
     ).select("purchase_id", "click_id", "c_ts")
-    out = _run_to_table(spark, joined, "append")
+    out = _run_to_table(spark, joined, "append", src_dir=staged)
     from ..io.readers import load_table
 
     cutoff = _stream_cutoff(load_table(spark, sf_dir, "events"))
@@ -1176,9 +1261,10 @@ GROUP BY user_id
     "twins remain the emission exhibits (SURVEY §2.11/2.12 ext, r8)",
 )
 def q_streaming_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = SE.read_event_stream(spark, _stage_events_dir(sf_dir))
+    staged = _stage_events_dir(sf_dir)
+    stream = SE.read_event_stream(spark, staged)
     out = _run_to_table(
-        spark, SE.running_user_totals_cents(stream), "update"
+        spark, SE.running_user_totals_cents(stream), "update", src_dir=staged
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -1210,10 +1296,13 @@ def _attach_streaming_classifier() -> None:
         "to end (SURVEY §2.11 x late-r8 classifier)",
     )
     def q_streaming_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-        stream = _read_document_stream(
-            spark, _stage_documents_dir(sf_dir)
-        ).select("doc_id", "text")
-        return _run_to_table(spark, classifier_scores(stream), "append")
+        staged = _stage_documents_dir(sf_dir)
+        stream = _read_document_stream(spark, staged).select(
+            "doc_id", "text"
+        )
+        return _run_to_table(
+            spark, classifier_scores(stream), "append", src_dir=staged
+        )
 
 
 _attach_streaming_classifier()
@@ -1352,7 +1441,9 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _stage_events_dir(sf_dir)
     stream = SE.read_event_stream(spark, staged)
-    out = _run_to_table(spark, SE.session_counts(stream, "30 minutes"), "append")
+    out = _run_to_table(
+        spark, SE.session_counts(stream, "30 minutes"), "append", src_dir=staged
+    )
     cutoff = (
         load_table(spark, sf_dir, "events")
         .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS 1 MINUTE")).alias("c"))
@@ -1441,7 +1532,7 @@ def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    out = _run_to_table(spark, windowed, "append")
+    out = _run_to_table(spark, windowed, "append", src_dir=staged)
     cutoff = (
         load_table(spark, sf_dir, "events")
         .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS 1 MINUTE")).alias("c"))
@@ -1483,20 +1574,34 @@ def _stage_events_multibatch(spark: SparkSession, sf_dir: str) -> str:
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
-    conds = [
-        F.col("ts") < cuts[0],
-        (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
-        (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
-        F.col("ts") >= cuts[2],
-    ]
-    for i, cond in enumerate(conds):
-        tmp = f"{d}/_w{i}"
-        ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(f"{tmp}/part-*.parquet")
+    # ONE pass over events instead of four (r14 optimization, guide
+    # §1.2 step 1 "don't compute things you throw away": the old loop
+    # ran 4 filter+coalesce+write jobs, each rescanning the table).
+    # coalesce(1) + partitionBy writes one file per chunk value from a
+    # single task; the partition column stays OUT of the file schema,
+    # so each chunk file holds exactly the same rows/columns as the
+    # old per-filter write (row order within a chunk is not part of
+    # any contract — every consumer aggregates or resolves by key).
+    chunk = (
+        F.when(F.col("ts") < cuts[0], 0)
+        .when(F.col("ts") < cuts[1], 1)
+        .when(F.col("ts") < cuts[2], 2)
+        .otherwise(3)
+    )
+    tmp = f"{d}/_w"
+    (
+        ev.withColumn("__chunk__", chunk)
+        .coalesce(1)
+        .write.partitionBy("__chunk__")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for i in range(4):
+        part = _glob.glob(f"{tmp}/__chunk__={i}/part-*.parquet")
         if part:
             shutil.move(part[0], f"{d}/{i:03d}.parquet")
             os.utime(f"{d}/{i:03d}.parquet", (1700000000 + i, 1700000000 + i))
-        shutil.rmtree(tmp)
+    shutil.rmtree(tmp)
     return d
 
 
@@ -1526,7 +1631,9 @@ def q_streaming_sessions_multibatch(
         .parquet(staged)
         .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
     )
-    out = _run_to_table(spark, SE.session_counts(stream, "30 minutes"), "append")
+    out = _run_to_table(
+        spark, SE.session_counts(stream, "30 minutes"), "append", src_dir=staged
+    )
     cutoff = (
         load_table(spark, sf_dir, "events")
         .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS 1 MINUTE")).alias("c"))
@@ -1590,7 +1697,7 @@ def q_streaming_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * F.col("qty")).alias("num"),
         F.sum("qty").alias("den"),
     )
-    out = _run_to_table(spark, agg, "complete")
+    out = _run_to_table(spark, agg, "complete", src_dir=path)
     return out.select(
         F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
         "symbol",
@@ -1689,16 +1796,25 @@ FROM latest WHERE rn = 1
 _LAST_CDC_DATA_BATCHES: int = -1
 
 
-def _keep_newest(df: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("device_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+def _keep_newest(df: DataFrame, key: str = "device_id") -> DataFrame:
+    """Last-write-wins resolve: keep the (ts, event_id)-max row per
+    key. r14 optimization (guide §2.3 "aggregate before you shuffle"):
+    a grouped ``max_by`` replaces the old row_number window — partial
+    map-side aggregation shrinks the shuffle to one in-flight row per
+    key per map task and drops the per-partition sort; at 100 TB the
+    merge shuffle carries keys+payload once instead of every batch
+    row. Picks the IDENTICAL row as the window did: (ts, event_id) is
+    unique per key (event_id globally unique), and lexicographic
+    struct max == ORDER BY ts DESC, event_id DESC LIMIT 1."""
+    others = [c for c in df.columns if c != key]
+    kept = df.groupBy(key).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("__kept__")
     )
-    return (
-        df.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    return kept.select(
+        key, *[F.col(f"__kept__.{c}").alias(c) for c in others]
     )
 
 
@@ -2003,16 +2119,9 @@ def q_streaming_cdc_upsert_tenant(
     )
 
     def _keep_newest_ck(df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("ck").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
+        # Same grouped-max_by resolve as _keep_newest, keyed on the
+        # packed (tenant, device) key.
+        return _keep_newest(df, key="ck")
 
     store_dir = tempfile.mkdtemp(prefix="sg_cdc_tstore_") + "/store"
     atexit.register(
