@@ -255,6 +255,28 @@ def _verify_size_gate(pairs: DataFrame, shingled: DataFrame) -> bool:
     return fast
 
 
+def _jaccard_expr(a: str = "sh_a", b: str = "sh_b"):
+    """Exact Jaccard over two DISTINCT-element shingle arrays on one
+    row: |A∩B| / (|A| + |B| − |A∩B|).
+
+    r14 optimization (guide §1.2 step 2, per-task work): the previous
+    form computed the union as ``size(array_distinct(concat(a, b)))``
+    — a SECOND per-pair hash-set build over |A|+|B| strings on top of
+    ``array_intersect``'s. ``with_shingles`` arrays are distinct by
+    construction (``word_shingles`` applies ``array_distinct``), so
+    inclusion-exclusion gives the identical integer:
+    |A∪B| = |A| + |B| − |A∩B|. Counts are exact in double (< 2^31),
+    and the final division consumes the same two doubles as before,
+    so every jaccard value is BIT-IDENTICAL to the old expression —
+    re-checked against the unchanged DuckDB oracles. The two
+    ``size(array_intersect(...))`` occurrences collapse to one
+    evaluation under codegen subexpression elimination."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (
+        (F.size(a) + F.size(b) - inter).cast("double")
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame, shingled: DataFrame, threshold: float
 ) -> DataFrame:
@@ -328,12 +350,8 @@ def jaccard_verify(
         p = pairs.dropDuplicates(["doc_a", "doc_b"])
         xa_fast = F.broadcast(p).join(sa, "doc_a")
         fat = F.broadcast(xa_fast).join(sb, "doc_b")
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast(
-            "double"
-        )
         return fat.select(
-            "doc_a", "doc_b", (inter / union).alias("jaccard")
+            "doc_a", "doc_b", _jaccard_expr().alias("jaccard")
         ).where(F.col("jaccard") >= threshold)
 
     xa = (
@@ -365,10 +383,8 @@ def jaccard_verify(
         # dropped by with_shingles (< ngram tokens) has one side null.
         .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
     return paired.select(
-        "doc_a", "doc_b", (inter / union).alias("jaccard")
+        "doc_a", "doc_b", _jaccard_expr().alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -579,12 +595,10 @@ def minhash_similarity_join(
     )
     sa = sq.select(F.col("doc_id").alias("query_id"), F.col("shingles").alias("sh_a"))
     sb = sc.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
     return (
         cand.join(sa, "query_id")
         .join(sb, "corpus_id")
-        .select("query_id", "corpus_id", (inter / union).alias("jaccard"))
+        .select("query_id", "corpus_id", _jaccard_expr().alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -643,11 +657,9 @@ def minhash_similarity_join_stream(
     sb = sc.select(
         F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
     return (
         cand.join(sb, "corpus_id")
-        .select("query_id", "corpus_id", (inter / union).alias("jaccard"))
+        .select("query_id", "corpus_id", _jaccard_expr().alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -74,3 +74,30 @@ def test_gate_decision_trail(spark, monkeypatch):
     rec = D.LAST_GATE_DECISIONS[0]
     assert {"n_pairs", "est_total", "budget", "fast"} <= set(rec)
     assert rec["fast"] is True  # tiny corpus must take the fast path
+
+
+def test_jaccard_expr_matches_distinct_concat_union(spark):
+    """r14: the verify's union is inclusion-exclusion
+    (|A|+|B|-|A∩B|) instead of size(array_distinct(concat)). Pin the
+    two expressions bit-identical on distinct-element arrays covering
+    disjoint / partial / identical / subset overlaps — the full range
+    the verify can see (with_shingles arrays are always distinct)."""
+    rows = [
+        (["a", "b", "c"], ["x", "y"]),          # disjoint
+        (["a", "b", "c"], ["b", "c", "d"]),     # partial
+        (["a", "b"], ["a", "b"]),               # identical
+        (["a", "b", "c", "d"], ["b", "c"]),     # subset
+        (["a"], ["a", "z", "q", "r"]),          # skewed sizes
+    ]
+    df = spark.createDataFrame(
+        rows, "sh_a array<string>, sh_b array<string>"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    old_union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast(
+        "double"
+    )
+    got = df.select(
+        D._jaccard_expr().alias("new"), (inter / old_union).alias("old")
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"]  # bitwise (both exact doubles)
