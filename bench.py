@@ -497,6 +497,74 @@ class _StreamMeter:
         return _L()
 
 
+# The compact final line must survive the driver's 2000-char tail
+# capture (round-5 incident): the line prints LAST, so it is intact in
+# the tail iff its own length fits. Budget leaves a little headroom.
+_LINE_BUDGET = 1980
+
+# Family-prefix abbreviation for the per-core-query keys in the
+# compact line (full 55 names are 1146 chars of keys alone — they do
+# NOT fit the tail budget next to the fixed fields). The short->full
+# map is emitted in BENCH_DETAIL.json under ``core_key_map`` and the
+# two bench runs the driver makes (main + low-core) share it, so the
+# PERF scaling block still matches keys exactly.
+_KEY_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("streaming_", "st."),
+    ("corpus_", "co."),
+    ("dedup_", "dd."),
+    ("indicator_", "in."),
+    ("multimodal_", "mm."),
+    ("similarity_", "si."),
+    ("embedding_", "em."),
+    ("tpcds_", "ds."),
+    ("tpch_", "h."),
+)
+
+
+def _short_key(name: str) -> str:
+    for prefix, abbrev in _KEY_PREFIXES:
+        if name.startswith(prefix):
+            return abbrev + name[len(prefix):]
+    return name
+
+
+def _compact_line(payload: dict, core_names: list[str]) -> str:
+    """Serialize the compact bench line, degrading the per-core-query
+    seconds map (r14 verdict item 1: the driver's PERF per_query/
+    geomean/scaling blocks need real per-query timings, not section
+    counts) before ever busting the tail-capture budget: 3-sig-digit
+    values -> 2 decimals -> 1 decimal -> whole seconds -> counts-only.
+    Counts keys stay in ``queries`` unconditionally (driver contract:
+    entries are only ever ADDED, never removed)."""
+    rungs = (
+        lambda v: float("%.3g" % v),
+        lambda v: round(v, 2),
+        lambda v: round(v, 1),
+        lambda v: int(round(v)),
+        None,
+    )
+    for conv in rungs:
+        q = dict(payload["queries"])
+        if conv is not None:
+            q.update(
+                {
+                    _short_key(n): conv(payload["_core_timings"][n])
+                    for n in core_names
+                    if n in payload["_core_timings"]
+                }
+            )
+        line = json.dumps(
+            {
+                **{k: v for k, v in payload.items() if k != "_core_timings"},
+                "queries": q,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= _LINE_BUDGET:
+            return line
+    return line  # counts-only fallback always fits
+
+
 def _fold_best_of(
     timings: dict[str, float],
     stream_split: dict[str, dict],
@@ -682,6 +750,7 @@ def main() -> None:
         "core_sched_wall_s": core_sched_wall_s,
         "core_data_wall_s": core_data_wall_s,
         "core_queries": CORE_QUERIES,
+        "core_key_map": {_short_key(n): n for n in CORE_QUERIES},
         "exhibits": exhibit_timings,
         "exhibit_sf": {
             n: exhibit_sf_override.get(n, sf_dir).rsplit("sf", 1)[-1]
@@ -700,24 +769,22 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    # ONE compact final line (< 1.5 KB guaranteed: no per-query maps) —
-    # the driver's tail capture is 2000 chars (round-5 verdict item 5).
+    # ONE compact final line — must survive the driver's 2000-char
+    # tail capture (round-5 verdict item 5). r15 change (r14 verdict
+    # item 1): ``queries`` now carries the 55 per-CORE-query seconds
+    # (3 significant digits) IN ADDITION to the section counts, so the
+    # driver's PERF per_query/geomean/scaling blocks compute over real
+    # timings instead of comparing counts to counts. The anchor
+    # history that used to live in the metric string (r12 new-host
+    # anchors: core 105.389s band 80.3-109.5, full suite 353.368s over
+    # the 168-plan union) moved to BASELINE.md §7 + this docstring to
+    # make room; methodology, timed set and scale are UNCHANGED.
     print(
-        json.dumps(
+        _compact_line(
             {
-                "metric": "55-plan headline core wall-clock (noop sink; "
-                "fixed forever per r10 growth policy; r12 NEW-HOST "
-                "anchors, pre-registered from 3 consecutive driver-"
-                "protocol runs within +/-20%: core 105.389s (band "
-                "80.3-109.5); full-suite anchor after the r13 fold of "
-                "streaming_cdc_upsert_sharded at its measured 13.729s: "
-                "339.639+13.729 = 353.368s over the 168-plan union — "
-                "read with host_st_ms/host_mt_ms; band judgment is "
-                "DATA-WALL-based: subtract core_sched_wall_s from the "
-                "core value and stream_sched_wall_s from the full "
-                "suite (micro-batch scheduler share is driver-single-"
-                "thread-bound box state, not plan cost) before "
-                "judging drift)",
+                "metric": "55-plan core wall-clock (noop sink; "
+                "anchors BASELINE.md §7; data-wall judging via "
+                "*_sched_wall_s; core_key_map in detail)",
                 "value": core_value,
                 "unit": "sec",
                 "queries": {
@@ -725,6 +792,9 @@ def main() -> None:
                     "n_recommended": len(timings),
                     "n_new": len(new_timings),
                     "n_exhibits": len(exhibit_timings),
+                },
+                "_core_timings": {
+                    n: timings[n] for n in CORE_QUERIES if n in timings
                 },
                 "value_full_suite": full_suite,
                 "value_new": value_new,
@@ -738,7 +808,8 @@ def main() -> None:
                 "host_st_ms": host_st_ms,
                 "host_mt_ms": host_mt_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            CORE_QUERIES,
         )
     )
 

@@ -92,20 +92,25 @@ def per_query(spark, names: list[str], reps: int = 4) -> None:
         res: dict[str, list[float]] = {"new": [], "old": []}
         q = registry[name]
         q.spark_fn(spark, sf).write.format("noop").mode("overwrite").save()
-        for rep in range(reps):
-            order = (
-                [("new", NEW), ("old", OLD)]
-                if rep % 2 == 0
-                else [("old", OLD), ("new", NEW)]
-            )
-            for arm, fn in order:
-                D._jaccard_expr = fn
-                t0 = time.perf_counter()
-                q.spark_fn(spark, sf).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                res[arm].append(round(time.perf_counter() - t0, 3))
-        D._jaccard_expr = NEW
+        # r14 ADVICE (low): restore the monkeypatch in a finally so an
+        # exception mid-loop cannot leave the module on OLD for the
+        # rest of the process (would contaminate later per-query arms).
+        try:
+            for rep in range(reps):
+                order = (
+                    [("new", NEW), ("old", OLD)]
+                    if rep % 2 == 0
+                    else [("old", OLD), ("new", NEW)]
+                )
+                for arm, fn in order:
+                    D._jaccard_expr = fn
+                    t0 = time.perf_counter()
+                    q.spark_fn(spark, sf).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    res[arm].append(round(time.perf_counter() - t0, 3))
+        finally:
+            D._jaccard_expr = NEW
         print(
             f"{name}: new={res['new']} best={min(res['new'])} | "
             f"old={res['old']} best={min(res['old'])}",

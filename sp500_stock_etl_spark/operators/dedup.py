@@ -284,6 +284,14 @@ def jaccard_verify(
     distinct-shingle arrays. Output (doc_a, doc_b, jaccard), one row
     per distinct candidate pair at or above the threshold.
 
+    PRECONDITION (r14 ADVICE): ``shingled``'s shingle arrays must be
+    DISTINCT-element (``with_shingles``/``word_shingles`` guarantees
+    this by construction). The union is computed by inclusion-
+    exclusion (|A|+|B|−|A∩B|, ``_jaccard_expr``), which is exact only
+    for duplicate-free arrays; a caller passing duplicate-bearing
+    arrays gets a silently deflated Jaccard (the pre-r14
+    ``array_distinct(concat(...))`` form was duplicate-robust).
+
     Shape selection (r11, the r10 verdict's top item): a size gate
     (``_verify_size_gate``) routes a PROVABLY-bounded candidate set to
     a zero-shuffle broadcast plan — both shingle fetches become
@@ -575,7 +583,13 @@ def minhash_similarity_join(
     side shuffles only its (band, band_sig) rows, so the join cost
     tracks bucket collisions, never |Q| x |C|. The production shape
     for "dedup new crawl against existing training corpus".
-    Output (query_id, corpus_id, jaccard)."""
+    Output (query_id, corpus_id, jaccard).
+
+    Exact-verify precondition (r14 ADVICE): shingle arrays are built
+    here via ``with_shingles`` (distinct by construction), which the
+    inclusion-exclusion union in ``_jaccard_expr`` requires — callers
+    reusing ``_jaccard_expr`` on external shingled frames must
+    guarantee distinct-element arrays or Jaccard deflates silently."""
     sq = track_persist(with_shingles(query_df, id_col, text_col, ngram))
     sc = track_persist(with_shingles(corpus_df, id_col, text_col, ngram))
     bq = _band_buckets(minhash_signature(sq, num_hashes), num_hashes, bands)
@@ -630,7 +644,10 @@ def minhash_similarity_join_stream(
 
     Output (query_id, corpus_id, jaccard) — identical semantics to
     the batch operator, so the batch SQL oracle checks the stream
-    end-to-end.
+    end-to-end. Same exact-verify precondition as the batch operator:
+    shingle arrays must be distinct-element (guaranteed here by
+    ``with_shingles``) for ``_jaccard_expr``'s inclusion-exclusion
+    union to be exact.
     """
     sq = minhash_signature(
         with_shingles(query_stream, id_col, text_col, ngram), num_hashes

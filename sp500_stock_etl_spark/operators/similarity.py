@@ -621,18 +621,30 @@ def pq_codebooks_encode(
         )
 
     def assign_expr(cbs):
-        """cluster id for a (s, sv) row: per-subspace argmin chained
-        through one CASE on s."""
-        expr = None
-        for s in range(m):
-            arr = F.array(*[sq_dist(F.col("sv"), c) for c in cbs[s]])
-            code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-            expr = (
-                F.when(F.col("s") == s, code)
-                if expr is None
-                else expr.when(F.col("s") == s, code)
-            )
-        return expr
+        """cluster id for a (s, sv) row: argmin over this row's
+        subspace codebook, with the m·k centroids carried as ONE
+        nested-array literal column instead of m·k unrolled
+        literal-fold subtrees chained through a CASE on s (r15, r14
+        verdict item 3). A complex-typed Literal lands in the codegen
+        references array — not inlined in the generated source — so
+        every Lloyd round produces the same tiny plan and Catalyst
+        re-analyzes/re-optimizes a ~40-node tree instead of a fresh
+        ~3000-node one (measured 1.6 s -> 0.65 s per round at sf0.1,
+        scripts/r15_pq_proto.py). Bit-exact: per element the fold is
+        the same zip_with(a-b) + aggregate(acc + x*x) as
+        clustering.sq_dist over the same doubles in the same order,
+        and argmin ties still resolve to the lowest code via
+        array_position; the prototype collect-compared all 8000
+        (vec_id, s) assignments equal."""
+        arr = F.transform(
+            F.element_at(F.lit(cbs), F.col("s") + 1),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda a, b: a - b),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ),
+        )
+        return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
     for _ in range(iters):
         assigned = sub_rows.withColumn("cluster", assign_expr(codebooks))

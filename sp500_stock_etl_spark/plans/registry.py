@@ -74,69 +74,70 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # parametrize), and output schemas are swept by
 # tests/test_schema_audit.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- r14 window. Policy unchanged (r7..r13): births at the head
-    # the moment they land; every remaining slot is the stalest-green
+    # --- r15 window. Policy unchanged (r7..r14): births and
+    # semantically-rewritten/oracle-upgraded queries at the head the
+    # moment they land; every remaining slot is the stalest-green
     # fill GENERATED from the CORRECTNESS union by
     # `scripts/coverage_report.py` (stalest_ok, oracle-bearing only).
-    # Generated 2026-08-16 after CORRECTNESS_r13 (zero debts pending:
-    # never_checked = [], oracle_upgraded_pending = [], ever_error =
-    # []): exactly the band the r13 verdict item 1 named — the
-    # displaced unpivot_measures_long (r8), then the r9 block
-    # (arrow_udtf_installments and the r9-refreshed r3/r4 fills:
-    # TPC-H Q4/Q10/Q11/Q13/Q19/Q22, the join family, the streaming
-    # dedup/quote-feed plans, the multimodal execute pair). No r14
-    # births yet; any that land take the head and displace the
-    # newest fill.
-    "unpivot_measures_long",  # r8
-    "anti_join_customers",  # r9
-    "approx_monitoring_profile",  # r9
-    "arrow_udtf_installments",  # r9
-    "broadcast_star_join",  # r9
-    "corpus_boilerplate_segments",  # r9
-    "corpus_chunking",  # r9
-    "corpus_sequence_packing",  # r9
-    "correlated_subqueries",  # r9
-    "cross_join_dims",  # r9
-    "csv_roundtrip_agg",  # r9
-    "cube_agg",  # r9
-    "dedup_embedding_cosine",  # r9
-    "dedup_exact",  # r9
-    "full_outer_reconciliation",  # r9
-    "grouped_agg_pricing",  # r9
-    "grouped_map_value_diff",  # r9
-    "left_outer_enrichment",  # r9
-    "multimodal_decode_features",  # r9
-    "multimodal_metadata_agg",  # r9
-    "multimodal_pcm_chunk_execute",  # r9
-    "multimodal_resize_execute",  # r9
-    "null_safe_join",  # r9
-    "orc_roundtrip_agg",  # r9
-    "pivot_event_counts",  # r9
-    "ranking_top3_per_flag",  # r9
-    "rolling_avg_sma7",  # r9
-    "scd2_event_history",  # r9
-    "semi_join_customers",  # r9
-    "session_window_agg",  # r9
-    "set_ops_cohorts",  # r9
-    "similarity_ivf_topk_nprobe2",  # r9
-    "similarity_join_corpus",  # r9
-    "streaming_dedup_keys",  # r9
-    "streaming_dedup_keys_ttl",  # r9
-    "streaming_quote_feed_agg",  # r9
-    "streaming_stream_stream_right_join",  # r9
-    "string_functions_suite",  # r9
-    "token_heavy_hitters_sketch",  # r9
-    "tpcds_q14_cross_channel_items",  # r9
-    "tpcds_q38_channel_intersect",  # r9
-    "tpcds_q87_channel_except",  # r9
-    "tpch_q10_returned_items",  # r9
-    "tpch_q11_important_parts",  # r9
-    "tpch_q13_custdist",  # r9
-    "tpch_q19_disjunctive_join",  # r9
-    "tpch_q22_idle_segments",  # r9
-    "tpch_q4_priority_exists",  # r9
-    "variant_json_agg",  # r9
-    "weighted_avg_pricing",  # r9
+    # Head (r14 verdict item 6): the r14 semantic rewrites the r14
+    # driver sample never exercised — the 5 CDC-upsert stores
+    # (max_by resolve + one-pass staging), both jsonl-sink
+    # round-trips (vectorized serializer), streaming_corpus_dedup
+    # (inclusion-exclusion jaccard) — plus the two families this
+    # round's optimizations touch (PQ trainer, arrow UDTF). Fills
+    # generated 2026-08-18 after CORRECTNESS_r14 (zero debts:
+    # never_checked = [], oracle_upgraded_pending = [],
+    # ever_error = []).
+    "streaming_cdc_upsert_multibatch",  # r14 rewrite (verdict item 6)
+    "streaming_cdc_upsert_bucketed",  # r14 rewrite (verdict item 6)
+    "streaming_cdc_upsert_filestats",  # r14 rewrite (verdict item 6)
+    "streaming_cdc_upsert_tenant",  # r14 rewrite (verdict item 6)
+    "streaming_cdc_upsert_sharded",  # r14 rewrite (verdict item 6)
+    "jsonl_sink_roundtrip_agg",  # r14 rewrite (verdict item 6)
+    "streaming_jsonl_sink_roundtrip",  # r14 rewrite (verdict item 6)
+    "streaming_corpus_dedup",  # r14 rewrite (verdict item 6)
+    "embedding_pq_encode_init",  # r15-touched family
+    "arrow_udtf_installments",  # r15-touched family
+    "window_navigation_suite",  # r9
+    "array_functions_suite",  # r10
+    "basket_part_cooccurrence",  # r10
+    "bitwise_agg_suite",  # r10
+    "bucketed_fact_join",  # r10
+    "cohort_retention_weekly",  # r10
+    "corpus_boilerplate_rewrite",  # r10
+    "corpus_decontamination_bloom",  # r10
+    "corpus_reservoir_sample",  # r10
+    "corpus_tfidf_topterms",  # r10
+    "corpus_train_val_test_split",  # r10
+    "corpus_training_build",  # r10
+    "corpus_unigram_stats",  # r10
+    "dedup_connected_components",  # r10
+    "dedup_semantic_clusters",  # r10
+    "event_funnel_conversion",  # r10
+    "feature_outlier_fences",  # r10
+    "max_drawdown_per_symbol",  # r10
+    "ohlc_hourly_resample",  # r10
+    "regex_functions_suite",  # r10
+    "schema_evolution_scan",  # r10
+    "sma_crossover_signals",  # r10
+    "streaming_ohlc_bars",  # r10
+    "streaming_sliding_sums",  # r10
+    "streaming_static_enrich",  # r10
+    "streaming_stream_stream_join",  # r10
+    "streaming_stream_stream_left_join",  # r10
+    "streaming_tumbling_counts",  # r10
+    "streaming_tumbling_counts_rocksdb",  # r10
+    "symbol_validation",  # r10
+    "text_quality_stats",  # r10
+    "text_repetition_stats",  # r10
+    "topk_movers_per_day",  # r10
+    "tpch_q12_shipmode",  # r10
+    "tpch_q14_promo_share",  # r10
+    "tpch_q15_top_supplier",  # r10
+    "tpch_q16_supplier_counts",  # r10
+    "tpch_q17_small_quantity",  # r10
+    "tpch_q18_large_orders",  # r10
+    "tpch_q20_excess_share_supplier",  # r10
 )
 
 

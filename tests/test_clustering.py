@@ -86,3 +86,68 @@ def test_pq_codebooks_invariants(spark, sf_dir):
         )
 
     assert total_err(2) < total_err(0)
+
+
+def test_pq_literal_column_assign_matches_unrolled(spark, sf_correct):
+    """r15 optimization pin (r14 verdict item 3): the trainer's assign
+    now carries the m*k centroids as ONE nested-array literal column
+    (transform + element_at + the same zip_with/aggregate fold)
+    instead of m*k unrolled literal-fold subtrees behind a CASE on s.
+    The two expressions must pick bit-identical clusters — same
+    distance doubles in the same fold order, same lowest-code
+    tie-break — on real embedding subvectors."""
+    from sp500_stock_etl_spark.operators.clustering import sq_dist
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    m, k = 4, 8
+    dims = len(emb.select("embedding").first()[0])
+    sub = dims // m
+    to_d = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    sub_rows = emb.select(
+        F.col("vec_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(to_d, s * sub + 1, sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.s", "e.sv")
+    # Deterministic non-trivial codebooks from the first k vectors.
+    first = emb.orderBy("vec_id").limit(k).select(to_d.alias("v")).collect()
+    cbs = [
+        [list(first[j][0])[s * sub : (s + 1) * sub] for j in range(k)]
+        for s in range(m)
+    ]
+
+    unrolled = None
+    for s in range(m):
+        arr = F.array(*[sq_dist(F.col("sv"), c) for c in cbs[s]])
+        code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        unrolled = (
+            F.when(F.col("s") == s, code)
+            if unrolled is None
+            else unrolled.when(F.col("s") == s, code)
+        )
+
+    arr = F.transform(
+        F.element_at(F.lit(cbs), F.col("s") + 1),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("sv"), c, lambda a, b: a - b),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ),
+    )
+    lit_col = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+    mismatches = (
+        sub_rows.withColumn("old", unrolled)
+        .withColumn("new", lit_col)
+        .where(~F.col("old").eqNullSafe(F.col("new")))
+        .count()
+    )
+    assert mismatches == 0
