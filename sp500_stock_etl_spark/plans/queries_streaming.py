@@ -63,7 +63,12 @@ def _stage_events_dir(sf_dir: str) -> str:
     return _stage_table_dir(sf_dir, "events")
 
 
-def _stream_shuffle_partitions(spark: SparkSession, src_dir: str) -> int:
+def _stream_shuffle_partitions(
+    spark: SparkSession,
+    src_dir: str,
+    python_stateful: bool = False,
+    heavy_state: bool = False,
+) -> int:
     """Scale-adaptive shuffle-partition count for a stateful streaming
     plan (r14 optimization; guide §2.2/§2.4 applied to state stores).
 
@@ -86,6 +91,29 @@ def _stream_shuffle_partitions(spark: SparkSession, src_dir: str) -> int:
     the session default; at test scale the state machinery tracks the
     data. Override with SPARK_GRAFT_STREAM_SHUFFLE (int) for
     deployments that want an explicit value.
+
+    ``python_stateful=True`` (r15; r14 verdict item 7): for plans
+    whose hot path is a Python stateful operator
+    (applyInPandasWithState / transformWithStateInPandas) the
+    partition count is ALSO the Python-worker parallelism — the floor
+    of 4 that is right for JVM state-store machinery starves the
+    Python side. Cores-derived floor instead:
+    max(4, defaultParallelism // 2). Interleaved A/B on
+    streaming_running_totals_final at sf0.1
+    (scripts/r15_stateful_floor_ab.py): 4 partitions best 3.00 s /
+    med 3.33; 8 -> 2.21/2.78; 16 -> 2.24/2.30. The cores/2 rule
+    tracks the driver's low-core bench run and still caps at
+    defaultParallelism, so cluster behavior is unchanged.
+
+    ``heavy_state=True`` (r15): same cores-derived floor for plans
+    whose STATE cardinality far exceeds what the source-bytes rule
+    sees — streaming_vwap_daily holds ~596k state rows (one per
+    symbol-day, profiled via r14_stream_profile: updTimeMs 1.9 s,
+    131 MB store) behind a ~15 MB staged source that sizes to 1
+    split. A/B at sf0.1: 4 partitions best 4.71 s / med 5.62;
+    8 -> 3.61/4.40; 16 -> 3.36/4.02. Small-state plans keep floor 4
+    (streaming_ohlc_bars_append measured BEST at 4: 1.43 vs 1.65 at
+    16 — per-instance machinery dominates when state is small).
 
     Result-safety: partition count never changes WHAT a streaming
     query computes — aggregations/joins/session merges are
@@ -111,9 +139,9 @@ def _stream_shuffle_partitions(spark: SparkSession, src_dir: str) -> int:
     except Exception:
         split = 128 * 1024 * 1024
     splits = -(-total // split) if total else 1
-    return min(
-        spark.sparkContext.defaultParallelism, max(4, int(splits))
-    )
+    par = spark.sparkContext.defaultParallelism
+    floor = max(4, par // 2) if (python_stateful or heavy_state) else 4
+    return min(par, max(floor, int(splits)))
 
 
 def _snapshot_and_drop(spark: SparkSession, name: str) -> DataFrame:
@@ -142,6 +170,8 @@ def _run_to_table(
     stream_df: DataFrame,
     mode: str,
     src_dir: str | None = None,
+    python_stateful: bool = False,
+    heavy_state: bool = False,
 ) -> DataFrame:
     name = f"sg_stream_{next(_SEQ)}_{os.getpid()}"
     if src_dir is None:
@@ -152,7 +182,17 @@ def _run_to_table(
         # plans after this query keep the session default.
         key = "spark.sql.shuffle.partitions"
         prev = spark.conf.get(key)
-        spark.conf.set(key, str(_stream_shuffle_partitions(spark, src_dir)))
+        spark.conf.set(
+            key,
+            str(
+                _stream_shuffle_partitions(
+                    spark,
+                    src_dir,
+                    python_stateful=python_stateful,
+                    heavy_state=heavy_state,
+                )
+            ),
+        )
         try:
             SE.run_available_now(
                 stream_df, _tmp_ckpt(), name, output_mode=mode
@@ -340,7 +380,13 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _stage_events_dir(sf_dir)
     stream = SE.read_event_stream(spark, staged)
-    return _run_to_table(spark, SE.running_user_totals(stream), "update", src_dir=staged)
+    return _run_to_table(
+        spark,
+        SE.running_user_totals(stream),
+        "update",
+        src_dir=staged,
+        python_stateful=True,
+    )
 
 
 @register(
@@ -363,6 +409,7 @@ def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         SE.running_user_totals_ttl(stream, ttl_ms=3_600_000),
         "update",
         src_dir=staged,
+        python_stateful=True,
     )
 
 
@@ -1264,7 +1311,11 @@ def q_streaming_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _stage_events_dir(sf_dir)
     stream = SE.read_event_stream(spark, staged)
     out = _run_to_table(
-        spark, SE.running_user_totals_cents(stream), "update", src_dir=staged
+        spark,
+        SE.running_user_totals_cents(stream),
+        "update",
+        src_dir=staged,
+        python_stateful=True,
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -1697,7 +1748,9 @@ def q_streaming_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * F.col("qty")).alias("num"),
         F.sum("qty").alias("den"),
     )
-    out = _run_to_table(spark, agg, "complete", src_dir=path)
+    # heavy_state: ~596k state rows (symbol x day) behind a ~15 MB
+    # staged source — see _stream_shuffle_partitions (r15 A/B).
+    out = _run_to_table(spark, agg, "complete", src_dir=path, heavy_state=True)
     return out.select(
         F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
         "symbol",

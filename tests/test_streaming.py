@@ -440,3 +440,28 @@ def test_upsert_partition_sink_is_idempotent(spark, events_dir, sf_dir, tmp_path
     shutil.rmtree(ckpt)  # full replay: partitions overwrite, not append
     n3 = run()
     assert n3 == want
+
+
+def test_stream_shuffle_partitions_python_stateful_floor(spark, tmp_path):
+    """r15 (r14 verdict item 7): a plan whose hot path is a Python
+    stateful operator gets a cores-derived partition floor
+    (max(4, defaultParallelism // 2)) — the partition count is also
+    the Python-worker parallelism — while JVM-stateful plans keep the
+    state-store-machinery floor of 4. Both stay capped at
+    defaultParallelism, so cluster behavior is unchanged."""
+    from sp500_stock_etl_spark.plans.queries_streaming import (
+        _stream_shuffle_partitions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "tiny.parquet").write_bytes(b"x" * 1024)  # one split
+
+    par = spark.sparkContext.defaultParallelism
+    jvm_floor = _stream_shuffle_partitions(spark, str(src))
+    py_floor = _stream_shuffle_partitions(
+        spark, str(src), python_stateful=True
+    )
+    assert jvm_floor == min(par, 4)
+    assert py_floor == min(par, max(4, par // 2))
+    assert py_floor <= par and jvm_floor <= par
