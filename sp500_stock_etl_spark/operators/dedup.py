@@ -35,6 +35,7 @@ from ..caching import (
     unpersist_local_checkpoint,
 )
 from ..functions.text import hash32, norm_text, tokens, word_shingles
+from ..io.readers import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -411,8 +412,17 @@ def minhash_lsh_dedup(
     The shingle frame is persisted (tracked for release after the
     terminal action): it feeds the signature pass once and the Jaccard
     verify twice; recomputing it means re-tokenizing and re-hashing
-    the corpus three times."""
-    shingled = track_persist(with_shingles(df, id_col, text_col, ngram))
+    the corpus three times.
+
+    The input is round-robined up to core count first
+    (``readers.ensure_parallelism`` — a no-op whenever the scan
+    already yields >= cores splits, i.e. at any real scale): the
+    tokenize + shingle + per-shingle md5 pass is the pipeline's CPU
+    stage and otherwise inherits a single-row-group test file's
+    1-task partitioning (r15 A/B, scripts/r15_parallelism_ab.py)."""
+    shingled = track_persist(
+        with_shingles(ensure_parallelism(df), id_col, text_col, ngram)
+    )
     signed = minhash_signature(shingled, num_hashes)
     pairs = lsh_candidate_pairs(signed, num_hashes, bands)
     return jaccard_verify(pairs, shingled, threshold)
@@ -589,9 +599,17 @@ def minhash_similarity_join(
     here via ``with_shingles`` (distinct by construction), which the
     inclusion-exclusion union in ``_jaccard_expr`` requires — callers
     reusing ``_jaccard_expr`` on external shingled frames must
-    guarantee distinct-element arrays or Jaccard deflates silently."""
-    sq = track_persist(with_shingles(query_df, id_col, text_col, ngram))
-    sc = track_persist(with_shingles(corpus_df, id_col, text_col, ngram))
+    guarantee distinct-element arrays or Jaccard deflates silently.
+
+    Both sides are round-robined up to core count before the CPU-heavy
+    shingle+hash pass (``ensure_parallelism`` — no-op at real scale;
+    r15 A/B, scripts/r15_parallelism_ab.py)."""
+    sq = track_persist(
+        with_shingles(ensure_parallelism(query_df), id_col, text_col, ngram)
+    )
+    sc = track_persist(
+        with_shingles(ensure_parallelism(corpus_df), id_col, text_col, ngram)
+    )
     bq = _band_buckets(minhash_signature(sq, num_hashes), num_hashes, bands)
     bc = _band_buckets(minhash_signature(sc, num_hashes), num_hashes, bands)
     cand = (
@@ -654,7 +672,12 @@ def minhash_similarity_join_stream(
     )
     bq = _band_buckets(sq, num_hashes, bands, keep=("shingles",))
 
-    sc = track_persist(with_shingles(corpus_df, id_col, text_col, ngram))
+    # Static corpus side only: a streaming frame's partitioning is the
+    # stateful-plan floor's domain (_stream_shuffle_partitions), and
+    # ensure_parallelism cannot inspect a streaming plan anyway.
+    sc = track_persist(
+        with_shingles(ensure_parallelism(corpus_df), id_col, text_col, ngram)
+    )
     bc = _band_buckets(minhash_signature(sc, num_hashes), num_hashes, bands)
 
     cand = (

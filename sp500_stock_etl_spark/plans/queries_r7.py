@@ -721,7 +721,17 @@ def winnowed_fingerprints(tokd: DataFrame) -> DataFrame:
     materialized as a real column BEFORE the winnow pass so each
     window min reads the computed attribute instead of re-deriving
     md5 chains through projection substitution (the with_shingles
-    expression-blowup lesson)."""
+    expression-blowup lesson).
+
+    The input is round-robined up to core count first
+    (``readers.ensure_parallelism`` — no-op at real scale): the
+    stride-1 md5 pass over every 16-token span is by far this plan's
+    CPU stage and otherwise runs in the test file's single scan task
+    (r15 A/B: 2.47 -> 1.31 s at sf0.1,
+    scripts/r15_parallelism_ab.py)."""
+    from ..io.readers import ensure_parallelism
+
+    tokd = ensure_parallelism(tokd)
     n = F.size("toks")
     hashed = tokd.where(n >= _SPAN_W).select(
         "doc_id",
