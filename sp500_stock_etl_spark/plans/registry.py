@@ -98,6 +98,13 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_corpus_dedup",  # r14 rewrite (verdict item 6)
     "embedding_pq_encode_init",  # r15-touched family
     "arrow_udtf_installments",  # r15-touched family
+    # r15 continuation: plans whose shingle/winnow map stage gained the
+    # guarded ensure_parallelism repartition — driver-side parity
+    # evidence for the touched plans (same policy as the r14 head).
+    "dedup_exact_substring",  # r15 continuation (scan parallelism)
+    "dedup_minhash_lsh",  # r15 continuation (scan parallelism)
+    "similarity_join_corpus",  # r15 continuation (scan parallelism)
+    "corpus_doc_embedding_hybrid_dedup",  # r15 continuation (scan parallelism)
     "window_navigation_suite",  # r9
     "array_functions_suite",  # r10
     "basket_part_cooccurrence",  # r10
@@ -134,10 +141,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q12_shipmode",  # r10
     "tpch_q14_promo_share",  # r10
     "tpch_q15_top_supplier",  # r10
-    "tpch_q16_supplier_counts",  # r10
-    "tpch_q17_small_quantity",  # r10
-    "tpch_q18_large_orders",  # r10
-    "tpch_q20_excess_share_supplier",  # r10
+    # (tpch_q16/q17/q18/q20 rotated out to make room for the four
+    # continuation-touched plans above — they stay covered every
+    # pytest run by tests/test_oracle_parity.py's full-registry loop.)
 )
 
 
