@@ -26,6 +26,7 @@ PLANS = [
     "similarity_join_corpus",
     "dedup_minhash_lsh",
     "corpus_doc_embedding_hybrid_dedup",
+    "entity_resolution_customers",
 ]
 
 REAL = RD.ensure_parallelism

@@ -1416,7 +1416,18 @@ def er_candidate_pairs(base: DataFrame) -> DataFrame:
     record into {name} ∪ del1(name) variant keys, bucket-join on the
     variant, apply the cheap semantic equality filters, dedup pairs.
     Split out so scripts/scale_probe.py can count candidates at 1x vs
-    Nx corpus — the ~linear growth of THIS stage is the scale claim."""
+    Nx corpus — the ~linear growth of THIS stage is the scale claim.
+
+    The input is round-robined up to core count first
+    (``readers.ensure_parallelism`` — no-op whenever the scan already
+    yields >= cores splits, i.e. at any real scale): the length+1
+    substring-variant explode is this stage's CPU work and otherwise
+    runs in a single-row-group test file's one scan task (r15
+    continuation A/B: the registered query 2.21 -> 1.11 s at sf0.1,
+    outputs identical; plans/r15/er_parallelism_ab.txt)."""
+    from ..io.readers import ensure_parallelism
+
+    base = ensure_parallelism(base)
     keyed = base.select(
         "c_custkey",
         "c_name",

@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",  # r15 continuation (scan parallelism)
     "similarity_join_corpus",  # r15 continuation (scan parallelism)
     "corpus_doc_embedding_hybrid_dedup",  # r15 continuation (scan parallelism)
+    "entity_resolution_customers",  # r15 continuation (scan parallelism)
     "window_navigation_suite",  # r9
     "array_functions_suite",  # r10
     "basket_part_cooccurrence",  # r10
@@ -140,8 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "topk_movers_per_day",  # r10
     "tpch_q12_shipmode",  # r10
     "tpch_q14_promo_share",  # r10
-    "tpch_q15_top_supplier",  # r10
-    # (tpch_q16/q17/q18/q20 rotated out to make room for the four
+    # (tpch_q15/q16/q17/q18/q20 rotated out to make room for the five
     # continuation-touched plans above — they stay covered every
     # pytest run by tests/test_oracle_parity.py's full-registry loop.)
 )

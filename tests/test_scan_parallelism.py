@@ -27,6 +27,9 @@ TOUCHED = (
     "dedup_minhash_lsh",
     "similarity_join_corpus",
     "corpus_doc_embedding_hybrid_dedup",
+    # Deletion-neighborhood variant explode (function-local import of
+    # ensure_parallelism, so the RD patch below covers it).
+    "entity_resolution_customers",
 )
 
 
